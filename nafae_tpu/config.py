@@ -1,0 +1,199 @@
+"""Typed configuration tree (replaces the reference's argparse `opts` module).
+
+SURVEY.md L148 (config system) and L279 (aux subsystems): typed dataclass config +
+JSON file / CLI overrides, with one named preset per BASELINE.json config 1-5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class ModelConfig:
+    vocab_size: int = 67          # YouCook2-BB object classes (SURVEY.md L46)
+    feat_dim: int = 2048          # RoI feature dim D
+    embed_dim: int = 256          # joint space dim E
+    frame_pool: str = "attention"  # "attention" | "mean" | "context"
+    frame_attn_temp: float = 0.1   # τ_f in docs/MATH.md §Forward
+    dtype: str = "float32"         # compute dtype for the sim einsum ("bfloat16" on TPU)
+
+
+@dataclass
+class LossConfig:
+    margin: float = 0.1           # Δ, ranking loss
+    ctx_weight: float = 0.0       # λ_ctx (config 3+)
+    ctx_window: int = 3           # half-width w of the temporal window
+    ctx_temp: float = 0.1         # τ_a affinity temperature
+    cluster_weight: float = 0.0   # λ_clu (config 4+)
+    num_clusters: int = 67        # Kc
+    kmeans_interval: int = 100    # steps between Lloyd refreshes
+    kmeans_iters: int = 10        # Lloyd iterations per refresh
+    kmeans_ema: float = 0.0       # ρ blend toward old centers
+
+
+@dataclass
+class DataConfig:
+    root: str = "data/youcook2"   # directory with index.jsonl + per-segment .npz
+    split: str = "train"
+    max_frames: int = 20          # T bucket
+    num_regions: int = 20         # R
+    feat_dim: int = 2048          # D (must match model.feat_dim)
+    max_words: int = 8            # K
+    batch_size: int = 16
+    shuffle_buffer: int = 1024
+    prefetch: int = 2
+    num_workers: int = 2
+    use_native_io: bool = True    # C++ packer (native/); falls back to Python if .so missing
+
+
+@dataclass
+class TrainConfig:
+    steps: int = 10000
+    lr: float = 1e-3
+    weight_decay: float = 1e-5
+    warmup_steps: int = 100
+    optimizer: str = "adam"       # "adam" | "sgd"
+    grad_clip: float = 1.0
+    seed: int = 0
+    ckpt_dir: str = "ckpt"
+    ckpt_every: int = 500
+    keep_ckpts: int = 3
+    log_every: int = 50
+    eval_every: int = 1000
+    use_pallas: bool = True       # fused Pallas grounding kernel vs pure-jnp path
+    donate: bool = True
+
+
+@dataclass
+class MeshConfig:
+    data_axis: int = -1           # -1 = all devices on the data axis
+    frame_axis: int = 1           # >1 shards the frame (sequence) axis (SP)
+    data_axis_name: str = "data"
+    frame_axis_name: str = "frame"
+
+
+@dataclass
+class DetectorConfig:
+    """Faster R-CNN feature extractor (BASELINE config 5)."""
+    backbone: str = "resnet50"
+    image_size: int = 640
+    num_proposals: int = 20       # R kept after NMS
+    rpn_pre_nms_topk: int = 1024
+    nms_iou_thresh: float = 0.7
+    anchor_scales: tuple = (32, 64, 128, 256, 512)
+    anchor_ratios: tuple = (0.5, 1.0, 2.0)
+    frame_rate: float = 1.0       # sampled frames / second of video
+
+
+@dataclass
+class Config:
+    preset: str = "config2"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=list)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Config":
+        def build(tp, val):
+            if dataclasses.is_dataclass(tp) and isinstance(val, dict):
+                fields = {f.name: f for f in dataclasses.fields(tp)}
+                kwargs = {}
+                for k, v in val.items():
+                    if k not in fields:
+                        raise KeyError(f"unknown config key {tp.__name__}.{k}")
+                    ft = fields[k].type
+                    sub = _DATACLASS_BY_NAME.get(ft if isinstance(ft, str) else ft.__name__)
+                    kwargs[k] = build(sub, v) if sub else (tuple(v) if isinstance(v, list) else v)
+                return tp(**kwargs)
+            return val
+        return build(cls, d)
+
+
+_DATACLASS_BY_NAME = {c.__name__: c for c in
+                      (ModelConfig, LossConfig, DataConfig, TrainConfig, MeshConfig,
+                       DetectorConfig, Config)}
+
+
+def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
+    """Apply `section.key=value` CLI overrides (e.g. `loss.ctx_weight=1.0`)."""
+    d = dataclasses.asdict(cfg)
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value, got {ov!r}")
+        path, _, raw = ov.partition("=")
+        keys = path.split(".")
+        node = d
+        for k in keys[:-1]:
+            if k not in node:
+                raise KeyError(f"unknown config section {k!r} in override {ov!r}")
+            node = node[k]
+        leaf = keys[-1]
+        if leaf not in node:
+            raise KeyError(f"unknown config key {path!r}")
+        cur = node[leaf]
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        if cur is not None and not isinstance(cur, type(val)) and not (
+            isinstance(cur, float) and isinstance(val, int)
+        ):
+            if isinstance(cur, (list, tuple)) and isinstance(val, (list, tuple)):
+                pass
+            else:
+                raise TypeError(
+                    f"override {path}={raw!r}: expected {type(cur).__name__}, "
+                    f"got {type(val).__name__}")
+        node[leaf] = float(val) if isinstance(cur, float) else val
+    return Config.from_dict(d)
+
+
+# -- Named presets: one per BASELINE.json acceptance config (SURVEY.md §7). ----------
+
+def preset(name: str) -> Config:
+    cfg = Config(preset=name)
+    if name == "config1":      # eval-only, precomputed features, CPU-runnable
+        cfg.data.split = "val"
+        cfg.loss.ctx_weight = 0.0
+        cfg.loss.cluster_weight = 0.0
+    elif name == "config2":    # MIL + ranking training
+        pass
+    elif name == "config3":    # + contextual similarity loss
+        cfg.loss.ctx_weight = 1.0
+        cfg.model.frame_pool = "context"
+    elif name == "config4":    # + visual clustering loss
+        cfg.loss.ctx_weight = 1.0
+        cfg.loss.cluster_weight = 1.0
+        cfg.model.frame_pool = "context"
+    elif name == "config5":    # end-to-end: decode + detector + fused losses
+        cfg.loss.ctx_weight = 1.0
+        cfg.loss.cluster_weight = 1.0
+        cfg.model.frame_pool = "context"
+        cfg.data.root = "data/robowatch"
+    else:
+        raise ValueError(f"unknown preset {name!r}; choose config1..config5")
+    return cfg
+
+
+def load_config(path: str | None = None, preset_name: str | None = None,
+                overrides: list[str] | None = None) -> Config:
+    if path:
+        with open(path) as f:
+            cfg = Config.from_dict(json.load(f))
+    elif preset_name:
+        cfg = preset(preset_name)
+    else:
+        cfg = Config()
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg

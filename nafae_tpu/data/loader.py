@@ -1,0 +1,94 @@
+"""Batch loader: bucketing, shuffling, background prefetch, device transfer.
+
+Replaces the reference's `torch.utils.data.DataLoader` worker-process stack
+(SURVEY.md L97, L175). Two backends:
+  * Python: a daemon thread stacks numpy samples into batches ahead of compute.
+  * Native: the C++ packer in `native/` (see `nafae_tpu.utils.native_io`) reads
+    the .npz segment files and packs padded batches in worker threads, off the
+    Python GIL — mirrors where the reference leaned on native dataloaders.
+
+Batches are dicts of numpy arrays with static shapes (one [T,R,D] bucket), so
+`jax.jit` compiles the train step exactly once (SURVEY.md L352: bucketing +
+masking discipline).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+
+class BatchLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_remainder: bool = True,
+                 prefetch: int = 2, use_native: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.prefetch = prefetch
+        self._native = None
+        if use_native:
+            try:
+                from nafae_tpu.utils.native_io import NativePacker
+                self._native = NativePacker(dataset)
+            except Exception:
+                self._native = None  # graceful fallback to the Python path
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(order)
+        return order
+
+    def _make_batch(self, idxs) -> dict[str, np.ndarray]:
+        if self._native is not None:
+            return self._native.pack(idxs)
+        samples = [self.dataset[int(i)] for i in idxs]
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+    def epoch(self, epoch: int = 0):
+        """Yield batches for one epoch, prefetched by a background thread."""
+        order = self._epoch_order(epoch)
+        n = len(order)
+        nb = n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    q.put(self._make_batch(idxs))
+            finally:
+                q.put(None)
+
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+    def __iter__(self):
+        return self.epoch(0)
+
+    def steps(self, num_steps: int, start_epoch: int = 0):
+        """Yield exactly num_steps batches, cycling epochs (resume-friendly)."""
+        done, epoch = 0, start_epoch
+        while done < num_steps:
+            for batch in self.epoch(epoch):
+                yield done, batch
+                done += 1
+                if done >= num_steps:
+                    return
+            epoch += 1

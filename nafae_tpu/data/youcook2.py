@@ -1,0 +1,83 @@
+"""YouCook2 segment dataset: per-segment feature files -> padded samples.
+
+Replaces the reference's `YouCook2Dataset` / `collate_fn` (SURVEY.md L130-132):
+parses the index, loads `[T,R,D]` RoI features + boxes + object-word ids, pads
+the frame/word axes to fixed buckets, and emits bool masks. All arrays are
+numpy here; device transfer happens in `loader.py`.
+
+On-disk layout (produced by `nafae_tpu.extract` or `data/synthetic.py`):
+  root/split/index.jsonl   — one JSON per segment: id, file, num_frames, num_words
+  root/split/<id>.npz      — feats [T,R,D] (f16/f32), boxes [T,R,4],
+                             word_ids [K], gt_boxes [K,T,4], gt_mask [K,T] (eval)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+class SegmentDataset:
+    def __init__(self, root: str, split: str, max_frames: int, num_regions: int,
+                 feat_dim: int, max_words: int, with_gt: bool = False):
+        self.dir = os.path.join(root, split)
+        self.max_frames = max_frames
+        self.num_regions = num_regions
+        self.feat_dim = feat_dim
+        self.max_words = max_words
+        self.with_gt = with_gt
+        index_path = os.path.join(self.dir, "index.jsonl")
+        with open(index_path) as f:
+            self.index = [json.loads(ln) for ln in f if ln.strip()]
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def __getitem__(self, i: int) -> dict[str, np.ndarray]:
+        meta = self.index[i]
+        with np.load(os.path.join(self.dir, meta["file"])) as z:
+            sample = pad_sample(
+                feats=z["feats"].astype(np.float32),
+                boxes=z["boxes"].astype(np.float32),
+                word_ids=z["word_ids"].astype(np.int32),
+                max_frames=self.max_frames,
+                num_regions=self.num_regions,
+                max_words=self.max_words,
+                gt_boxes=z["gt_boxes"].astype(np.float32) if self.with_gt else None,
+                gt_mask=z["gt_mask"].astype(np.float32) if self.with_gt else None,
+            )
+        sample["segment_id"] = i
+        return sample
+
+
+def pad_sample(feats: np.ndarray, boxes: np.ndarray, word_ids: np.ndarray,
+               max_frames: int, num_regions: int, max_words: int,
+               gt_boxes: np.ndarray | None = None,
+               gt_mask: np.ndarray | None = None) -> dict[str, np.ndarray]:
+    """Pad/truncate one segment to fixed [T,R,D]/[K] buckets with masks."""
+    t, r, d = feats.shape
+    tt, rr = min(t, max_frames), min(r, num_regions)
+    k = min(len(word_ids), max_words)
+
+    out_f = np.zeros((max_frames, num_regions, d), np.float32)
+    out_f[:tt, :rr] = feats[:tt, :rr]
+    out_b = np.zeros((max_frames, num_regions, 4), np.float32)
+    out_b[:tt, :rr] = boxes[:tt, :rr]
+    out_w = np.zeros((max_words,), np.int32)
+    out_w[:k] = word_ids[:k]
+    fm = np.zeros((max_frames,), np.float32)
+    fm[:tt] = 1.0
+    wm = np.zeros((max_words,), np.float32)
+    wm[:k] = 1.0
+    sample = {"feats": out_f, "boxes": out_b, "word_ids": out_w,
+              "frame_mask": fm, "word_mask": wm}
+    if gt_boxes is not None:
+        gb = np.zeros((max_words, max_frames, 4), np.float32)
+        gm = np.zeros((max_words, max_frames), np.float32)
+        gb[:k, :tt] = gt_boxes[:k, :tt]
+        gm[:k, :tt] = gt_mask[:k, :tt]
+        sample["gt_boxes"] = gb
+        sample["gt_mask"] = gm
+    return sample

@@ -1,0 +1,192 @@
+"""Grounding forward ops: similarity tensor, MIL pooling, contextual similarity.
+
+Implements docs/MATH.md §Forward and §Contextual-similarity exactly (the torch
+oracle in tests/oracle_torch.py mirrors these). Reference behavior per SURVEY.md
+L98 (model layer) and L141-144 (similarity / MIL / context components); the
+reference's per-frame Python loops (SURVEY.md L179) are replaced by batched
+einsums over the full [B,K,T,R] tensor — one XLA program per step.
+
+Conventions: masks are float (0/1). NEG = -1e9 is the masked-max/-softmax fill.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1e9
+
+# All einsums request full input-dtype precision: on TPU the default would run
+# f32 contractions via bf16 MXU passes (~1e-3 error), breaking oracle parity.
+# The fast path opts into bf16 explicitly via compute_dtype, not silently.
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-8) -> jax.Array:
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=axis, keepdims=True) + eps)
+
+
+def embed_words(word_ids: jax.Array, emb: jax.Array) -> jax.Array:
+    """word_ids [B,K] int32, emb [V,E] -> normalized ŵ [B,K,E]."""
+    return l2_normalize(jnp.take(emb, word_ids, axis=0))
+
+
+def project_regions(feats: jax.Array, w_v: jax.Array, b_v: jax.Array,
+                    dtype=jnp.float32) -> jax.Array:
+    """feats [B,T,R,D] -> normalized v̂ [B,T,R,E]. Matmul on the MXU in `dtype`."""
+    v = jnp.einsum("btrd,de->btre", feats.astype(dtype), w_v.astype(dtype),
+                   preferred_element_type=jnp.float32, precision=PRECISION) + b_v.astype(jnp.float32)
+    return l2_normalize(v)
+
+
+def similarity_tensor(w_emb: jax.Array, v_emb: jax.Array) -> jax.Array:
+    """Cosine similarity s[b,k,t,r] = ŵ[b,k]·v̂[b,t,r].  [B,K,E]x[B,T,R,E]->[B,K,T,R]."""
+    return jnp.einsum("bke,btre->bktr", w_emb, v_emb,
+                      preferred_element_type=jnp.float32, precision=PRECISION)
+
+
+def frame_mil_max(s: jax.Array, frame_mask: jax.Array) -> jax.Array:
+    """MIL max over regions: a[..,k,t] = max_r s (invalid frames -> 0).
+
+    s: [..,K,T,R]; frame_mask: broadcastable to [..,T].
+    """
+    a = jnp.max(s, axis=-1)
+    return jnp.where(frame_mask[..., None, :] > 0, a, 0.0)
+
+
+def frame_attention(frame_logits: jax.Array, frame_mask: jax.Array,
+                    temp: float, pool: str) -> jax.Array:
+    """β[..,t] from per-frame logits g[..,t] (docs/MATH.md step 5)."""
+    if pool == "mean":
+        denom = jnp.maximum(jnp.sum(frame_mask, axis=-1, keepdims=True), 1.0)
+        return jnp.broadcast_to(frame_mask / denom, frame_logits.shape)
+    logits = jnp.where(frame_mask > 0, frame_logits / temp, NEG)
+    return jax.nn.softmax(logits, axis=-1) * frame_mask
+
+
+def _masked_word_mean(x: jax.Array, word_mask: jax.Array) -> jax.Array:
+    """Masked mean over the word axis: x [..,K,T], word_mask [..,K] -> [..,T]."""
+    num = jnp.sum(x * word_mask[..., None], axis=-2)
+    den = jnp.maximum(jnp.sum(word_mask, axis=-1), 1.0)
+    return num / den[..., None]
+
+
+def video_scores(a: jax.Array, word_mask: jax.Array, frame_mask: jax.Array,
+                 temp: float, pool: str,
+                 frame_logits: jax.Array | None = None) -> tuple[jax.Array, jax.Array]:
+    """a [..,K,T] -> (S [..], β [..,T]).  frame_logits overrides g (context pooling)."""
+    g = frame_logits if frame_logits is not None else _masked_word_mean(a, word_mask)
+    beta = frame_attention(g, frame_mask, temp, "attention" if pool == "context" else pool)
+    s_w = jnp.sum(beta[..., None, :] * a, axis=-1)           # [.., K]
+    s = jnp.sum(s_w * word_mask, axis=-1) / jnp.maximum(
+        jnp.sum(word_mask, axis=-1), 1.0)
+    return s, beta
+
+
+def region_affinity(v_emb: jax.Array, frame_mask: jax.Array,
+                    window: int, temp: float) -> tuple[jax.Array, jax.Array]:
+    """Neighbor-frame region affinities (docs/MATH.md §Contextual-similarity).
+
+    Returns:
+      alpha [B,T,R,O,S]: softmax over S (= neighbor regions r') of
+        v̂[t,r]·v̂[t+o,r']/τ_a, for the O = 2*window offsets o ∈ {-w..-1, 1..w}.
+      nbr_valid [B,T,O]: 1 where both frame t and neighbor t+o exist and are valid.
+    """
+    B, T, R, E = v_emb.shape
+    offsets = _offsets(window)
+    t_idx = jnp.arange(T)
+    nbr_v, nbr_ok = [], []
+    for o in offsets:
+        idx = jnp.clip(t_idx + o, 0, T - 1)
+        in_range = ((t_idx + o >= 0) & (t_idx + o < T)).astype(v_emb.dtype)
+        nbr_v.append(jnp.take(v_emb, idx, axis=1))            # [B,T,S,E]
+        nbr_ok.append(in_range[None, :] * jnp.take(frame_mask, idx, axis=1))
+    v_nbr = jnp.stack(nbr_v, axis=2)                          # [B,T,O,S,E]
+    nbr_valid = jnp.stack(nbr_ok, axis=2) * frame_mask[:, :, None]  # [B,T,O]
+    logits = jnp.einsum("btre,btose->btros", v_emb, v_nbr,
+                        preferred_element_type=jnp.float32, precision=PRECISION) / temp
+    alpha = jax.nn.softmax(logits, axis=-1)                   # over neighbor regions S
+    return alpha, nbr_valid
+
+
+def context_similarity(s: jax.Array, alpha: jax.Array, nbr_valid: jax.Array,
+                       cross: bool = False) -> jax.Array:
+    """Context-supported similarity ŝ (docs/MATH.md §Contextual-similarity).
+
+    s: [B,K,T,R] (diag) or [I,J,K,T,R] (cross; alpha/nbr_valid indexed by video I).
+    alpha: [B,T,R,O,S], nbr_valid: [B,T,O]. Returns ŝ with the shape of s.
+    """
+    O = alpha.shape[3]
+    T = alpha.shape[1]
+    offsets = _offsets(O // 2)
+    t_idx = jnp.arange(T)
+    gathered = [jnp.take(s, jnp.clip(t_idx + o, 0, T - 1), axis=-2) for o in offsets]
+    s_nbr = jnp.stack(gathered, axis=-2)                      # [..,K,T,O,S]
+    if cross:
+        contrib = jnp.einsum("itros,ijktos->ijktro", alpha, s_nbr,
+                             preferred_element_type=jnp.float32, precision=PRECISION)
+        nv = nbr_valid[:, None, None, :, None, :]             # [I,1,1,T,1,O]
+    else:
+        contrib = jnp.einsum("btros,bktos->bktro", alpha, s_nbr,
+                             preferred_element_type=jnp.float32, precision=PRECISION)
+        nv = nbr_valid[:, None, :, None, :]                   # [B,1,T,1,O]
+    num = jnp.sum(contrib * nv, axis=-1)
+    den = jnp.maximum(jnp.sum(nv, axis=-1), 1.0)
+    return num / den
+
+
+def _offsets(window: int) -> list[int]:
+    return [o for o in range(-window, window + 1) if o != 0]
+
+
+def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
+                 v_emb: jax.Array, frame_mask: jax.Array,
+                 temp: float, pool: str,
+                 ctx_window: int = 0, ctx_temp: float = 0.1) -> jax.Array:
+    """Full B×B score matrix S[i,j] = score(video i, sentence j) for ranking.
+
+    The reference scores positives/negatives with per-sample loops (SURVEY.md
+    L179-183); here the whole matrix is a handful of einsums on the MXU.
+    """
+    s = jnp.einsum("jke,itre->ijktr", w_emb, v_emb,
+                   preferred_element_type=jnp.float32, precision=PRECISION)        # [I,J,K,T,R]
+    fm = frame_mask[:, None, :]                               # video i frames [I,1,T]
+    wm = word_mask[None, :, :]                                # sentence j words [1,J,K]
+    a = frame_mil_max(s, fm)                                  # [I,J,K,T]
+    frame_logits = None
+    if pool == "context" and ctx_window > 0:
+        alpha, nbr_valid = region_affinity(v_emb, frame_mask, ctx_window, ctx_temp)
+        shat = context_similarity(s, alpha, nbr_valid, cross=True)
+        ahat = frame_mil_max(shat, fm)
+        frame_logits = _masked_word_mean(ahat, wm)
+    return video_scores(a, wm, fm, temp, pool, frame_logits=frame_logits)[0]
+
+
+def ground_forward(params: dict, feats: jax.Array, word_ids: jax.Array,
+                   frame_mask: jax.Array, word_mask: jax.Array,
+                   temp: float = 0.1, pool: str = "attention",
+                   ctx_window: int = 0, ctx_temp: float = 0.1,
+                   compute_dtype=jnp.float32) -> dict:
+    """Full single-video forward pass (diagonal path; used by eval & losses).
+
+    params: {"word_emb": [V,E], "w_v": [D,E], "b_v": [E]}.
+    Returns dict with v_emb, w_emb, s, a, beta, score, and (if ctx_window>0)
+    alpha, nbr_valid, shat, ahat.
+    """
+    w_emb = embed_words(word_ids, params["word_emb"])
+    v_emb = project_regions(feats, params["w_v"], params["b_v"], dtype=compute_dtype)
+    s = similarity_tensor(w_emb, v_emb)
+    a = frame_mil_max(s, frame_mask)
+    out = {"w_emb": w_emb, "v_emb": v_emb, "s": s, "a": a}
+    frame_logits = None
+    if ctx_window > 0:
+        alpha, nbr_valid = region_affinity(v_emb, frame_mask, ctx_window, ctx_temp)
+        shat = context_similarity(s, alpha, nbr_valid)
+        ahat = frame_mil_max(shat, frame_mask)
+        out.update(alpha=alpha, nbr_valid=nbr_valid, shat=shat, ahat=ahat)
+        if pool == "context":
+            frame_logits = _masked_word_mean(ahat, word_mask)
+    score, beta = video_scores(a, word_mask, frame_mask, temp, pool,
+                               frame_logits=frame_logits)
+    out.update(score=score, beta=beta)
+    return out

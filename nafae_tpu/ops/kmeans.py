@@ -1,0 +1,96 @@
+"""On-device batched k-means (Lloyd) for the visual clustering loss.
+
+The reference runs k-means on host CPU (numpy/sklearn) between epochs
+(SURVEY.md L145, L220-225). Here assignment + centroid update are jitted XLA:
+distance matrix on the MXU, argmin, one-hot segment-sums; optional `axis_name`
+psum makes the update exact under data parallelism (SURVEY.md §3 parallelism
+table: "centroid update across a sharded batch needs psum-ed segment sums").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+PRECISION = jax.lax.Precision.HIGHEST  # see nafae_tpu/ops/grounding.py
+
+
+def kmeans_assign(f: jax.Array, centers: jax.Array) -> jax.Array:
+    """Cosine assignment c* = argmax_c f·Ĉ[c].  f [..,E], centers [Kc,E] -> [..]."""
+    from nafae_tpu.ops.grounding import l2_normalize
+    sims = jnp.einsum("...e,ce->...c", f, l2_normalize(centers),
+                      preferred_element_type=jnp.float32, precision=PRECISION)
+    return jnp.argmax(sims, axis=-1)
+
+
+def _lloyd_step(carry, _, f, valid, axis_name):
+    centers = carry
+    assign = kmeans_assign(f, centers)                        # [N]
+    onehot = jax.nn.one_hot(assign, centers.shape[0], dtype=f.dtype)  # [N,Kc]
+    onehot = onehot * valid[:, None]
+    sums = jnp.einsum("nc,ne->ce", onehot, f,
+                      preferred_element_type=jnp.float32, precision=PRECISION)     # [Kc,E]
+    counts = jnp.sum(onehot, axis=0)                          # [Kc]
+    if axis_name is not None:
+        sums = jax.lax.psum(sums, axis_name)
+        counts = jax.lax.psum(counts, axis_name)
+    from nafae_tpu.ops.grounding import l2_normalize
+    new = l2_normalize(sums / jnp.maximum(counts, 1.0)[:, None])
+    # empty-cluster handling: keep the old (normalized) center
+    keep = (counts < 0.5)[:, None]
+    centers = jnp.where(keep, centers, new)
+    return centers, None
+
+
+def kmeans_lloyd(f: jax.Array, valid: jax.Array, centers: jax.Array,
+                 iters: int, ema: float = 0.0,
+                 axis_name: str | None = None) -> jax.Array:
+    """Run `iters` Lloyd iterations; returns updated, normalized centers.
+
+    f [N,E] flattened selected features, valid [N] (0/1), centers [Kc,E].
+    ema: blend toward the OLD centers (docs/MATH.md: C ← norm((1−ρ)C_lloyd + ρC_old)).
+    """
+    from nafae_tpu.ops.grounding import l2_normalize
+    old = l2_normalize(centers)
+    step = lambda c, x: _lloyd_step(c, x, f, valid, axis_name)
+    new, _ = jax.lax.scan(step, old, None, length=iters)
+    if ema > 0.0:
+        new = l2_normalize((1.0 - ema) * new + ema * old)
+    return new
+
+
+def kmeans_init(key: jax.Array, num_clusters: int, dim: int) -> jax.Array:
+    """Random unit-norm initial centers."""
+    from nafae_tpu.ops.grounding import l2_normalize
+    return l2_normalize(jax.random.normal(key, (num_clusters, dim)))
+
+
+def kmeans_plusplus_init(key: jax.Array, f: jax.Array, valid: jax.Array,
+                         num_clusters: int) -> jax.Array:
+    """On-device k-means++ seeding: next center drawn ∝ min-sq-distance.
+
+    f [N,E], valid [N]. Uses the Gumbel-max trick for the weighted draw so the
+    whole init is one jitted fori_loop (no host round-trips).
+    """
+    from nafae_tpu.ops.grounding import l2_normalize
+    n, e = f.shape
+    neg = -1e30
+
+    k0, key = jax.random.split(key)
+    logits0 = jnp.where(valid > 0, 0.0, neg)
+    first = jnp.argmax(logits0 + jax.random.gumbel(k0, (n,)))
+    centers = jnp.zeros((num_clusters, e), f.dtype).at[0].set(f[first])
+    d2 = jnp.sum((f - f[first]) ** 2, axis=-1)
+
+    def body(i, carry):
+        centers, d2, key = carry
+        key, kd = jax.random.split(key)
+        logits = jnp.where(valid > 0, jnp.log(jnp.maximum(d2, 1e-12)), neg)
+        nxt = jnp.argmax(logits + jax.random.gumbel(kd, (n,)))
+        c = f[nxt]
+        centers = centers.at[i].set(c)
+        d2 = jnp.minimum(d2, jnp.sum((f - c) ** 2, axis=-1))
+        return centers, d2, key
+
+    centers, _, _ = jax.lax.fori_loop(1, num_clusters, body, (centers, d2, key))
+    return l2_normalize(centers)

@@ -1,0 +1,76 @@
+"""Loss functions: ranking, contextual similarity, visual clustering.
+
+Math: docs/MATH.md §Ranking / §Contextual / §Visual-clustering. Reference
+components per SURVEY.md L143-145 (rank_loss / context_loss / cluster_loss);
+the reference computes these with per-frame Python loops (SURVEY.md L182) —
+here each is a masked reduction over the full batch tensor.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def ranking_loss(score_mat: jax.Array, margin: float) -> jax.Array:
+    """Max-margin triplet loss over the B×B in-batch score matrix.
+
+    score_mat[i,j] = score(video i, sentence j). Diagonal = positives.
+    L = mean over ordered pairs i≠j of relu(Δ + S[i,j] − S[i,i])
+                                     + relu(Δ + S[j,i] − S[i,i]).
+    """
+    b = score_mat.shape[0]
+    pos = jnp.diagonal(score_mat)                                  # [B]
+    off = 1.0 - jnp.eye(b, dtype=score_mat.dtype)
+    wrong_sent = jax.nn.relu(margin + score_mat - pos[:, None]) * off
+    wrong_vid = jax.nn.relu(margin + score_mat - pos[None, :]) * off
+    npairs = jnp.maximum(b * (b - 1), 1)
+    return (jnp.sum(wrong_sent) + jnp.sum(wrong_vid)) / npairs
+
+
+def context_loss(s: jax.Array, shat: jax.Array, word_mask: jax.Array,
+                 frame_mask: jax.Array, nbr_valid: jax.Array) -> jax.Array:
+    """L_ctx = masked mean (s − sg[ŝ])² over (b,k,t,r).
+
+    Frames with no valid neighbor (sum_o nbr_valid == 0) contribute zero.
+    s, shat: [B,K,T,R]; word_mask [B,K]; frame_mask [B,T]; nbr_valid [B,T,O].
+    """
+    has_ctx = (jnp.sum(nbr_valid, axis=-1) > 0).astype(s.dtype)    # [B,T]
+    m = (word_mask[:, :, None] * frame_mask[:, None, :] * has_ctx[:, None, :])
+    sq = (s - jax.lax.stop_gradient(shat)) ** 2                    # [B,K,T,R]
+    num = jnp.sum(sq * m[..., None])
+    den = jnp.maximum(jnp.sum(m) * s.shape[-1], 1.0)
+    return num / den
+
+
+def select_top_regions(s: jax.Array, v_emb: jax.Array, word_mask: jax.Array,
+                       frame_mask: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-(word,frame) argmax region features (stop-grad selection).
+
+    s [B,K,T,R], v_emb [B,T,R,E] -> f [B,K,T,E], valid [B,K,T].
+    The argmax index is non-differentiable (stop-grad by construction); the
+    gathered feature keeps its gradient, matching docs/MATH.md §Visual-clustering.
+    """
+    r_star = jnp.argmax(s, axis=-1)                                # [B,K,T]
+    f = jnp.take_along_axis(
+        v_emb[:, None],                                            # [B,1,T,R,E]
+        r_star[..., None, None],                                   # [B,K,T,1,1]
+        axis=-2,
+    )[..., 0, :]                                                   # [B,K,T,E]
+    valid = word_mask[:, :, None] * frame_mask[:, None, :]
+    return f, valid
+
+
+def cluster_loss(f: jax.Array, valid: jax.Array,
+                 centers: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """L_clu = masked mean ‖f − sg[C[c*]]‖², c* = cosine argmax assignment.
+
+    f [..,E], valid [..], centers [Kc,E]. Returns (loss, assignments [..]).
+    """
+    from nafae_tpu.ops.kmeans import kmeans_assign
+    assign = kmeans_assign(f, centers)                             # [..]
+    target = jax.lax.stop_gradient(jnp.take(centers, assign, axis=0))
+    sq = jnp.sum((f - target) ** 2, axis=-1)                       # [..]
+    num = jnp.sum(sq * valid)
+    den = jnp.maximum(jnp.sum(valid), 1.0)
+    return num / den, assign

@@ -1,0 +1,166 @@
+"""Torch-cpu oracle: independent re-implementation of docs/MATH.md.
+
+Written in deliberately naive per-sample/per-frame loop style — the way the
+reference PyTorch code computes these quantities (SURVEY.md L179-183) — so that
+agreement with the vectorized JAX ops is a genuine cross-check of the math, not
+of shared code. Used ONLY by tests (SURVEY.md §5 item 1: torch-cpu oracle).
+"""
+
+from __future__ import annotations
+
+import torch
+
+NEG = -1e9
+
+
+def normalize(x, dim=-1, eps=1e-8):
+    return x / torch.sqrt((x * x).sum(dim=dim, keepdim=True) + eps)
+
+
+def forward(params, feats, word_ids, frame_mask, word_mask,
+            temp=0.1, pool="attention", ctx_window=0, ctx_temp=0.1):
+    """Naive loop implementation. All inputs torch tensors (float64 ok)."""
+    emb, w_v, b_v = params["word_emb"], params["w_v"], params["b_v"]
+    B, T, R, D = feats.shape
+    K = word_ids.shape[1]
+    w_emb = normalize(emb[word_ids.long()])                  # [B,K,E]
+    v = feats @ w_v + b_v
+    v_emb = normalize(v)                                     # [B,T,R,E]
+
+    s = torch.zeros(B, K, T, R, dtype=feats.dtype)
+    for b in range(B):
+        for k in range(K):
+            for t in range(T):
+                for r in range(R):
+                    s[b, k, t, r] = (w_emb[b, k] * v_emb[b, t, r]).sum()
+
+    a = torch.zeros(B, K, T, dtype=feats.dtype)
+    for b in range(B):
+        for k in range(K):
+            for t in range(T):
+                a[b, k, t] = s[b, k, t].max() if frame_mask[b, t] > 0 else 0.0
+
+    out = {"w_emb": w_emb, "v_emb": v_emb, "s": s, "a": a}
+    if ctx_window > 0:
+        shat, nbr_valid = context_similarity(s, v_emb, frame_mask,
+                                             ctx_window, ctx_temp)
+        ahat = torch.zeros_like(a)
+        for b in range(B):
+            for k in range(K):
+                for t in range(T):
+                    ahat[b, k, t] = shat[b, k, t].max() if frame_mask[b, t] > 0 else 0.0
+        out.update(shat=shat, nbr_valid=nbr_valid, ahat=ahat)
+
+    g_src = out["ahat"] if (pool == "context" and ctx_window > 0) else a
+    score = torch.zeros(B, dtype=feats.dtype)
+    beta = torch.zeros(B, T, dtype=feats.dtype)
+    for b in range(B):
+        kv = word_mask[b].sum().clamp(min=1.0)
+        g = (g_src[b] * word_mask[b, :, None]).sum(0) / kv   # [T]
+        if pool == "mean":
+            beta[b] = frame_mask[b] / frame_mask[b].sum().clamp(min=1.0)
+        else:
+            logits = torch.where(frame_mask[b] > 0, g / temp,
+                                 torch.full_like(g, NEG))
+            beta[b] = torch.softmax(logits, dim=0) * frame_mask[b]
+        s_w = (beta[b][None, :] * a[b]).sum(-1)              # [K]
+        score[b] = (s_w * word_mask[b]).sum() / kv
+    out.update(score=score, beta=beta)
+    return out
+
+
+def context_similarity(s, v_emb, frame_mask, window, temp):
+    """Naive windowed context similarity. s [B,K,T,R], v_emb [B,T,R,E]."""
+    B, K, T, R = s.shape
+    shat = torch.zeros_like(s)
+    offsets = [o for o in range(-window, window + 1) if o != 0]
+    nbr_valid = torch.zeros(B, T, len(offsets), dtype=s.dtype)
+    for b in range(B):
+        for t in range(T):
+            if frame_mask[b, t] <= 0:
+                continue
+            valid_os = []
+            for oi, o in enumerate(offsets):
+                tp = t + o
+                if 0 <= tp < T and frame_mask[b, tp] > 0:
+                    nbr_valid[b, t, oi] = 1.0
+                    valid_os.append((oi, tp))
+            if not valid_os:
+                continue
+            for r in range(R):
+                acc = torch.zeros(K, dtype=s.dtype)
+                for oi, tp in valid_os:
+                    aff = v_emb[b, tp] @ v_emb[b, t, r]      # [R']
+                    alpha = torch.softmax(aff / temp, dim=0)
+                    acc += s[b, :, tp, :] @ alpha            # [K]
+                shat[b, :, t, r] = acc / len(valid_os)
+    return shat, nbr_valid
+
+
+def cross_scores(params, feats, word_ids, frame_mask, word_mask,
+                 temp=0.1, pool="attention", ctx_window=0, ctx_temp=0.1):
+    """Naive B×B score matrix: score(video i, sentence j)."""
+    B = feats.shape[0]
+    mat = torch.zeros(B, B, dtype=feats.dtype)
+    for i in range(B):
+        for j in range(B):
+            out = forward(params, feats[i:i + 1], word_ids[j:j + 1],
+                          frame_mask[i:i + 1], word_mask[j:j + 1],
+                          temp=temp, pool=pool, ctx_window=ctx_window,
+                          ctx_temp=ctx_temp)
+            mat[i, j] = out["score"][0]
+    return mat
+
+
+def ranking_loss(mat, margin):
+    B = mat.shape[0]
+    total, n = torch.zeros((), dtype=mat.dtype), 0
+    for i in range(B):
+        for j in range(B):
+            if i == j:
+                continue
+            total = total + torch.relu(margin + mat[i, j] - mat[i, i])
+            total = total + torch.relu(margin + mat[j, i] - mat[i, i])
+            n += 1  # docs/MATH.md: normalize by ordered pairs, two hinges each
+    return total / max(n, 1)
+
+
+def context_loss(s, shat, word_mask, frame_mask, nbr_valid):
+    B, K, T, R = s.shape
+    num, den = torch.zeros((), dtype=s.dtype), 0.0
+    for b in range(B):
+        for k in range(K):
+            for t in range(T):
+                if (word_mask[b, k] > 0 and frame_mask[b, t] > 0
+                        and nbr_valid[b, t].sum() > 0):
+                    num = num + ((s[b, k, t] - shat[b, k, t]) ** 2).sum()
+                    den += R
+    return num / max(den, 1.0)
+
+
+def cluster_loss(s, v_emb, word_mask, frame_mask, centers):
+    B, K, T, R = s.shape
+    cn = normalize(centers)
+    num, den = torch.zeros((), dtype=s.dtype), 0.0
+    for b in range(B):
+        for k in range(K):
+            for t in range(T):
+                r_star = int(s[b, k, t].argmax())
+                f = v_emb[b, t, r_star]
+                c_star = int((cn @ f).argmax())
+                if word_mask[b, k] > 0 and frame_mask[b, t] > 0:
+                    num = num + ((f - centers[c_star]) ** 2).sum()
+                    den += 1.0
+    return num / max(den, 1.0)
+
+
+def box_iou(a, b):
+    lt = torch.maximum(a[..., :2], b[..., :2])
+    rb = torch.minimum(a[..., 2:], b[..., 2:])
+    wh = (rb - lt).clamp(min=0)
+    inter = wh[..., 0] * wh[..., 1]
+    aa = (a[..., 2] - a[..., 0]).clamp(min=0) * (a[..., 3] - a[..., 1]).clamp(min=0)
+    ab = (b[..., 2] - b[..., 0]).clamp(min=0) * (b[..., 3] - b[..., 1]).clamp(min=0)
+    union = aa + ab - inter
+    return torch.where(union > 0, inter / union.clamp(min=1e-12),
+                       torch.zeros_like(union))

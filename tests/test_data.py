@@ -1,0 +1,61 @@
+"""Data layer tests: vocab extraction, synthetic fixtures, dataset, loader."""
+
+import numpy as np
+
+from nafae_tpu.data import BatchLoader, SegmentDataset, Vocab
+
+
+def test_vocab_extract():
+    v = Vocab()
+    ids = v.extract("Heat the oil in a pan and add the onions and garlic.")
+    words = [v.classes[i] for i in ids]
+    assert words == ["oil", "pan", "onion", "garlic"]
+    assert v.extract("nothing relevant here") == []
+    assert len(v) == 67
+
+
+def test_dataset_shapes(synth_root):
+    ds = SegmentDataset(synth_root, "train", max_frames=8, num_regions=6,
+                        feat_dim=64, max_words=3)
+    s = ds[0]
+    assert s["feats"].shape == (8, 6, 64)
+    assert s["boxes"].shape == (8, 6, 4)
+    assert s["word_ids"].shape == (3,)
+    assert s["frame_mask"].shape == (8,)
+    assert 0 < s["frame_mask"].sum() <= 8
+    assert 0 < s["word_mask"].sum() <= 3
+
+
+def test_dataset_gt(synth_root):
+    ds = SegmentDataset(synth_root, "val", max_frames=8, num_regions=6,
+                        feat_dim=64, max_words=3, with_gt=True)
+    s = ds[0]
+    assert s["gt_boxes"].shape == (3, 8, 4)
+    assert s["gt_mask"].shape == (3, 8)
+    # GT only where both word and frame are valid
+    assert (s["gt_mask"] <= s["word_mask"][:, None] * s["frame_mask"][None, :]).all()
+
+
+def test_loader_batches(synth_root):
+    ds = SegmentDataset(synth_root, "train", max_frames=8, num_regions=6,
+                        feat_dim=64, max_words=3)
+    dl = BatchLoader(ds, batch_size=4, shuffle=True, seed=0)
+    batches = list(dl.epoch(0))
+    assert len(batches) == len(ds) // 4
+    b = batches[0]
+    assert b["feats"].shape == (4, 8, 6, 64)
+    assert b["word_ids"].dtype == np.int32
+    # determinism: same epoch -> same order
+    again = list(dl.epoch(0))
+    np.testing.assert_array_equal(b["feats"], again[0]["feats"])
+    # different epoch -> different order (with overwhelming probability)
+    other = list(dl.epoch(1))
+    assert not np.array_equal(b["feats"], other[0]["feats"])
+
+
+def test_loader_steps_cycles(synth_root):
+    ds = SegmentDataset(synth_root, "train", max_frames=8, num_regions=6,
+                        feat_dim=64, max_words=3)
+    dl = BatchLoader(ds, batch_size=4, shuffle=False)
+    seen = [i for i, _ in dl.steps(7)]
+    assert seen == list(range(7))

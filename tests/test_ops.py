@@ -1,0 +1,112 @@
+"""Unit tests for ops: masking edge cases, k-means behavior, metric sanity."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nafae_tpu.ops import grounding as G
+from nafae_tpu.ops import losses as L
+from nafae_tpu.ops.kmeans import (kmeans_assign, kmeans_init, kmeans_lloyd,
+                                  kmeans_plusplus_init)
+from nafae_tpu.ops.iou import box_iou, grounding_hits
+
+
+def test_masked_frame_attention_ignores_invalid():
+    g = jnp.array([[1.0, 100.0, 2.0]])
+    fm = jnp.array([[1.0, 0.0, 1.0]])
+    beta = G.frame_attention(g, fm, temp=1.0, pool="attention")
+    assert float(beta[0, 1]) == 0.0
+    np.testing.assert_allclose(float(jnp.sum(beta)), 1.0, rtol=1e-6)
+
+
+def test_frame_mil_max_zeroes_invalid_frames():
+    s = jnp.ones((1, 2, 3, 4)) * 5.0
+    fm = jnp.array([[1.0, 1.0, 0.0]])
+    a = G.frame_mil_max(s, fm)
+    assert float(a[0, 0, 2]) == 0.0 and float(a[0, 0, 0]) == 5.0
+
+
+def test_context_no_valid_neighbors_gives_zero_loss():
+    # single valid frame -> no neighbors -> L_ctx must be 0
+    rng = np.random.RandomState(0)
+    v = G.l2_normalize(jnp.asarray(rng.randn(1, 4, 3, 8).astype(np.float32)))
+    s = jnp.asarray(rng.randn(1, 2, 4, 3).astype(np.float32))
+    fm = jnp.array([[1.0, 0.0, 0.0, 0.0]])
+    wm = jnp.ones((1, 2))
+    alpha, nv = G.region_affinity(v, fm, window=2, temp=0.1)
+    shat = G.context_similarity(s, alpha, nv)
+    loss = L.context_loss(s, shat, wm, fm, nv)
+    assert float(loss) == 0.0
+
+
+def test_kmeans_recovers_planted_clusters():
+    rng = np.random.RandomState(1)
+    true = rng.randn(4, 16).astype(np.float32)
+    true /= np.linalg.norm(true, axis=1, keepdims=True)
+    pts = np.repeat(true, 64, axis=0) + 0.05 * rng.randn(256, 16).astype(np.float32)
+    valid = np.ones(256, np.float32)
+    c0 = kmeans_plusplus_init(jax.random.PRNGKey(0), jnp.asarray(pts),
+                              jnp.asarray(valid), 4)
+    c = kmeans_lloyd(jnp.asarray(pts), jnp.asarray(valid), c0, iters=20)
+    # every true center should have a learned center within small cosine distance
+    sims = np.asarray(c) @ true.T
+    assert (sims.max(axis=0) > 0.98).all()
+
+
+def test_kmeans_empty_cluster_kept():
+    pts = jnp.ones((8, 4)) / 2.0
+    valid = jnp.ones(8)
+    c0 = kmeans_init(jax.random.PRNGKey(1), 3, 4)
+    c = kmeans_lloyd(pts, valid, c0, iters=3)
+    assert np.isfinite(np.asarray(c)).all()
+    norms = np.linalg.norm(np.asarray(c), axis=1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+
+def test_kmeans_assign_shape():
+    f = jnp.zeros((2, 3, 5, 8))
+    c = kmeans_init(jax.random.PRNGKey(2), 6, 8)
+    a = kmeans_assign(f, c)
+    assert a.shape == (2, 3, 5) and a.dtype == jnp.int32 or a.dtype == jnp.int64
+
+
+def test_iou_identity_and_disjoint():
+    a = jnp.array([0.0, 0.0, 10.0, 10.0])
+    b = jnp.array([20.0, 20.0, 30.0, 30.0])
+    assert float(box_iou(a, a)) == 1.0
+    assert float(box_iou(a, b)) == 0.0
+    degenerate = jnp.array([5.0, 5.0, 5.0, 5.0])
+    assert float(box_iou(degenerate, degenerate)) == 0.0
+
+
+def test_grounding_hits_perfect_model():
+    # construct s so argmax region == region 0, whose box equals the GT box
+    B, K, T, R = 1, 2, 3, 4
+    s = jnp.zeros((B, K, T, R)).at[..., 0].set(1.0)
+    rng = np.random.RandomState(2)
+    boxes = jnp.asarray(np.abs(rng.rand(B, T, R, 4)).astype(np.float32))
+    boxes = boxes.at[..., 2:].set(boxes[..., :2] + 1.0)
+    gt = jnp.broadcast_to(boxes[:, None, :, 0, :], (B, K, T, 4))
+    gt_mask = jnp.ones((B, K, T))
+    correct, mask = grounding_hits(s, boxes, gt, gt_mask)
+    np.testing.assert_allclose(np.asarray(correct), np.ones((B, K, T)))
+
+
+def test_ranking_loss_zero_when_diagonal_dominates():
+    mat = jnp.eye(4) * 10.0 - 5.0
+    assert float(L.ranking_loss(mat, margin=0.1)) == 0.0
+
+
+def test_select_top_regions_gathers_argmax():
+    rng = np.random.RandomState(3)
+    s = jnp.asarray(rng.randn(2, 3, 4, 5).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 4, 5, 6).astype(np.float32))
+    wm, fm = jnp.ones((2, 3)), jnp.ones((2, 4))
+    f, valid = L.select_top_regions(s, v, wm, fm)
+    r_star = np.argmax(np.asarray(s), axis=-1)
+    for b in range(2):
+        for k in range(3):
+            for t in range(4):
+                np.testing.assert_allclose(np.asarray(f)[b, k, t],
+                                           np.asarray(v)[b, t, r_star[b, k, t]])
