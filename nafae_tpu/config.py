@@ -64,7 +64,7 @@ class TrainConfig:
     keep_ckpts: int = 3
     log_every: int = 50
     eval_every: int = 1000
-    use_pallas: bool = True       # fused Pallas grounding kernel vs pure-jnp path
+    use_pallas: bool = False      # fused Pallas grounding kernel vs pure-jnp path
     donate: bool = True
 
 

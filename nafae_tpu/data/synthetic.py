@@ -41,9 +41,17 @@ def generate_synthetic_dataset(
     noise: float = 1.0,
     image_size: int = 640,
     seed: int = 0,
+    class_pool: int | None = None,
 ) -> str:
-    """Write `root/split/index.jsonl` + per-segment `.npz`. Returns index path."""
+    """Write `root/split/index.jsonl` + per-segment `.npz`. Returns index path.
+
+    class_pool: sample object words from only the first `class_pool` classes so
+    each class recurs across segments (needed for learnability on tiny sets —
+    with all 67 classes and few segments, ranking can be satisfied by
+    memorizing segment-specific noise instead of the planted directions).
+    """
     rng = np.random.RandomState(seed + (0 if split == "train" else 10_000))
+    pool = min(class_pool or num_classes, num_classes)
     dirs = _class_directions(num_classes, feat_dim)
     seg_dir = os.path.join(root, split)
     os.makedirs(seg_dir, exist_ok=True)
@@ -52,7 +60,7 @@ def generate_synthetic_dataset(
         for n in range(num_segments):
             t = int(rng.randint(min_frames, max_frames + 1))
             k = int(rng.randint(1, max_words + 1))
-            words = rng.choice(num_classes, size=k, replace=False).astype(np.int32)
+            words = rng.choice(pool, size=k, replace=False).astype(np.int32)
             feats = rng.randn(t, num_regions, feat_dim).astype(np.float32) * noise
             boxes = _random_boxes(rng, (t, num_regions), image_size)
             gt_boxes = np.zeros((k, t, 4), np.float32)

@@ -1,0 +1,113 @@
+"""Evaluation driver: grounding inference + macro/micro box accuracy.
+
+Replaces the reference's `test.py` / `eval_ground` (SURVEY.md L147, L190-199):
+for each annotated (frame, object-word) pair, the argmax-similarity region's
+box must reach IoU>0.5 with the GT box. The per-(b,k,t) correctness bits are
+computed in one jitted program per batch; per-class aggregation happens on
+host (tiny). Same path serves YouCook2 val and RoboWatch transfer
+(BASELINE configs 1 and 5).
+
+CLI: python -m nafae_tpu.evaluate --preset config1 --ckpt ckpt/ ...
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nafae_tpu.config import Config
+from nafae_tpu.ops import grounding as G
+from nafae_tpu.ops.iou import grounding_hits
+
+
+@functools.partial(jax.jit, static_argnames=("temp", "iou_thresh"))
+def _eval_batch(params: dict, batch: dict, temp: float = 0.1,
+                iou_thresh: float = 0.5):
+    w_emb = G.embed_words(batch["word_ids"], params["word_emb"])
+    v_emb = G.project_regions(batch["feats"], params["w_v"], params["b_v"])
+    s = G.similarity_tensor(w_emb, v_emb)
+    # region argmax must ignore padded frames/words via gt_mask (already 0 there)
+    correct, gt_mask = grounding_hits(s, batch["boxes"], batch["gt_boxes"],
+                                      batch["gt_mask"], iou_thresh)
+    return correct, gt_mask
+
+
+def evaluate(params: dict, dataset, batch_size: int, num_classes: int,
+             temp: float = 0.1, iou_thresh: float = 0.5) -> dict:
+    """Run grounding eval over `dataset` (must have with_gt=True)."""
+    from nafae_tpu.data import BatchLoader
+
+    loader = BatchLoader(dataset, batch_size, shuffle=False,
+                         drop_remainder=False)
+    per_class_correct = np.zeros(num_classes)
+    per_class_total = np.zeros(num_classes)
+    for batch in loader:
+        correct, gt_mask = _eval_batch(params, batch, temp=temp,
+                                       iou_thresh=iou_thresh)
+        correct = np.asarray(correct)          # [B,K,T]
+        gt_mask = np.asarray(gt_mask)
+        word_ids = batch["word_ids"]           # [B,K]
+        b, k, t = correct.shape
+        cls = np.broadcast_to(word_ids[:, :, None], (b, k, t))
+        np.add.at(per_class_correct, cls.ravel(),
+                  (correct * gt_mask).ravel())
+        np.add.at(per_class_total, cls.ravel(), gt_mask.ravel())
+
+    seen = per_class_total > 0
+    per_class_acc = np.zeros(num_classes)
+    per_class_acc[seen] = per_class_correct[seen] / per_class_total[seen]
+    micro = float(per_class_correct.sum() / max(per_class_total.sum(), 1.0))
+    macro = float(per_class_acc[seen].mean()) if seen.any() else 0.0
+    return {
+        "box_acc_micro": micro,
+        "box_acc_macro": macro,
+        "num_annotations": int(per_class_total.sum()),
+        "num_classes_seen": int(seen.sum()),
+        "per_class_acc": {int(i): float(per_class_acc[i])
+                          for i in np.nonzero(seen)[0]},
+    }
+
+
+def evaluate_config(cfg: Config, params: dict | None = None,
+                    split: str = "val") -> dict:
+    """Config-driven eval: loads the dataset (+ checkpoint when params=None)."""
+    from nafae_tpu.data import SegmentDataset
+
+    ds = SegmentDataset(cfg.data.root, split, cfg.data.max_frames,
+                        cfg.data.num_regions, cfg.data.feat_dim,
+                        cfg.data.max_words, with_gt=True)
+    if params is None:
+        from nafae_tpu.train import TrainState
+        from nafae_tpu.utils.checkpoint import CheckpointManager
+        state = TrainState.create(jax.random.PRNGKey(0), cfg)
+        restored = CheckpointManager(cfg.train.ckpt_dir).restore_latest(state)
+        if restored is not None:
+            state = restored
+        params = state.params
+    return evaluate(params, ds, cfg.data.batch_size, cfg.model.vocab_size,
+                    temp=cfg.model.frame_attn_temp)
+
+
+def main(argv=None):
+    import argparse
+
+    from nafae_tpu.config import load_config
+
+    p = argparse.ArgumentParser("nafae_tpu.evaluate")
+    p.add_argument("--preset", default="config1")
+    p.add_argument("--config", default=None)
+    p.add_argument("--override", nargs="*", default=[])
+    p.add_argument("--split", default="val")
+    args = p.parse_args(argv)
+    cfg = load_config(args.config, args.preset, args.override)
+    result = evaluate_config(cfg, split=args.split)
+    result.pop("per_class_acc")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

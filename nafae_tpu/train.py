@@ -1,0 +1,283 @@
+"""Training driver: jitted/shard_map train step, optimizer, k-means refresh.
+
+Replaces the reference's `train.py` epoch loop (SURVEY.md L146, L169-188). The
+entire per-batch computation — forward, all three losses, gradient, optimizer
+update, and the (periodic) k-means refresh — is ONE XLA program (BASELINE.json
+north star), with the data axis sharded over the mesh via shard_map.
+
+CLI: python -m nafae_tpu.train --preset config2 --override train.steps=500 ...
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from nafae_tpu.config import Config
+from nafae_tpu.models.grounding import init_params
+from nafae_tpu.ops import grounding as G
+from nafae_tpu.ops import losses as L
+from nafae_tpu.ops.kmeans import kmeans_init, kmeans_lloyd
+from nafae_tpu.parallel import sharding as S
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: dict
+    opt_state: object
+    centers: jax.Array          # k-means centroids [Kc, E] (unit norm)
+
+    @classmethod
+    def create(cls, key: jax.Array, cfg: Config) -> "TrainState":
+        kp, kc = jax.random.split(key)
+        params = init_params(kp, cfg.model)
+        tx = make_optimizer(cfg)
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params),
+                   centers=kmeans_init(kc, cfg.loss.num_clusters,
+                                       cfg.model.embed_dim))
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=cfg.train.lr,
+        warmup_steps=cfg.train.warmup_steps,
+        decay_steps=max(cfg.train.steps, cfg.train.warmup_steps + 1),
+        end_value=cfg.train.lr * 0.01)
+    if cfg.train.optimizer == "sgd":
+        opt = optax.sgd(sched, momentum=0.9)
+    else:
+        opt = optax.adamw(sched, weight_decay=cfg.train.weight_decay)
+    return optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip), opt)
+
+
+def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
+                   row_offset, axis_name: str | None = None,
+                   use_pallas: bool = False) -> tuple[jax.Array, dict]:
+    """Total loss + aux for one (local) batch shard. Exact under DP:
+    every cross-device reduction is a psum of numerators/denominators, so the
+    value equals the single-device run on the concatenated global batch."""
+    lc, mc = cfg.loss, cfg.model
+    feats = batch["feats"]
+    fm, wm = batch["frame_mask"], batch["word_mask"]
+    ctx_on = lc.ctx_weight > 0 or mc.frame_pool == "context"
+    ctx_window = lc.ctx_window if ctx_on else 0
+
+    w_emb = G.embed_words(batch["word_ids"], params["word_emb"])
+    v_emb = G.project_regions(feats, params["w_v"], params["b_v"],
+                              dtype=jnp.dtype(mc.dtype))
+    if use_pallas:
+        from nafae_tpu.ops.pallas import fused_ground
+        s = fused_ground.similarity(w_emb, v_emb)
+    else:
+        s = G.similarity_tensor(w_emb, v_emb)
+
+    # --- ranking over the global batch (row-shard decomposition) -------------
+    if axis_name is not None:
+        gw, gwm = S.gather_words(w_emb, wm, axis_name)
+    else:
+        gw, gwm = w_emb, wm
+    rows = G.cross_scores(gw, gwm, v_emb, fm, mc.frame_attn_temp,
+                          mc.frame_pool, ctx_window, lc.ctx_temp)
+    b_loc, b_glob = rows.shape
+    gidx = row_offset + jnp.arange(b_loc)
+    diag_local = jnp.sum(rows * (jnp.arange(b_glob)[None, :] == gidx[:, None]),
+                         axis=1)
+    diag_global = (S.gather_diag(diag_local, axis_name)
+                   if axis_name is not None else diag_local)
+    l_rank = S.ranking_loss_rows(rows, diag_global, row_offset, lc.margin,
+                                 axis_name)
+    total = l_rank
+    score_pos = _global_mean(jnp.sum(diag_local),
+                             jnp.asarray(diag_local.shape[0], jnp.float32),
+                             axis_name)
+    aux = {"l_rank": l_rank, "score_pos": score_pos}
+
+    # --- contextual similarity loss ------------------------------------------
+    if ctx_on:
+        alpha, nbr_valid = G.region_affinity(v_emb, fm, lc.ctx_window, lc.ctx_temp)
+        shat = G.context_similarity(s, alpha, nbr_valid)
+        if lc.ctx_weight > 0:
+            l_ctx = _global_mean(*_context_loss_terms(s, shat, wm, fm, nbr_valid),
+                                 axis_name)
+            total = total + lc.ctx_weight * l_ctx
+            aux["l_ctx"] = l_ctx
+
+    # --- visual clustering loss ----------------------------------------------
+    f, valid = L.select_top_regions(s, v_emb, wm, fm)
+    aux["sel_feats"] = jax.lax.stop_gradient(f)
+    aux["sel_valid"] = valid
+    if lc.cluster_weight > 0:
+        target = jax.lax.stop_gradient(
+            jnp.take(centers, _assign(f, centers), axis=0))
+        sq = jnp.sum((f - target) ** 2, axis=-1)
+        l_clu = _global_mean(jnp.sum(sq * valid), jnp.sum(valid), axis_name)
+        total = total + lc.cluster_weight * l_clu
+        aux["l_clu"] = l_clu
+
+    aux["loss"] = total
+    return total, aux
+
+
+def _assign(f, centers):
+    from nafae_tpu.ops.kmeans import kmeans_assign
+    return kmeans_assign(f, centers)
+
+
+def _context_loss_terms(s, shat, wm, fm, nbr_valid):
+    has_ctx = (jnp.sum(nbr_valid, axis=-1) > 0).astype(s.dtype)
+    m = wm[:, :, None] * fm[:, None, :] * has_ctx[:, None, :]
+    sq = (s - jax.lax.stop_gradient(shat)) ** 2
+    return jnp.sum(sq * m[..., None]), jnp.sum(m) * s.shape[-1]
+
+
+def _global_mean(num, den, axis_name):
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.maximum(den, 1.0)
+
+
+def make_train_step(cfg: Config, tx: optax.GradientTransformation,
+                    axis_name: str | None = None, local_batch: int | None = None):
+    """Build the per-device train step. With axis_name, call under shard_map."""
+
+    def step_fn(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
+        if axis_name is not None:
+            row_offset = jax.lax.axis_index(axis_name) * batch["feats"].shape[0]
+        else:
+            row_offset = 0
+        grad_fn = jax.value_and_grad(compute_losses, has_aux=True)
+        (_, aux), grads = grad_fn(state.params, state.centers, batch, cfg,
+                                  row_offset, axis_name, cfg.train.use_pallas)
+        # NOTE: no explicit psum of grads — shard_map transposes replicated
+        # (P()) inputs with a built-in psum, so the per-device grads are
+        # already the exact global gradient (verified == single-device run).
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        centers = state.centers
+        if cfg.loss.cluster_weight > 0:
+            f = aux.pop("sel_feats").reshape(-1, cfg.model.embed_dim)
+            valid = aux.pop("sel_valid").reshape(-1)
+            refreshed = kmeans_lloyd(f, valid, centers, cfg.loss.kmeans_iters,
+                                     cfg.loss.kmeans_ema, axis_name)
+            do = (state.step % cfg.loss.kmeans_interval) == 0
+            centers = jnp.where(do, refreshed, centers)
+        else:
+            aux.pop("sel_feats"), aux.pop("sel_valid")
+
+        metrics = {k: v for k, v in aux.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, centers=centers)
+        return new_state, metrics
+
+    return step_fn
+
+
+def build_train_fn(cfg: Config, mesh=None):
+    """jit(shard_map(step)) over the mesh's data axis, or plain jit."""
+    tx = make_optimizer(cfg)
+    if mesh is None:
+        step = make_train_step(cfg, tx, axis_name=None)
+        return jax.jit(step, donate_argnums=(0,) if cfg.train.donate else ())
+    from jax.sharding import PartitionSpec as P
+    axis = cfg.mesh.data_axis_name
+    step = make_train_step(cfg, tx, axis_name=axis)
+    batch_spec = {
+        "feats": P(axis), "boxes": P(axis), "word_ids": P(axis),
+        "frame_mask": P(axis), "word_mask": P(axis), "segment_id": P(axis),
+    }
+    # NOTE: default check_vma must stay ON — it is what makes the transpose of
+    # replicated (P()) inputs insert the cross-device psum, so per-device grads
+    # equal the exact global gradient (verified against the single-device run).
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), batch_spec),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if cfg.train.donate else ())
+
+
+# ---------------------------------------------------------------------------
+# Fit loop + CLI
+# ---------------------------------------------------------------------------
+
+def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
+    """Run cfg.train.steps steps; returns the final state and last metrics."""
+    from nafae_tpu.data import BatchLoader, SegmentDataset
+    from nafae_tpu.utils.checkpoint import CheckpointManager
+    from nafae_tpu.utils.metrics_log import MetricsLogger
+
+    ds = SegmentDataset(cfg.data.root, cfg.data.split, cfg.data.max_frames,
+                        cfg.data.num_regions, cfg.data.feat_dim,
+                        cfg.data.max_words)
+    loader = BatchLoader(ds, cfg.data.batch_size, shuffle=True,
+                         seed=cfg.train.seed, prefetch=cfg.data.prefetch,
+                         use_native=cfg.data.use_native_io)
+    state = TrainState.create(jax.random.PRNGKey(cfg.train.seed), cfg)
+    ckpt = CheckpointManager(cfg.train.ckpt_dir, keep=cfg.train.keep_ckpts)
+    restored = ckpt.restore_latest(state)
+    if restored is not None:
+        state = restored
+    logger = MetricsLogger(cfg.train.ckpt_dir)
+    train_fn = build_train_fn(cfg, mesh)
+
+    start_step = int(state.step)
+    frames_per_batch = cfg.data.batch_size * cfg.data.max_frames
+    t0 = time.perf_counter()
+    metrics = {}
+    for step, batch in loader.steps(cfg.train.steps - start_step):
+        gstep = start_step + step
+        state, metrics = train_fn(state, batch)
+        if (gstep + 1) % cfg.train.log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.perf_counter() - t0
+            m["frames_per_sec"] = frames_per_batch * cfg.train.log_every / dt
+            m["step"] = gstep + 1
+            logger.log(m)
+            if log_fn:
+                log_fn(m)
+            t0 = time.perf_counter()
+        if (gstep + 1) % cfg.train.ckpt_every == 0:
+            ckpt.save(state)
+        if eval_fn and (gstep + 1) % cfg.train.eval_every == 0:
+            eval_fn(state)
+    ckpt.save(state, wait=True)  # block: async save must not outlive the process
+    return state, metrics
+
+
+def main(argv=None):
+    import argparse
+
+    from nafae_tpu.config import load_config
+    from nafae_tpu.parallel import make_mesh
+
+    p = argparse.ArgumentParser("nafae_tpu.train")
+    p.add_argument("--preset", default="config2")
+    p.add_argument("--config", default=None, help="JSON config file")
+    p.add_argument("--override", nargs="*", default=[])
+    p.add_argument("--mesh", action="store_true",
+                   help="shard over all local devices (DP)")
+    args = p.parse_args(argv)
+    cfg = load_config(args.config, args.preset, args.override)
+    mesh = make_mesh(cfg.mesh.data_axis, cfg.mesh.frame_axis,
+                     cfg.mesh.data_axis_name,
+                     cfg.mesh.frame_axis_name) if args.mesh else None
+
+    def log_fn(m):
+        print(" ".join(f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+                       for k, v in sorted(m.items())), flush=True)
+
+    fit(cfg, mesh, log_fn=log_fn)
+
+
+if __name__ == "__main__":
+    main()

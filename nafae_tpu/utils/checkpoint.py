@@ -1,0 +1,45 @@
+"""Orbax checkpointing: save/restore/auto-resume (SURVEY.md L277).
+
+Replaces the reference's torch.save/torch.load of state dicts. Saves the full
+TrainState (params, optimizer state, k-means centers, step); `restore_latest`
+implements auto-resume. A one-way .pth converter lives in torch_convert.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str, keep: int = 3):
+        self.dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self.dir, exist_ok=True)
+        self.mgr = ocp.CheckpointManager(
+            self.dir,
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep,
+                                                 create=True),
+        )
+
+    def save(self, state, wait: bool = False) -> None:
+        step = int(state.step)
+        self.mgr.save(step, args=ocp.args.StandardSave(state))
+        if wait:
+            self.mgr.wait_until_finished()
+
+    def restore_latest(self, template):
+        """Restore the newest checkpoint into the structure of `template`.
+
+        Returns None when no checkpoint exists.
+        """
+        step = self.mgr.latest_step()
+        if step is None:
+            return None
+        target = jax.tree.map(lambda x: x, template)
+        return self.mgr.restore(step, args=ocp.args.StandardRestore(target))
+
+    def close(self):
+        self.mgr.wait_until_finished()
+        self.mgr.close()

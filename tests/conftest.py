@@ -31,10 +31,10 @@ def synth_root(tmp_path_factory):
     """Small synthetic dataset shared across tests."""
     from nafae_tpu.data.synthetic import generate_synthetic_dataset
     root = str(tmp_path_factory.mktemp("synth"))
-    generate_synthetic_dataset(root, "train", num_segments=12, feat_dim=64,
+    generate_synthetic_dataset(root, "train", num_segments=32, feat_dim=64,
                                num_regions=6, min_frames=3, max_frames=8,
-                               max_words=3, seed=0)
-    generate_synthetic_dataset(root, "val", num_segments=8, feat_dim=64,
+                               max_words=3, seed=0, class_pool=8)
+    generate_synthetic_dataset(root, "val", num_segments=12, feat_dim=64,
                                num_regions=6, min_frames=3, max_frames=8,
-                               max_words=3, seed=1)
+                               max_words=3, seed=1, class_pool=8)
     return root

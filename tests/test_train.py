@@ -1,0 +1,114 @@
+"""Training integration tests: DP parity, loss decrease, accuracy improvement,
+checkpoint resume (SURVEY.md §5 items 3-5)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nafae_tpu.config import load_config
+from nafae_tpu.data import BatchLoader, SegmentDataset
+from nafae_tpu.parallel import make_mesh
+from nafae_tpu.train import TrainState, build_train_fn, fit
+
+OV = ["data.feat_dim=64", "model.feat_dim=64", "model.embed_dim=32",
+      "data.batch_size=8", "data.max_frames=8", "data.num_regions=6",
+      "data.max_words=3", "loss.num_clusters=8", "loss.kmeans_interval=5",
+      "train.warmup_steps=5", "train.log_every=1000", "train.ckpt_every=1000000",
+      "train.eval_every=1000000"]
+
+
+def _cfg(synth_root, preset="config4", extra=()):
+    return load_config(preset_name=preset,
+                       overrides=OV + [f"data.root={synth_root}"] + list(extra))
+
+
+def _first_batch(synth_root, cfg):
+    ds = SegmentDataset(synth_root, "train", cfg.data.max_frames,
+                        cfg.data.num_regions, cfg.data.feat_dim,
+                        cfg.data.max_words)
+    return next(iter(BatchLoader(ds, cfg.data.batch_size, shuffle=True, seed=0)))
+
+
+def test_dp_matches_single_device(synth_root):
+    """8-device shard_map step == single-device step, bitwise-close."""
+    cfg = _cfg(synth_root)
+    batch = _first_batch(synth_root, cfg)
+    s1, m1 = build_train_fn(cfg, None)(
+        TrainState.create(jax.random.PRNGKey(0), cfg), batch)
+    s8, m8 = build_train_fn(cfg, make_mesh())(
+        TrainState.create(jax.random.PRNGKey(0), cfg), batch)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]),
+                                   rtol=2e-4, atol=1e-5)
+    for k in s1.params:
+        np.testing.assert_allclose(np.asarray(s1.params[k]),
+                                   np.asarray(s8.params[k]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1.centers), np.asarray(s8.centers),
+                               atol=1e-5)
+
+
+def test_loss_decreases(synth_root, tmp_path):
+    cfg = _cfg(synth_root, extra=[f"train.ckpt_dir={tmp_path}/ck",
+                                  "train.steps=30", "train.lr=0.003"])
+    logs = []
+    cfg2 = _cfg(synth_root, extra=[f"train.ckpt_dir={tmp_path}/ck",
+                                   "train.steps=30", "train.lr=0.003",
+                                   "train.log_every=5"])
+    _, _ = fit(cfg2, log_fn=logs.append)
+    assert len(logs) >= 4
+    first, last = logs[0]["loss"], logs[-1]["loss"]
+    assert last < first, f"loss did not decrease: {first} -> {last}"
+
+
+def test_training_improves_box_accuracy(synth_root, tmp_path):
+    from nafae_tpu.evaluate import evaluate_config
+    cfg = _cfg(synth_root, preset="config2",
+               extra=[f"train.ckpt_dir={tmp_path}/ck2", "train.steps=800",
+                      "train.lr=0.02", "train.warmup_steps=20",
+                      "loss.margin=0.5", "model.frame_attn_temp=1.0"])
+    state0 = TrainState.create(jax.random.PRNGKey(0), cfg)
+    before = evaluate_config(cfg, params=state0.params)["box_acc_micro"]
+    state, _ = fit(cfg)
+    after = evaluate_config(cfg, params=state.params)["box_acc_micro"]
+    assert after > before + 0.2, f"accuracy {before:.3f} -> {after:.3f}"
+
+
+def test_checkpoint_resume(synth_root, tmp_path):
+    from nafae_tpu.utils.checkpoint import CheckpointManager
+    cfg = _cfg(synth_root, extra=[f"train.ckpt_dir={tmp_path}/ck3",
+                                  "train.steps=4"])
+    state, _ = fit(cfg)
+    assert int(state.step) == 4
+    # restore into a fresh template
+    template = TrainState.create(jax.random.PRNGKey(42), cfg)
+    mgr = CheckpointManager(cfg.train.ckpt_dir)
+    restored = mgr.restore_latest(template)
+    assert restored is not None and int(restored.step) == 4
+    for k in state.params:
+        np.testing.assert_allclose(np.asarray(restored.params[k]),
+                                   np.asarray(state.params[k]), atol=1e-7)
+    # resuming continues from step 4
+    cfg2 = _cfg(synth_root, extra=[f"train.ckpt_dir={tmp_path}/ck3",
+                                   "train.steps=6"])
+    state2, _ = fit(cfg2)
+    assert int(state2.step) == 6
+
+
+def test_eval_discriminates(synth_root):
+    """Planted-signal oracle params score high; random params score ~0."""
+    from nafae_tpu.data.synthetic import _class_directions
+    from nafae_tpu.evaluate import evaluate_config
+    cfg = _cfg(synth_root, preset="config1")
+    state = TrainState.create(jax.random.PRNGKey(1), cfg)
+    rnd = evaluate_config(cfg, params=state.params)
+    dirs = _class_directions(67, 64)
+    w = dirs.T[:, :32].astype(np.float32)
+    oracle = {"word_emb": jnp.asarray(dirs @ w), "w_v": jnp.asarray(w),
+              "b_v": jnp.zeros(32)}
+    good = evaluate_config(cfg, params=oracle)
+    assert good["box_acc_micro"] > 0.7
+    assert good["box_acc_micro"] > rnd["box_acc_micro"] + 0.4
+    assert good["num_annotations"] == rnd["num_annotations"] > 0
+    assert 0 < good["num_classes_seen"] <= 67
