@@ -1,0 +1,167 @@
+"""Benchmark: grounding training throughput (frames/sec/chip) vs torch-cpu reference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference (jshi31/NAFAE lineage) never published throughput, so per
+BASELINE.md the baseline is self-measured: a *vectorized* torch-cpu
+implementation of the identical train step (forward + backward + SGD on the
+same shapes) — strictly faster than the reference's per-frame Python loops
+(SURVEY.md L179), i.e. a conservative denominator for the >10x target.
+The measured baseline is cached in .bench_baseline.json (keyed by shape).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+SHAPES = dict(B=32, T=20, R=20, D=2048, E=256, K=8, V=67, KC=67, W=3)
+QUICK = dict(B=8, T=8, R=8, D=256, E=64, K=4, V=67, KC=16, W=2)
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_baseline.json")
+
+
+def make_batch(s, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "feats": rng.randn(s["B"], s["T"], s["R"], s["D"]).astype(np.float32),
+        "boxes": np.abs(rng.rand(s["B"], s["T"], s["R"], 4)).astype(np.float32),
+        "word_ids": rng.randint(0, s["V"], (s["B"], s["K"])).astype(np.int32),
+        "frame_mask": np.ones((s["B"], s["T"]), np.float32),
+        "word_mask": np.ones((s["B"], s["K"]), np.float32),
+        "segment_id": np.arange(s["B"], dtype=np.int32),
+    }
+
+
+def bench_jax(s, iters=20, warmup=3, use_pallas=True):
+    import jax
+
+    from nafae_tpu.config import load_config
+    from nafae_tpu.train import TrainState, build_train_fn
+
+    cfg = load_config(preset_name="config4", overrides=[
+        f"model.feat_dim={s['D']}", f"model.embed_dim={s['E']}",
+        f"data.batch_size={s['B']}", f"loss.num_clusters={s['KC']}",
+        f"loss.ctx_window={s['W']}", "loss.kmeans_interval=100",
+        f"train.use_pallas={'true' if use_pallas else 'false'}",
+    ])
+    batch = {k: jax.device_put(v) for k, v in make_batch(s).items()}
+    state = TrainState.create(jax.random.PRNGKey(0), cfg)
+    fn = build_train_fn(cfg, None)
+    for _ in range(warmup):
+        state, metrics = fn(state, batch)
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = fn(state, batch)
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / iters
+    return s["B"] * s["T"] / dt, dt, float(metrics["loss"])
+
+
+def bench_torch(s, iters=3, warmup=1):
+    """Vectorized torch-cpu train step on the same shapes (the baseline)."""
+    import torch
+
+    torch.manual_seed(0)
+    b = make_batch(s)
+    feats = torch.from_numpy(b["feats"])
+    wid = torch.from_numpy(b["word_ids"]).long()
+    emb = torch.randn(s["V"], s["E"], requires_grad=True)
+    w_v = torch.randn(s["D"], s["E"], requires_grad=True)
+    b_v = torch.zeros(s["E"], requires_grad=True)
+    centers = torch.nn.functional.normalize(torch.randn(s["KC"], s["E"]), dim=1)
+    opt = torch.optim.SGD([emb, w_v, b_v], lr=1e-3)
+    offsets = [o for o in range(-s["W"], s["W"] + 1) if o != 0]
+    t_idx = torch.arange(s["T"])
+
+    def step():
+        opt.zero_grad()
+        w = torch.nn.functional.normalize(emb[wid], dim=-1)          # [B,K,E]
+        v = torch.nn.functional.normalize(feats @ w_v + b_v, dim=-1)  # [B,T,R,E]
+        sim = torch.einsum("bke,btre->bktr", w, v)
+        rows = torch.einsum("jke,itre->ijktr", w, v)                 # [B,B,K,T,R]
+        a = rows.max(dim=-1).values
+        g = a.mean(dim=2)                                            # [B,B,T]
+        beta = torch.softmax(g / 0.1, dim=-1)
+        smat = (beta.unsqueeze(2) * a).sum(-1).mean(-1)              # [B,B]
+        pos = smat.diagonal()
+        off = 1.0 - torch.eye(s["B"])
+        l_rank = ((torch.relu(0.1 + smat - pos[:, None]) * off).sum()
+                  + (torch.relu(0.1 + smat - pos[None, :]) * off).sum()
+                  ) / (s["B"] * (s["B"] - 1))
+        # context loss
+        shat_acc = 0.0
+        for o in offsets:
+            idx = (t_idx + o).clamp(0, s["T"] - 1)
+            aff = torch.einsum("btre,btse->btrs", v, v[:, idx])
+            alpha = torch.softmax(aff / 0.1, dim=-1)
+            shat_acc = shat_acc + torch.einsum("btrs,bkts->bktr", alpha,
+                                               sim[:, :, idx])
+        shat = shat_acc / len(offsets)
+        l_ctx = ((sim - shat.detach()) ** 2).mean()
+        # cluster loss
+        r_star = sim.argmax(dim=-1)                                  # [B,K,T]
+        f = torch.gather(
+            v.unsqueeze(1).expand(-1, s["K"], -1, -1, -1), 3,
+            r_star[..., None, None].expand(-1, -1, -1, 1, s["E"]))[..., 0, :]
+        assign = (f @ centers.t()).argmax(-1)
+        l_clu = ((f - centers[assign].detach()) ** 2).sum(-1).mean()
+        loss = l_rank + l_ctx + l_clu
+        loss.backward()
+        opt.step()
+        return float(loss.detach())
+
+    for _ in range(warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    dt = (time.perf_counter() - t0) / iters
+    return s["B"] * s["T"] / dt, dt
+
+
+def get_baseline(s, remeasure=False):
+    key = "x".join(str(s[k]) for k in sorted(s))
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as fh:
+            cache = json.load(fh)
+    if key in cache and not remeasure:
+        return cache[key]
+    fps, dt = bench_torch(s)
+    cache[key] = {"frames_per_sec": fps, "step_sec": dt}
+    try:
+        with open(BASELINE_CACHE, "w") as fh:
+            json.dump(cache, fh, indent=2)
+    except OSError:
+        pass
+    return cache[key]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--remeasure-baseline", action="store_true")
+    args = p.parse_args()
+    s = QUICK if args.quick else SHAPES
+
+    fps, dt, loss = bench_jax(s, iters=args.iters,
+                              use_pallas=not args.no_pallas)
+    base = get_baseline(s, remeasure=args.remeasure_baseline)
+    print(json.dumps({
+        "metric": "grounding_train_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / base["frames_per_sec"], 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -142,19 +142,27 @@ def _offsets(window: int) -> list[int]:
 def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
                  v_emb: jax.Array, frame_mask: jax.Array,
                  temp: float, pool: str,
-                 ctx_window: int = 0, ctx_temp: float = 0.1) -> jax.Array:
+                 ctx_window: int = 0, ctx_temp: float = 0.1,
+                 impl: str = "jnp") -> jax.Array:
     """Full B×B score matrix S[i,j] = score(video i, sentence j) for ranking.
 
     The reference scores positives/negatives with per-sample loops (SURVEY.md
     L179-183); here the whole matrix is a handful of einsums on the MXU.
+    impl="pallas" routes the similarity+MIL-max through the fused kernel
+    (ops/pallas/fused_ground.py), which never materializes [I,J,K,T,R] in HBM.
     """
-    s = jnp.einsum("jke,itre->ijktr", w_emb, v_emb,
-                   preferred_element_type=jnp.float32, precision=PRECISION)        # [I,J,K,T,R]
     fm = frame_mask[:, None, :]                               # video i frames [I,1,T]
     wm = word_mask[None, :, :]                                # sentence j words [1,J,K]
+    ctx_pool = pool == "context" and ctx_window > 0
+    if impl == "pallas" and not ctx_pool:
+        from nafae_tpu.ops.pallas.fused_ground import cross_mil
+        a = cross_mil(w_emb, v_emb, frame_mask)               # [I,J,K,T]
+        return video_scores(a, wm, fm, temp, pool)[0]
+    s = jnp.einsum("jke,itre->ijktr", w_emb, v_emb,
+                   preferred_element_type=jnp.float32, precision=PRECISION)        # [I,J,K,T,R]
     a = frame_mil_max(s, fm)                                  # [I,J,K,T]
     frame_logits = None
-    if pool == "context" and ctx_window > 0:
+    if ctx_pool:
         alpha, nbr_valid = region_affinity(v_emb, frame_mask, ctx_window, ctx_temp)
         shat = context_similarity(s, alpha, nbr_valid, cross=True)
         ahat = frame_mil_max(shat, fm)

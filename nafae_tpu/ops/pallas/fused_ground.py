@@ -1,0 +1,158 @@
+"""Fused cross-similarity + MIL-max Pallas kernel (custom VJP).
+
+The ranking loss needs a[i,j,k,t] = max_r ŵ[j,k]·v̂[i,t,r] over the global
+batch. The jnp path materializes the [I,J,K,T,R] score tensor in HBM
+(e.g. 262 MB at production shapes) before the max; this kernel computes one
+video's scores in VMEM ([M=J·K, T·R] tile straight off the MXU) and reduces
+immediately, so only the [I,J,K,T] result (~1/R the bytes) ever touches HBM.
+
+Backward uses the saved argmax indices: gradients flow only through the
+winning region (max subgradient), implemented as a memory-light lax.scan
+over videos — per-step intermediates are O(J·K·T·R), never the full tensor.
+
+Reference math: ops/grounding.py cross einsum + frame_mil_max (SURVEY.md
+L141-142 "similarity tensor / frame MIL" — the reference's per-frame Python
+hot loop, SURVEY.md L179).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _fwd_kernel(w_ref, v_ref, fm_ref, a_ref, idx_ref, *, T, R, R_pad):
+    """Per-video tile: scores = w @ v_iᵀ on the MXU, then per-frame masked max.
+
+    w_ref:  [M, E]        all words of all sentences (flattened J·K)
+    v_ref:  [1, T*R_pad, E]  one video's region embeddings (R padded)
+    fm_ref: [1, 1, T]     frame mask
+    a_ref:  [M, T]        output MIL max
+    idx_ref:[M, T]        output argmax region index (for the VJP)
+    """
+    w = w_ref[:]
+    m = w.shape[0]
+    # Mosaic cannot shape-cast the lane dim into (T, R_pad), so frames are
+    # processed in groups of G = 128//R_pad per matmul (full 128-lane tiles)
+    # and reduced with static lane slices.
+    G = max(1, 128 // R_pad)
+    for g0 in range(0, T, G):
+        gcnt = min(G, T - g0)
+        v_g = v_ref[0, g0 * R_pad:(g0 + gcnt) * R_pad, :]  # [gcnt*R_pad, E]
+        scores = jax.lax.dot_general(
+            w, v_g, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)           # [M, gcnt*R_pad]
+        lane_r = jax.lax.broadcasted_iota(
+            jnp.int32, (m, gcnt * R_pad), 1) % R_pad
+        scores = jnp.where(lane_r < R, scores, NEG)
+        for u in range(gcnt):
+            t = g0 + u
+            chunk = scores[:, u * R_pad:(u + 1) * R_pad]   # [M, R_pad]
+            mx = jnp.max(chunk, axis=1)
+            a_ref[0, :, t] = jnp.where(fm_ref[0, 0, t] > 0, mx, 0.0)
+            idx_ref[0, :, t] = jnp.argmax(chunk, axis=1).astype(jnp.int32)
+
+
+def _cross_mil_fwd_impl(w_flat: jax.Array, v: jax.Array, fm: jax.Array):
+    """w_flat [M,E], v [I,T,R,E], fm [I,T] -> a [I,M,T], idx [I,M,T]."""
+    m, e = w_flat.shape
+    i, t, r, _ = v.shape
+    r_pad = _round_up(r, 32)
+    m_pad = _round_up(m, 8)
+    if r_pad != r:
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, r_pad - r), (0, 0)))
+    if m_pad != m:
+        w_flat = jnp.pad(w_flat, ((0, m_pad - m), (0, 0)))
+    v2 = v.reshape(i, t * r_pad, e)
+
+    kernel = functools.partial(_fwd_kernel, T=t, R=r, R_pad=r_pad)
+    a, idx = pl.pallas_call(
+        kernel,
+        grid=(i,),
+        in_specs=[
+            pl.BlockSpec((m_pad, e), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t * r_pad, e), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, m_pad, t), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, t), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((i, m_pad, t), jnp.float32),
+            jax.ShapeDtypeStruct((i, m_pad, t), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(w_flat, v2, fm[:, None, :])
+    return a[:, :m, :], idx[:, :m, :]
+
+
+def _squeeze_kernel_blocks(fn):
+    return fn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _cross_mil(w_flat: jax.Array, v: jax.Array, fm: jax.Array) -> jax.Array:
+    a, _ = _cross_mil_fwd_impl(w_flat, v, fm)
+    return a
+
+
+def _cross_mil_fwd(w_flat, v, fm):
+    a, idx = _cross_mil_fwd_impl(w_flat, v, fm)
+    return a, (w_flat, v, fm, idx)
+
+
+def _cross_mil_bwd(res, da):
+    w_flat, v, fm, idx = res
+    i, t, r, e = v.shape
+
+    def body(dw_acc, xs):
+        v_i, fm_i, idx_i, da_i = xs                       # [T,R,E],[T],[M,T],[M,T]
+        g = da_i * fm_i[None, :]                          # max-subgrad gate
+        oh = jax.nn.one_hot(idx_i, r, dtype=da.dtype) * g[..., None]  # [M,T,R]
+        dv_i = jnp.einsum("mtr,me->tre", oh, w_flat,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        dw_i = jnp.einsum("mtr,tre->me", oh, v_i,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        return dw_acc + dw_i, dv_i
+
+    dw, dv = jax.lax.scan(body, jnp.zeros_like(w_flat), (v, fm, idx, da))
+    return dw, dv, None
+
+
+_cross_mil.defvjp(_cross_mil_fwd, _cross_mil_bwd)
+
+
+def cross_mil(w_emb: jax.Array, v_emb: jax.Array,
+              frame_mask: jax.Array) -> jax.Array:
+    """Fused a[i,j,k,t] = masked max_r ŵ[j,k]·v̂[i,t,r].
+
+    w_emb [J,K,E], v_emb [I,T,R,E], frame_mask [I,T] -> [I,J,K,T].
+    Matches frame_mil_max(einsum('jke,itre->ijktr'), fm) exactly.
+    """
+    j, k, e = w_emb.shape
+    i, t, r, _ = v_emb.shape
+    a = _cross_mil(w_emb.reshape(j * k, e), v_emb, frame_mask)
+    return a.reshape(i, j, k, t)

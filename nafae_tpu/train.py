@@ -72,11 +72,7 @@ def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
     w_emb = G.embed_words(batch["word_ids"], params["word_emb"])
     v_emb = G.project_regions(feats, params["w_v"], params["b_v"],
                               dtype=jnp.dtype(mc.dtype))
-    if use_pallas:
-        from nafae_tpu.ops.pallas import fused_ground
-        s = fused_ground.similarity(w_emb, v_emb)
-    else:
-        s = G.similarity_tensor(w_emb, v_emb)
+    s = G.similarity_tensor(w_emb, v_emb)
 
     # --- ranking over the global batch (row-shard decomposition) -------------
     if axis_name is not None:
@@ -84,7 +80,8 @@ def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
     else:
         gw, gwm = w_emb, wm
     rows = G.cross_scores(gw, gwm, v_emb, fm, mc.frame_attn_temp,
-                          mc.frame_pool, ctx_window, lc.ctx_temp)
+                          mc.frame_pool, ctx_window, lc.ctx_temp,
+                          impl="pallas" if use_pallas else "jnp")
     b_loc, b_glob = rows.shape
     gidx = row_offset + jnp.arange(b_loc)
     diag_local = jnp.sum(rows * (jnp.arange(b_glob)[None, :] == gidx[:, None]),
