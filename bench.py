@@ -37,7 +37,7 @@ def make_batch(s, seed=0):
     }
 
 
-def bench_jax(s, iters=20, warmup=3, use_pallas=True):
+def bench_jax(s, iters=20, warmup=3, use_pallas=True, dtype="bfloat16"):
     import jax
 
     from nafae_tpu.config import load_config
@@ -48,19 +48,24 @@ def bench_jax(s, iters=20, warmup=3, use_pallas=True):
         f"data.batch_size={s['B']}", f"loss.num_clusters={s['KC']}",
         f"loss.ctx_window={s['W']}", "loss.kmeans_interval=100",
         f"train.use_pallas={'true' if use_pallas else 'false'}",
+        f"model.dtype={dtype}",
     ])
     batch = {k: jax.device_put(v) for k, v in make_batch(s).items()}
     state = TrainState.create(jax.random.PRNGKey(0), cfg)
     fn = build_train_fn(cfg, None)
     for _ in range(warmup):
         state, metrics = fn(state, batch)
-    jax.block_until_ready(metrics)
+    loss = float(metrics["loss"])
+    # Timing protocol: chain `iters` dependent steps, then force a host fetch
+    # of the UPDATED PARAMS. block_until_ready on the scalar metrics under-
+    # reports wildly on the tunneled backend (observed "98us" for 40ms steps);
+    # fetching state the last step wrote bounds the full chain.
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = fn(state, batch)
-    jax.block_until_ready(metrics)
+    float(np.asarray(state.params["w_v"])[0, 0])
     dt = (time.perf_counter() - t0) / iters
-    return s["B"] * s["T"] / dt, dt, float(metrics["loss"])
+    return s["B"] * s["T"] / dt, dt, loss
 
 
 def bench_torch(s, iters=3, warmup=1):

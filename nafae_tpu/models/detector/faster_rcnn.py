@@ -1,0 +1,86 @@
+"""Faster R-CNN RoI feature extractor (BASELINE config 5; SURVEY.md L136-139).
+
+Frames -> ResNet-C4 features -> RPN proposals (top-k + TPU NMS) -> RoIAlign
+-> C5 head -> R pooled 2048-d features + boxes per frame. The whole pipeline
+is one jitted program per frame batch; features stay resident in HBM and feed
+the grounding losses directly (SURVEY.md L205-213: the reference runs this
+offline through an external CUDA repo and round-trips via disk).
+
+No pretrained weights ship in this container; weights can be converted from a
+torch checkpoint via nafae_tpu/utils/torch_convert.py. Architecture follows
+the reference lineage (conv4 stride-16 features, conv5 RoI head -> 2048-d).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from nafae_tpu.config import DetectorConfig
+from nafae_tpu.models.detector.anchors import generate_anchors
+from nafae_tpu.models.detector.resnet import ResNetC4, ResNetC5Head
+from nafae_tpu.models.detector.rpn import RPNHead, select_proposals
+
+
+class FasterRCNNExtractor(nn.Module):
+    cfg: DetectorConfig
+    use_pallas_roi_align: bool = False
+
+    def setup(self):
+        self.backbone = ResNetC4()
+        a = len(self.cfg.anchor_scales) * len(self.cfg.anchor_ratios)
+        self.rpn = RPNHead(num_anchors=a)
+        self.head = ResNetC5Head()
+
+    def __call__(self, images: jax.Array) -> dict:
+        """images [B,H,W,3] (float, 0..1, H=W=cfg.image_size) ->
+        {boxes [B,R,4], feats [B,R,2048], scores [B,R]}."""
+        cfg = self.cfg
+        stride = 16
+        feat = self.backbone(images)                         # [B,h,w,1024]
+        b, fh, fw, _ = feat.shape
+        anchors = jnp.asarray(generate_anchors(
+            fh, fw, stride, cfg.anchor_scales, cfg.anchor_ratios))
+        obj, deltas = self.rpn(feat)                         # [B,N], [B,N,4]
+
+        sel = jax.vmap(functools.partial(
+            select_proposals, image_size=cfg.image_size,
+            pre_nms_topk=cfg.rpn_pre_nms_topk,
+            num_proposals=cfg.num_proposals,
+            nms_iou=cfg.nms_iou_thresh), in_axes=(0, 0, None))
+        boxes, scores = sel(obj, deltas, anchors)            # [B,R,4], [B,R]
+
+        if self.use_pallas_roi_align:
+            from nafae_tpu.ops.pallas.roi_align import roi_align_pallas
+            pooled = jax.vmap(
+                lambda f, bx: roi_align_pallas(f, bx, out_size=7,
+                                               spatial_scale=1.0 / stride)
+            )(feat, boxes)
+        else:
+            from nafae_tpu.ops.roi_align import roi_align
+            pooled = jax.vmap(
+                lambda f, bx: roi_align(f, bx, out_size=7,
+                                        spatial_scale=1.0 / stride)
+            )(feat, boxes)                                   # [B,R,7,7,1024]
+
+        r = cfg.num_proposals
+        roi_feats = self.head(pooled.reshape(b * r, 7, 7, pooled.shape[-1]))
+        return {
+            "boxes": boxes,
+            "scores": scores,
+            "feats": roi_feats.reshape(b, r, -1),            # [B,R,2048]
+        }
+
+
+def init_detector(key: jax.Array, cfg: DetectorConfig,
+                  use_pallas_roi_align: bool = False):
+    """Returns (module, params) initialized on a dummy frame batch."""
+    model = FasterRCNNExtractor(cfg, use_pallas_roi_align)
+    dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    params = model.init(key, dummy)
+    return model, params

@@ -1,0 +1,45 @@
+"""Region Proposal Network (SURVEY.md L137): objectness + deltas -> proposals.
+
+Proposal selection is shape-static for XLA: top-k by objectness (fixed k),
+delta decode, then fixed-iteration NMS (ops/nms.py) down to num_proposals.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from nafae_tpu.models.detector.anchors import decode_boxes
+from nafae_tpu.ops.nms import nms
+
+
+class RPNHead(nn.Module):
+    num_anchors: int
+    channels: int = 256
+
+    @nn.compact
+    def __call__(self, feat):              # [B,H,W,C]
+        y = nn.relu(nn.Conv(self.channels, (3, 3), padding="SAME")(feat))
+        obj = nn.Conv(self.num_anchors, (1, 1))(y)           # [B,H,W,A]
+        deltas = nn.Conv(self.num_anchors * 4, (1, 1))(y)    # [B,H,W,A*4]
+        b = feat.shape[0]
+        return obj.reshape(b, -1), deltas.reshape(b, -1, 4)
+
+
+def select_proposals(obj_logits: jax.Array, deltas: jax.Array,
+                     anchors: jax.Array, image_size: int,
+                     pre_nms_topk: int, num_proposals: int,
+                     nms_iou: float = 0.7) -> tuple[jax.Array, jax.Array]:
+    """Per-image proposal selection. obj [N], deltas [N,4], anchors [N,4]
+    -> (boxes [num_proposals,4], scores [num_proposals])."""
+    k = min(pre_nms_topk, obj_logits.shape[0])
+    scores, idx = jax.lax.top_k(obj_logits, k)
+    boxes = decode_boxes(jnp.take(anchors, idx, axis=0),
+                         jnp.take(deltas, idx, axis=0), image_size)
+    keep_idx, keep_valid = nms(boxes, scores, num_proposals, nms_iou)
+    out_boxes = jnp.take(boxes, keep_idx, axis=0)
+    out_scores = jnp.take(scores, keep_idx, axis=0) * keep_valid
+    # invalid slots: zero boxes so downstream RoIAlign reads a harmless corner
+    out_boxes = out_boxes * keep_valid[:, None]
+    return out_boxes, out_scores

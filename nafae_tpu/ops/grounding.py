@@ -39,10 +39,23 @@ def project_regions(feats: jax.Array, w_v: jax.Array, b_v: jax.Array,
     return l2_normalize(v)
 
 
-def similarity_tensor(w_emb: jax.Array, v_emb: jax.Array) -> jax.Array:
-    """Cosine similarity s[b,k,t,r] = ŵ[b,k]·v̂[b,t,r].  [B,K,E]x[B,T,R,E]->[B,K,T,R]."""
+def similarity_tensor(w_emb: jax.Array, v_emb: jax.Array,
+                      dtype=None) -> jax.Array:
+    """Cosine similarity s[b,k,t,r] = ŵ[b,k]·v̂[b,t,r].  [B,K,E]x[B,T,R,E]->[B,K,T,R].
+
+    dtype=bfloat16 casts the operands for a single-pass MXU contraction
+    (accumulation stays f32 via preferred_element_type) — the production TPU
+    mode; default keeps full input precision for oracle parity.
+    """
+    w_emb, v_emb = _cast2(w_emb, v_emb, dtype)
     return jnp.einsum("bke,btre->bktr", w_emb, v_emb,
                       preferred_element_type=jnp.float32, precision=PRECISION)
+
+
+def _cast2(a, b, dtype):
+    if dtype is None or jnp.dtype(dtype) == a.dtype:
+        return a, b
+    return a.astype(dtype), b.astype(dtype)
 
 
 def frame_mil_max(s: jax.Array, frame_mask: jax.Array) -> jax.Array:
@@ -84,7 +97,8 @@ def video_scores(a: jax.Array, word_mask: jax.Array, frame_mask: jax.Array,
 
 
 def region_affinity(v_emb: jax.Array, frame_mask: jax.Array,
-                    window: int, temp: float) -> tuple[jax.Array, jax.Array]:
+                    window: int, temp: float,
+                    dtype=None) -> tuple[jax.Array, jax.Array]:
     """Neighbor-frame region affinities (docs/MATH.md §Contextual-similarity).
 
     Returns:
@@ -103,14 +117,15 @@ def region_affinity(v_emb: jax.Array, frame_mask: jax.Array,
         nbr_ok.append(in_range[None, :] * jnp.take(frame_mask, idx, axis=1))
     v_nbr = jnp.stack(nbr_v, axis=2)                          # [B,T,O,S,E]
     nbr_valid = jnp.stack(nbr_ok, axis=2) * frame_mask[:, :, None]  # [B,T,O]
-    logits = jnp.einsum("btre,btose->btros", v_emb, v_nbr,
+    ve, vn = _cast2(v_emb, v_nbr, dtype)
+    logits = jnp.einsum("btre,btose->btros", ve, vn,
                         preferred_element_type=jnp.float32, precision=PRECISION) / temp
     alpha = jax.nn.softmax(logits, axis=-1)                   # over neighbor regions S
     return alpha, nbr_valid
 
 
 def context_similarity(s: jax.Array, alpha: jax.Array, nbr_valid: jax.Array,
-                       cross: bool = False) -> jax.Array:
+                       cross: bool = False, dtype=None) -> jax.Array:
     """Context-supported similarity ŝ (docs/MATH.md §Contextual-similarity).
 
     s: [B,K,T,R] (diag) or [I,J,K,T,R] (cross; alpha/nbr_valid indexed by video I).
@@ -122,6 +137,7 @@ def context_similarity(s: jax.Array, alpha: jax.Array, nbr_valid: jax.Array,
     t_idx = jnp.arange(T)
     gathered = [jnp.take(s, jnp.clip(t_idx + o, 0, T - 1), axis=-2) for o in offsets]
     s_nbr = jnp.stack(gathered, axis=-2)                      # [..,K,T,O,S]
+    alpha, s_nbr = _cast2(alpha, s_nbr, dtype)
     if cross:
         contrib = jnp.einsum("itros,ijktos->ijktro", alpha, s_nbr,
                              preferred_element_type=jnp.float32, precision=PRECISION)
@@ -143,7 +159,7 @@ def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
                  v_emb: jax.Array, frame_mask: jax.Array,
                  temp: float, pool: str,
                  ctx_window: int = 0, ctx_temp: float = 0.1,
-                 impl: str = "jnp") -> jax.Array:
+                 impl: str = "jnp", dtype=None) -> jax.Array:
     """Full B×B score matrix S[i,j] = score(video i, sentence j) for ranking.
 
     The reference scores positives/negatives with per-sample loops (SURVEY.md
@@ -158,13 +174,15 @@ def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
         from nafae_tpu.ops.pallas.fused_ground import cross_mil
         a = cross_mil(w_emb, v_emb, frame_mask)               # [I,J,K,T]
         return video_scores(a, wm, fm, temp, pool)[0]
-    s = jnp.einsum("jke,itre->ijktr", w_emb, v_emb,
+    we, ve = _cast2(w_emb, v_emb, dtype)
+    s = jnp.einsum("jke,itre->ijktr", we, ve,
                    preferred_element_type=jnp.float32, precision=PRECISION)        # [I,J,K,T,R]
     a = frame_mil_max(s, fm)                                  # [I,J,K,T]
     frame_logits = None
     if ctx_pool:
-        alpha, nbr_valid = region_affinity(v_emb, frame_mask, ctx_window, ctx_temp)
-        shat = context_similarity(s, alpha, nbr_valid, cross=True)
+        alpha, nbr_valid = region_affinity(v_emb, frame_mask, ctx_window,
+                                           ctx_temp, dtype=dtype)
+        shat = context_similarity(s, alpha, nbr_valid, cross=True, dtype=dtype)
         ahat = frame_mil_max(shat, fm)
         frame_logits = _masked_word_mean(ahat, wm)
     return video_scores(a, wm, fm, temp, pool, frame_logits=frame_logits)[0]

@@ -1,0 +1,56 @@
+"""TPU-style NMS: fixed-iteration masked suppression (jnp reference).
+
+The reference detector lineage uses a CUDA nms kernel (SURVEY.md L138).
+GPU NMS is data-dependent/sequential; the TPU formulation is a
+shape-static iterative suppression: at each of exactly `num_keep` steps,
+select the highest-scoring live box, emit it, and kill every live box with
+IoU > thresh against it. Runs under jit/scan; the Pallas version
+(ops/pallas/nms.py) implements the same loop on-chip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from nafae_tpu.ops.iou import pairwise_iou
+
+NEG = -1e9
+
+
+@functools.partial(jax.jit, static_argnames=("num_keep",))
+def nms(boxes: jax.Array, scores: jax.Array, num_keep: int,
+        iou_thresh: float = 0.7, score_thresh: float = -jnp.inf
+        ) -> tuple[jax.Array, jax.Array]:
+    """boxes [N,4] xyxy, scores [N] -> (keep_idx [num_keep], keep_valid [num_keep]).
+
+    Exactly matches classic greedy NMS for the top num_keep survivors.
+    Invalid slots (fewer than num_keep survivors) have keep_valid=0 and
+    keep_idx pointing at the last selected box (safe to gather).
+    """
+    iou = pairwise_iou(boxes, boxes)                        # [N,N]
+    live = scores > score_thresh
+
+    def body(carry, _):
+        live, _ = carry
+        s = jnp.where(live, scores, NEG)
+        best = jnp.argmax(s)
+        valid = s[best] > NEG
+        # kill the selected box and all its high-IoU neighbors
+        suppress = (iou[best] > iou_thresh) | (
+            jnp.arange(scores.shape[0]) == best)
+        live = live & ~suppress & valid                     # freeze when done
+        return (live, best), (best, valid.astype(jnp.float32))
+
+    (_, _), (keep_idx, keep_valid) = jax.lax.scan(
+        body, (live, jnp.int32(0)), None, length=num_keep)
+    return keep_idx, keep_valid
+
+
+def batched_nms(boxes: jax.Array, scores: jax.Array, num_keep: int,
+                iou_thresh: float = 0.7) -> tuple[jax.Array, jax.Array]:
+    """vmap over a leading batch axis. boxes [B,N,4], scores [B,N]."""
+    fn = lambda b, s: nms(b, s, num_keep, iou_thresh)
+    return jax.vmap(fn)(boxes, scores)

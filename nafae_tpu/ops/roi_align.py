@@ -1,0 +1,67 @@
+"""RoIAlign (bilinear crop-and-pool) — jnp reference.
+
+The reference detector lineage uses a CUDA roi_align kernel (SURVEY.md
+L139). This is the standard Mask R-CNN formulation: each output cell of an
+`out_size × out_size` grid averages `sampling_ratio²` bilinear samples from
+the feature map; boxes are in feature-map coordinates after applying
+`spatial_scale`. Gather-based, so it jits/vmaps cleanly; the Pallas version
+lives in ops/pallas/roi_align.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "sampling_ratio"))
+def roi_align(feat: jax.Array, boxes: jax.Array, out_size: int = 7,
+              spatial_scale: float = 1.0, sampling_ratio: int = 2
+              ) -> jax.Array:
+    """feat [H,W,C], boxes [N,4] xyxy (image coords) -> [N,out,out,C]."""
+    h, w, c = feat.shape
+    n = boxes.shape[0]
+    b = boxes * spatial_scale
+    x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    bw = jnp.maximum(x2 - x1, 1.0)
+    bh = jnp.maximum(y2 - y1, 1.0)
+    cell_w = bw / out_size                                   # [N]
+    cell_h = bh / out_size
+    sr = sampling_ratio
+    # sample coordinates: out_size cells × sr samples per cell per axis
+    grid = (jnp.arange(out_size * sr) + 0.5) / sr            # [S] in cell units
+    sx = x1[:, None] + grid[None, :] * cell_w[:, None]       # [N,S]
+    sy = y1[:, None] + grid[None, :] * cell_h[:, None]       # [N,S]
+
+    def bilinear(py, px):
+        """py [N,S], px [N,S] -> samples [N,S,S,C] (y outer, x inner)."""
+        py = jnp.clip(py - 0.5, 0.0, h - 1.0)                # pixel-center align
+        px = jnp.clip(px - 0.5, 0.0, w - 1.0)
+        y0 = jnp.floor(py).astype(jnp.int32)
+        x0 = jnp.floor(px).astype(jnp.int32)
+        y1i = jnp.minimum(y0 + 1, h - 1)
+        x1i = jnp.minimum(x0 + 1, w - 1)
+        wy1 = py - y0
+        wx1 = px - x0
+        f = feat.reshape(h * w, c)
+
+        def gather(yi, xi):                                  # [N,S],[N,S]->[N,S,S,C]
+            idx = yi[:, :, None] * w + xi[:, None, :]        # [N,S,S]
+            return jnp.take(f, idx.reshape(n, -1), axis=0).reshape(
+                n, yi.shape[1], xi.shape[1], c)
+
+        v00 = gather(y0, x0)
+        v01 = gather(y0, x1i)
+        v10 = gather(y1i, x0)
+        v11 = gather(y1i, x1i)
+        wy1e = wy1[:, :, None, None]
+        wx1e = wx1[:, None, :, None]
+        return (v00 * (1 - wy1e) * (1 - wx1e) + v01 * (1 - wy1e) * wx1e
+                + v10 * wy1e * (1 - wx1e) + v11 * wy1e * wx1e)
+
+    samples = bilinear(sy, sx)                               # [N,S,S,C]
+    s = out_size
+    pooled = samples.reshape(n, s, sr, s, sr, c).mean(axis=(2, 4))
+    return pooled

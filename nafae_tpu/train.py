@@ -69,10 +69,11 @@ def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
     ctx_on = lc.ctx_weight > 0 or mc.frame_pool == "context"
     ctx_window = lc.ctx_window if ctx_on else 0
 
+    cdt = None if mc.dtype == "float32" else jnp.dtype(mc.dtype)
     w_emb = G.embed_words(batch["word_ids"], params["word_emb"])
     v_emb = G.project_regions(feats, params["w_v"], params["b_v"],
                               dtype=jnp.dtype(mc.dtype))
-    s = G.similarity_tensor(w_emb, v_emb)
+    s = G.similarity_tensor(w_emb, v_emb, dtype=cdt)
 
     # --- ranking over the global batch (row-shard decomposition) -------------
     if axis_name is not None:
@@ -81,7 +82,7 @@ def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
         gw, gwm = w_emb, wm
     rows = G.cross_scores(gw, gwm, v_emb, fm, mc.frame_attn_temp,
                           mc.frame_pool, ctx_window, lc.ctx_temp,
-                          impl="pallas" if use_pallas else "jnp")
+                          impl="pallas" if use_pallas else "jnp", dtype=cdt)
     b_loc, b_glob = rows.shape
     gidx = row_offset + jnp.arange(b_loc)
     diag_local = jnp.sum(rows * (jnp.arange(b_glob)[None, :] == gidx[:, None]),
@@ -98,8 +99,9 @@ def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
 
     # --- contextual similarity loss ------------------------------------------
     if ctx_on:
-        alpha, nbr_valid = G.region_affinity(v_emb, fm, lc.ctx_window, lc.ctx_temp)
-        shat = G.context_similarity(s, alpha, nbr_valid)
+        alpha, nbr_valid = G.region_affinity(v_emb, fm, lc.ctx_window,
+                                             lc.ctx_temp, dtype=cdt)
+        shat = G.context_similarity(s, alpha, nbr_valid, dtype=cdt)
         if lc.ctx_weight > 0:
             l_ctx = _global_mean(*_context_loss_terms(s, shat, wm, fm, nbr_valid),
                                  axis_name)

@@ -1,0 +1,160 @@
+"""ctypes bindings for the native C++ IO runtime (native/nafae_native.cpp).
+
+- NativePacker: batch packing in C++ worker threads over a flat binary
+  segment cache (built once from the .npz files). Plugs into
+  data/loader.py's `use_native` hook.
+- decode_video(): OpenCV C++ frame sampling (SURVEY.md L135).
+
+The .so is built lazily with `make -C native` on first use; every caller
+falls back to the Python path when the toolchain is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libnafae_native.so")
+_MAGIC = 0x4E414641
+_lib = None
+
+
+def load_library() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO_PATH):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.decode_video.restype = ctypes.c_int
+    lib.decode_video.argtypes = [ctypes.c_char_p, ctypes.c_double,
+                                 ctypes.c_int, ctypes.c_int,
+                                 ctypes.POINTER(ctypes.c_float)]
+    lib.packer_create.restype = ctypes.c_void_p
+    lib.packer_create.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 6
+    lib.packer_pack.restype = ctypes.c_int
+    lib.packer_pack.argtypes = [ctypes.c_void_p,
+                                ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+                                ctypes.POINTER(ctypes.c_float),
+                                ctypes.POINTER(ctypes.c_float),
+                                ctypes.POINTER(ctypes.c_int32),
+                                ctypes.POINTER(ctypes.c_float),
+                                ctypes.POINTER(ctypes.c_float),
+                                ctypes.POINTER(ctypes.c_float),
+                                ctypes.POINTER(ctypes.c_float)]
+    lib.packer_num_segments.restype = ctypes.c_int
+    lib.packer_num_segments.argtypes = [ctypes.c_void_p]
+    lib.packer_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def decode_video(path: str, sample_fps: float, max_frames: int,
+                 size: int) -> np.ndarray:
+    """Decode + sample frames natively -> [n, size, size, 3] float32 RGB."""
+    lib = load_library()
+    out = np.zeros((max_frames, size, size, 3), np.float32)
+    n = lib.decode_video(path.encode(), float(sample_fps), int(max_frames),
+                         int(size),
+                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if n < 0:
+        raise IOError(f"decode failed: {path}")
+    return out[:n]
+
+
+def write_nbin(path: str, feats: np.ndarray, boxes: np.ndarray,
+               word_ids: np.ndarray, gt_boxes: np.ndarray | None = None,
+               gt_mask: np.ndarray | None = None) -> None:
+    """Write one segment in the flat binary cache format (see .cpp header)."""
+    t, r, d = feats.shape
+    k = len(word_ids)
+    with_gt = gt_boxes is not None
+    with open(path, "wb") as f:
+        hdr = np.asarray([_MAGIC, 2, t, r, d, k], np.int32)
+        hdr.tofile(f)
+        feats.astype(np.float32).tofile(f)
+        boxes.astype(np.float32).tofile(f)
+        word_ids.astype(np.int32).tofile(f)
+        np.asarray([1 if with_gt else 0], np.int32).tofile(f)
+        if with_gt:
+            gt_boxes.astype(np.float32).tofile(f)
+            gt_mask.astype(np.float32).tofile(f)
+
+
+class NativePacker:
+    """C++ threaded batch packer over the binary cache of `dataset`.
+
+    Builds the .nbin cache next to the .npz files on first use (one-time),
+    then serves `pack(idxs)` entirely from native code.
+    """
+
+    def __init__(self, dataset, num_threads: int = 2):
+        self.ds = dataset
+        lib = load_library()
+        cache_dir = os.path.join(dataset.dir, "nbin_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        manifest = os.path.join(cache_dir, "manifest.txt")
+        paths = []
+        for meta in dataset.index:
+            src = os.path.join(dataset.dir, meta["file"])
+            dst = os.path.join(cache_dir, meta["id"] + ".nbin")
+            if not os.path.exists(dst) or (os.path.getmtime(dst)
+                                           < os.path.getmtime(src)):
+                with np.load(src) as z:
+                    write_nbin(dst, z["feats"].astype(np.float32),
+                               z["boxes"], z["word_ids"],
+                               z["gt_boxes"] if "gt_boxes" in z else None,
+                               z["gt_mask"] if "gt_mask" in z else None)
+            paths.append(dst)
+        with open(manifest, "w") as f:
+            f.write("\n".join(paths) + "\n")
+        self.handle = lib.packer_create(
+            manifest.encode(), dataset.max_frames, dataset.num_regions,
+            dataset.feat_dim, dataset.max_words,
+            1 if dataset.with_gt else 0, num_threads)
+        if not self.handle:
+            raise RuntimeError("packer_create failed")
+        self._lib = lib
+
+    def pack(self, idxs) -> dict[str, np.ndarray]:
+        ds = self.ds
+        n = len(idxs)
+        t, r, d, k = ds.max_frames, ds.num_regions, ds.feat_dim, ds.max_words
+        feats = np.empty((n, t, r, d), np.float32)
+        boxes = np.empty((n, t, r, 4), np.float32)
+        word_ids = np.empty((n, k), np.int32)
+        frame_mask = np.empty((n, t), np.float32)
+        word_mask = np.empty((n, k), np.float32)
+        gt_boxes = np.empty((n, k, t, 4), np.float32) if ds.with_gt else None
+        gt_mask = np.empty((n, k, t), np.float32) if ds.with_gt else None
+        idx_arr = np.ascontiguousarray(idxs, dtype=np.int32)
+        fptr = ctypes.POINTER(ctypes.c_float)
+        rc = self._lib.packer_pack(
+            self.handle, idx_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n, feats.ctypes.data_as(fptr), boxes.ctypes.data_as(fptr),
+            word_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            frame_mask.ctypes.data_as(fptr), word_mask.ctypes.data_as(fptr),
+            gt_boxes.ctypes.data_as(fptr) if gt_boxes is not None else None,
+            gt_mask.ctypes.data_as(fptr) if gt_mask is not None else None)
+        if rc != 0:
+            raise IOError(f"packer_pack failed rc={rc}")
+        batch = {"feats": feats, "boxes": boxes, "word_ids": word_ids,
+                 "frame_mask": frame_mask, "word_mask": word_mask,
+                 "segment_id": idx_arr.copy()}
+        if ds.with_gt:
+            batch["gt_boxes"] = gt_boxes
+            batch["gt_mask"] = gt_mask
+        return batch
+
+    def __del__(self):
+        try:
+            if getattr(self, "handle", None):
+                self._lib.packer_destroy(self.handle)
+        except Exception:
+            pass

@@ -1,0 +1,93 @@
+"""One-way torch .pth -> nafae_tpu parameter converter (SURVEY.md L277).
+
+Lets reference PyTorch checkpoints seed parity runs (BASELINE north star:
+"same YouCook2 numbers from the same checkpointed features"). torch-cpu is
+installed for exactly this purpose; no torch is used anywhere at runtime.
+
+Key mapping (override with --map for other lineages):
+  grounding model:
+    word embedding  [V,E]   <- any of: emb.weight / word_emb / embedding.weight
+    projection      [D,E]   <- vis_proj.weight (torch stores [E,D]; transposed)
+    projection bias [E]     <- vis_proj.bias
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+DEFAULT_MAP = {
+    "word_emb": ["word_emb", "emb.weight", "embedding.weight",
+                 "txt_emb.weight"],
+    "w_v": ["w_v", "vis_proj.weight", "proj.weight", "visual_emb.weight"],
+    "b_v": ["b_v", "vis_proj.bias", "proj.bias", "visual_emb.bias"],
+}
+
+
+def convert_state_dict(state_dict: dict, key_map: dict | None = None,
+                       expect: dict | None = None) -> dict:
+    """torch state_dict (tensors or arrays) -> {word_emb, w_v, b_v} numpy."""
+    key_map = key_map or DEFAULT_MAP
+    flat = {}
+    for k, v in state_dict.items():
+        arr = np.asarray(v.detach().cpu().numpy()
+                         if hasattr(v, "detach") else v)
+        flat[k] = arr
+    out = {}
+    for ours, candidates in key_map.items():
+        found = None
+        for c in candidates:
+            if c in flat:
+                found = flat[c]
+                break
+        if found is None:
+            raise KeyError(
+                f"no source key for {ours!r}; tried {candidates}; "
+                f"checkpoint has {sorted(flat)[:20]}...")
+        if ours == "w_v" and found.ndim == 2:
+            # torch Linear stores [out, in] = [E, D]; ours is [D, E]
+            d_guess = max(found.shape)
+            if found.shape[0] != d_guess:
+                found = found.T
+        out[ours] = found.astype(np.float32)
+    if expect:
+        for k, shape in expect.items():
+            if tuple(out[k].shape) != tuple(shape):
+                raise ValueError(f"{k}: shape {out[k].shape} != expected {shape}")
+    return out
+
+
+def convert_pth(pth_path: str, out_path: str | None = None,
+                key_map: dict | None = None) -> dict:
+    """Load a .pth file (weights_only) and convert; optionally save .npz."""
+    import torch
+    obj = torch.load(pth_path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    params = convert_state_dict(obj, key_map)
+    if out_path:
+        np.savez(out_path, **params)
+    return params
+
+
+def load_converted(npz_path: str) -> dict:
+    import jax.numpy as jnp
+    with np.load(npz_path) as z:
+        return {k: jnp.asarray(z[k]) for k in z.files}
+
+
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser("nafae_tpu.utils.torch_convert")
+    p.add_argument("pth")
+    p.add_argument("out", help="output .npz")
+    p.add_argument("--map", default=None, help="JSON key map override")
+    args = p.parse_args(argv)
+    key_map = json.loads(args.map) if args.map else None
+    params = convert_pth(args.pth, args.out, key_map)
+    print(json.dumps({k: list(v.shape) for k, v in params.items()}))
+
+
+if __name__ == "__main__":
+    main()

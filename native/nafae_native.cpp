@@ -1,0 +1,277 @@
+// nafae_native: host-side native runtime for the TPU grounding pipeline.
+//
+// Two components (SURVEY.md L135 "C++ decode workers", L97 dataloader):
+//   1. decode_video(): OpenCV/FFmpeg frame sampling at a fixed rate —
+//      the reference's decode path is OpenCV-backed C/C++ too.
+//   2. SegmentPacker: a worker-thread batch packer over a flat binary
+//      segment cache (.nbin). Loading + padding + masking happens off the
+//      Python GIL; the Python loader thread only hands out ready batches.
+//
+// Exposed with a plain C ABI for ctypes (no pybind11 in this image).
+//
+// .nbin layout (little-endian):
+//   int32 magic 0x4e414641 ('NAFA'), int32 version=1
+//   int32 T, R, D, K
+//   float feats[T*R*D]; float boxes[T*R*4]; int32 word_ids[K]
+//   (optional, version>=2) int32 has_gt; float gt_boxes[K*T*4]; float gt_mask[K*T]
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <opencv2/core.hpp>
+#include <opencv2/imgproc.hpp>
+#include <opencv2/videoio.hpp>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Video decode
+// ---------------------------------------------------------------------------
+
+// Decode `path`, sampling `sample_fps` frames/sec, resized to size x size RGB
+// float32 in [0,1]. Writes at most max_frames frames into out
+// [max_frames, size, size, 3]; returns the number of frames written, or -1.
+int decode_video(const char* path, double sample_fps, int max_frames,
+                 int size, float* out) {
+  cv::VideoCapture cap(path);
+  if (!cap.isOpened()) return -1;
+  double fps = cap.get(cv::CAP_PROP_FPS);
+  if (fps <= 1e-3) fps = 25.0;
+  double step = fps / (sample_fps > 0 ? sample_fps : 1.0);
+  int written = 0;
+  double next = 0.0;
+  cv::Mat frame, resized, rgb;
+  for (long i = 0; written < max_frames; ++i) {
+    if (!cap.grab()) break;
+    if (static_cast<double>(i) + 1e-9 < next) continue;
+    next += step;
+    if (!cap.retrieve(frame) || frame.empty()) continue;
+    cv::resize(frame, resized, cv::Size(size, size), 0, 0, cv::INTER_LINEAR);
+    cv::cvtColor(resized, rgb, cv::COLOR_BGR2RGB);
+    cv::Mat f32;
+    rgb.convertTo(f32, CV_32FC3, 1.0 / 255.0);
+    std::memcpy(out + static_cast<size_t>(written) * size * size * 3,
+                f32.ptr<float>(), sizeof(float) * size * size * 3);
+    ++written;
+  }
+  return written;
+}
+
+// ---------------------------------------------------------------------------
+// Segment packer
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int32_t kMagic = 0x4e414641;
+
+struct SegHeader {
+  int32_t magic, version, T, R, D, K;
+};
+
+struct PackerTask {
+  int sample;      // position in the batch
+  int seg_index;   // which segment file
+};
+
+struct Packer {
+  std::vector<std::string> files;
+  // padded batch dims
+  int T, R, D, K;
+  bool with_gt;
+  // current batch output pointers (caller-owned)
+  float* feats = nullptr;     // [B,T,R,D]
+  float* boxes = nullptr;     // [B,T,R,4]
+  int32_t* word_ids = nullptr;  // [B,K]
+  float* frame_mask = nullptr;  // [B,T]
+  float* word_mask = nullptr;   // [B,K]
+  float* gt_boxes = nullptr;    // [B,K,T,4]
+  float* gt_mask = nullptr;     // [B,K,T]
+
+  std::vector<std::thread> workers;
+  std::queue<PackerTask> tasks;
+  std::mutex mu;
+  std::condition_variable cv_task, cv_done;
+  int pending = 0;
+  std::atomic<int> errors{0};
+  bool stop = false;
+
+  ~Packer() {
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      stop = true;
+    }
+    cv_task.notify_all();
+    for (auto& t : workers) t.join();
+  }
+
+  void worker_loop() {
+    for (;;) {
+      PackerTask task;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_task.wait(lk, [&] { return stop || !tasks.empty(); });
+        if (stop && tasks.empty()) return;
+        task = tasks.front();
+        tasks.pop();
+      }
+      if (!load_one(task)) errors.fetch_add(1);
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        if (--pending == 0) cv_done.notify_all();
+      }
+    }
+  }
+
+  bool load_one(const PackerTask& task) {
+    const std::string& path = files[task.seg_index];
+    FILE* f = std::fopen(path.c_str(), "rb");
+    if (!f) return false;
+    SegHeader h;
+    if (std::fread(&h, sizeof(h), 1, f) != 1 || h.magic != kMagic) {
+      std::fclose(f);
+      return false;
+    }
+    int t = std::min(h.T, T), r = std::min(h.R, R), k = std::min(h.K, K);
+    size_t b = static_cast<size_t>(task.sample);
+    // feats: row-by-row copy with padding
+    std::vector<float> row(static_cast<size_t>(h.R) * h.D);
+    for (int ti = 0; ti < t; ++ti) {
+      if (std::fseek(f, sizeof(SegHeader) +
+                     sizeof(float) * static_cast<long>(ti) * h.R * h.D, SEEK_SET))
+        { std::fclose(f); return false; }
+      if (std::fread(row.data(), sizeof(float), static_cast<size_t>(h.R) * h.D,
+                     f) != static_cast<size_t>(h.R) * h.D)
+        { std::fclose(f); return false; }
+      for (int ri = 0; ri < r; ++ri) {
+        std::memcpy(feats + ((b * T + ti) * R + ri) * D,
+                    row.data() + static_cast<size_t>(ri) * h.D,
+                    sizeof(float) * std::min(h.D, D));
+      }
+    }
+    // boxes
+    long boxes_off = sizeof(SegHeader) +
+                     sizeof(float) * static_cast<long>(h.T) * h.R * h.D;
+    std::vector<float> brow(static_cast<size_t>(h.R) * 4);
+    for (int ti = 0; ti < t; ++ti) {
+      std::fseek(f, boxes_off + sizeof(float) * static_cast<long>(ti) * h.R * 4,
+                 SEEK_SET);
+      if (std::fread(brow.data(), sizeof(float), static_cast<size_t>(h.R) * 4,
+                     f) != static_cast<size_t>(h.R) * 4)
+        { std::fclose(f); return false; }
+      std::memcpy(boxes + ((b * T + ti) * R) * 4, brow.data(),
+                  sizeof(float) * static_cast<size_t>(r) * 4);
+    }
+    // word ids
+    long wid_off = boxes_off + sizeof(float) * static_cast<long>(h.T) * h.R * 4;
+    std::fseek(f, wid_off, SEEK_SET);
+    std::vector<int32_t> wids(h.K);
+    if (h.K > 0 &&
+        std::fread(wids.data(), sizeof(int32_t), h.K, f) !=
+            static_cast<size_t>(h.K))
+      { std::fclose(f); return false; }
+    for (int ki = 0; ki < k; ++ki) word_ids[b * K + ki] = wids[ki];
+    // masks
+    for (int ti = 0; ti < t; ++ti) frame_mask[b * T + ti] = 1.0f;
+    for (int ki = 0; ki < k; ++ki) word_mask[b * K + ki] = 1.0f;
+    // optional GT block
+    if (with_gt && h.version >= 2 && gt_boxes && gt_mask) {
+      long gt_off = wid_off + sizeof(int32_t) * h.K;
+      std::fseek(f, gt_off, SEEK_SET);
+      int32_t has_gt = 0;
+      if (std::fread(&has_gt, sizeof(int32_t), 1, f) == 1 && has_gt) {
+        std::vector<float> gb(static_cast<size_t>(h.K) * h.T * 4);
+        std::vector<float> gm(static_cast<size_t>(h.K) * h.T);
+        if (std::fread(gb.data(), sizeof(float), gb.size(), f) == gb.size() &&
+            std::fread(gm.data(), sizeof(float), gm.size(), f) == gm.size()) {
+          for (int ki = 0; ki < k; ++ki)
+            for (int ti = 0; ti < t; ++ti) {
+              std::memcpy(gt_boxes + ((b * K + ki) * T + ti) * 4,
+                          gb.data() + (static_cast<size_t>(ki) * h.T + ti) * 4,
+                          sizeof(float) * 4);
+              gt_mask[(b * K + ki) * T + ti] =
+                  gm[static_cast<size_t>(ki) * h.T + ti];
+            }
+        }
+      }
+    }
+    std::fclose(f);
+    return true;
+  }
+};
+
+}  // namespace
+
+// manifest: newline-separated .nbin paths. Returns opaque handle or null.
+void* packer_create(const char* manifest, int T, int R, int D, int K,
+                    int with_gt, int num_threads) {
+  FILE* f = std::fopen(manifest, "rb");
+  if (!f) return nullptr;
+  auto* p = new Packer();
+  p->T = T; p->R = R; p->D = D; p->K = K; p->with_gt = with_gt != 0;
+  char line[4096];
+  while (std::fgets(line, sizeof(line), f)) {
+    size_t n = std::strlen(line);
+    while (n && (line[n - 1] == '\n' || line[n - 1] == '\r')) line[--n] = 0;
+    if (n) p->files.emplace_back(line);
+  }
+  std::fclose(f);
+  if (num_threads < 1) num_threads = 1;
+  for (int i = 0; i < num_threads; ++i)
+    p->workers.emplace_back([p] { p->worker_loop(); });
+  return p;
+}
+
+int packer_num_segments(void* handle) {
+  return static_cast<int>(static_cast<Packer*>(handle)->files.size());
+}
+
+// Pack segments files[idxs[0..n)] into the caller-provided (zeroed by us)
+// batch buffers. Blocking; internally parallel. Returns 0 on success.
+int packer_pack(void* handle, const int32_t* idxs, int n,
+                float* feats, float* boxes, int32_t* word_ids,
+                float* frame_mask, float* word_mask,
+                float* gt_boxes, float* gt_mask) {
+  auto* p = static_cast<Packer*>(handle);
+  size_t B = static_cast<size_t>(n);
+  std::memset(feats, 0, sizeof(float) * B * p->T * p->R * p->D);
+  std::memset(boxes, 0, sizeof(float) * B * p->T * p->R * 4);
+  std::memset(word_ids, 0, sizeof(int32_t) * B * p->K);
+  std::memset(frame_mask, 0, sizeof(float) * B * p->T);
+  std::memset(word_mask, 0, sizeof(float) * B * p->K);
+  if (p->with_gt && gt_boxes && gt_mask) {
+    std::memset(gt_boxes, 0, sizeof(float) * B * p->K * p->T * 4);
+    std::memset(gt_mask, 0, sizeof(float) * B * p->K * p->T);
+  }
+  p->feats = feats; p->boxes = boxes; p->word_ids = word_ids;
+  p->frame_mask = frame_mask; p->word_mask = word_mask;
+  p->gt_boxes = gt_boxes; p->gt_mask = gt_mask;
+  p->errors.store(0);
+  {
+    std::unique_lock<std::mutex> lk(p->mu);
+    for (int i = 0; i < n; ++i) {
+      int seg = idxs[i];
+      if (seg < 0 || seg >= static_cast<int>(p->files.size())) return 1;
+      p->tasks.push(PackerTask{i, seg});
+    }
+    p->pending = n;
+  }
+  p->cv_task.notify_all();
+  {
+    std::unique_lock<std::mutex> lk(p->mu);
+    p->cv_done.wait(lk, [&] { return p->pending == 0; });
+  }
+  return p->errors.load() == 0 ? 0 : 2;
+}
+
+void packer_destroy(void* handle) { delete static_cast<Packer*>(handle); }
+
+}  // extern "C"

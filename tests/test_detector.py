@@ -1,0 +1,108 @@
+"""Detector stack tests: NMS, RoIAlign, RPN decode, full extractor shapes."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nafae_tpu.config import DetectorConfig
+from nafae_tpu.models.detector.anchors import decode_boxes, generate_anchors
+from nafae_tpu.ops.nms import batched_nms, nms
+from nafae_tpu.ops.roi_align import roi_align
+
+
+def _greedy_nms_numpy(boxes, scores, iou_thresh):
+    """Textbook greedy NMS for cross-checking."""
+    from nafae_tpu.ops.iou import pairwise_iou
+    iou = np.asarray(pairwise_iou(jnp.asarray(boxes), jnp.asarray(boxes)))
+    order = list(np.argsort(-scores))
+    keep = []
+    while order:
+        i = order.pop(0)
+        keep.append(i)
+        order = [j for j in order if iou[i, j] <= iou_thresh]
+    return keep
+
+
+def test_nms_matches_greedy():
+    rng = np.random.RandomState(0)
+    n = 40
+    xy = rng.rand(n, 2) * 80
+    wh = rng.rand(n, 2) * 40 + 5
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    ref = _greedy_nms_numpy(boxes, scores, 0.5)
+    keep_idx, keep_valid = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                               num_keep=10, iou_thresh=0.5)
+    nvalid = int(keep_valid.sum())
+    assert list(np.asarray(keep_idx))[:nvalid] == ref[:nvalid]
+    assert nvalid == min(10, len(ref))
+
+
+def test_nms_identical_boxes_suppressed():
+    boxes = jnp.asarray(np.tile([[0, 0, 10, 10]], (5, 1)).astype(np.float32))
+    scores = jnp.asarray(np.linspace(1, 0.5, 5).astype(np.float32))
+    keep_idx, keep_valid = nms(boxes, scores, num_keep=5, iou_thresh=0.5)
+    assert int(keep_valid.sum()) == 1
+    assert int(keep_idx[0]) == 0
+
+
+def test_batched_nms_shape():
+    rng = np.random.RandomState(1)
+    boxes = jnp.asarray(np.abs(rng.rand(3, 20, 4)).astype(np.float32))
+    boxes = boxes.at[..., 2:].set(boxes[..., :2] + 5.0)
+    scores = jnp.asarray(rng.rand(3, 20).astype(np.float32))
+    ki, kv = batched_nms(boxes, scores, num_keep=8)
+    assert ki.shape == (3, 8) and kv.shape == (3, 8)
+
+
+def test_roi_align_constant_map():
+    """On a constant feature map every RoI pools to that constant."""
+    feat = jnp.ones((16, 16, 4)) * 3.5
+    boxes = jnp.asarray([[0, 0, 8, 8], [2, 3, 10, 14]], dtype=jnp.float32)
+    out = roi_align(feat, boxes, out_size=7)
+    np.testing.assert_allclose(np.asarray(out), 3.5, rtol=1e-6)
+
+
+def test_roi_align_linear_gradient_map():
+    """A feature map linear in x pools to the cell-center x coordinate."""
+    h = w = 32
+    xs = jnp.arange(w, dtype=jnp.float32) + 0.5   # value at pixel center = x
+    feat = jnp.broadcast_to(xs[None, :, None], (h, w, 1))
+    box = jnp.asarray([[4.0, 4.0, 12.0, 12.0]])
+    out = roi_align(feat, box, out_size=4, sampling_ratio=4)
+    # cell centers along x: 5, 7, 9, 11
+    expected = np.asarray([5.0, 7.0, 9.0, 11.0])
+    np.testing.assert_allclose(np.asarray(out)[0, 0, :, 0], expected,
+                               rtol=1e-4)
+
+
+def test_decode_boxes_identity_and_clip():
+    anchors = jnp.asarray([[10, 10, 30, 30], [-5, -5, 10, 10]],
+                          dtype=jnp.float32)
+    deltas = jnp.zeros((2, 4))
+    out = decode_boxes(anchors, deltas, image_size=20)
+    np.testing.assert_allclose(np.asarray(out[0]), [10, 10, 20, 20])
+    assert float(out[1, 0]) == 0.0  # clipped
+
+
+def test_generate_anchors_count():
+    a = generate_anchors(4, 5, 16, scales=(32, 64), ratios=(0.5, 1.0, 2.0))
+    assert a.shape == (4 * 5 * 6, 4)
+
+
+def test_extractor_end_to_end_shapes():
+    cfg = DetectorConfig(image_size=64, num_proposals=5, rpn_pre_nms_topk=32,
+                         anchor_scales=(16, 32), anchor_ratios=(0.5, 1.0, 2.0))
+    from nafae_tpu.models.detector.faster_rcnn import init_detector
+    model, params = init_detector(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3)
+                       .astype(np.float32))
+    out = jax.jit(model.apply)(params, imgs)
+    assert out["boxes"].shape == (2, 5, 4)
+    assert out["feats"].shape == (2, 5, 2048)
+    assert out["scores"].shape == (2, 5)
+    assert np.isfinite(np.asarray(out["feats"])).all()
+    b = np.asarray(out["boxes"])
+    assert (b[..., 2] >= b[..., 0]).all() and (b[..., 3] >= b[..., 1]).all()
+    assert (b >= 0).all() and (b <= 64).all()

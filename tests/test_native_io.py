@@ -1,0 +1,62 @@
+"""Native C++ IO runtime vs the Python path (bitwise equality) + video decode."""
+
+import os
+
+import numpy as np
+import pytest
+
+native_io = pytest.importorskip("nafae_tpu.utils.native_io")
+
+try:
+    native_io.load_library()
+    HAVE_NATIVE = True
+except Exception:
+    HAVE_NATIVE = False
+
+pytestmark = pytest.mark.skipif(not HAVE_NATIVE,
+                                reason="native toolchain unavailable")
+
+
+def test_native_packer_matches_python(synth_root):
+    from nafae_tpu.data import SegmentDataset
+    ds = SegmentDataset(synth_root, "val", max_frames=8, num_regions=6,
+                        feat_dim=64, max_words=3, with_gt=True)
+    packer = native_io.NativePacker(ds)
+    idxs = [0, 3, 5, 1]
+    nb = packer.pack(idxs)
+    samples = [ds[i] for i in idxs]
+    pb = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    for key in ("feats", "boxes", "word_ids", "frame_mask", "word_mask",
+                "gt_boxes", "gt_mask"):
+        np.testing.assert_array_equal(nb[key], pb[key], err_msg=key)
+
+
+def test_loader_native_backend(synth_root):
+    from nafae_tpu.data import BatchLoader, SegmentDataset
+    ds = SegmentDataset(synth_root, "train", max_frames=8, num_regions=6,
+                        feat_dim=64, max_words=3)
+    py = BatchLoader(ds, 4, shuffle=True, seed=3, use_native=False)
+    nat = BatchLoader(ds, 4, shuffle=True, seed=3, use_native=True)
+    assert nat._native is not None, "native backend did not engage"
+    for (a, b) in zip(py.epoch(0), nat.epoch(0)):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_decode_video(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (64, 48))
+    assert w.isOpened()
+    for i in range(30):  # 3 seconds at 10 fps
+        frame = np.full((48, 64, 3), i * 8 % 255, np.uint8)
+        w.write(frame)
+    w.release()
+    frames = native_io.decode_video(path, sample_fps=2.0, max_frames=10,
+                                    size=32)
+    # 3s at 2fps -> 6 frames
+    assert frames.shape == (6, 32, 32, 3)
+    assert 0.0 <= frames.min() and frames.max() <= 1.0
+    # brightness must increase over time (frames sampled in order)
+    means = frames.mean(axis=(1, 2, 3))
+    assert (np.diff(means) > 0).all()
