@@ -106,18 +106,29 @@ def region_affinity(v_emb: jax.Array, frame_mask: jax.Array,
         v̂[t,r]·v̂[t+o,r']/τ_a, for the O = 2*window offsets o ∈ {-w..-1, 1..w}.
       nbr_valid [B,T,O]: 1 where both frame t and neighbor t+o exist and are valid.
     """
-    B, T, R, E = v_emb.shape
-    offsets = _offsets(window)
-    t_idx = jnp.arange(T)
-    nbr_v, nbr_ok = [], []
-    for o in offsets:
-        idx = jnp.clip(t_idx + o, 0, T - 1)
-        in_range = ((t_idx + o >= 0) & (t_idx + o < T)).astype(v_emb.dtype)
-        nbr_v.append(jnp.take(v_emb, idx, axis=1))            # [B,T,S,E]
-        nbr_ok.append(in_range[None, :] * jnp.take(frame_mask, idx, axis=1))
-    v_nbr = jnp.stack(nbr_v, axis=2)                          # [B,T,O,S,E]
-    nbr_valid = jnp.stack(nbr_ok, axis=2) * frame_mask[:, :, None]  # [B,T,O]
-    ve, vn = _cast2(v_emb, v_nbr, dtype)
+    # express as the extended (halo) form with zero-padding — identical
+    # semantics, and the SAME code path the frame-sharded (SP) mode uses with
+    # real halos from neighbor shards (parallel/sp.py).
+    w = window
+    v_ext = jnp.pad(v_emb, ((0, 0), (w, w), (0, 0), (0, 0)))
+    fm_ext = jnp.pad(frame_mask, ((0, 0), (w, w)))
+    return region_affinity_ext(v_ext, fm_ext, w, temp, dtype=dtype)
+
+
+def region_affinity_ext(v_ext: jax.Array, fm_ext: jax.Array, window: int,
+                        temp: float, dtype=None) -> tuple[jax.Array, jax.Array]:
+    """Extended-array form: v_ext [B, w+T+w, R, E], fm_ext [B, w+T+w]
+    (halo frames at both ends; invalid halos have fm_ext=0). Returns alpha /
+    nbr_valid for the CENTER T frames."""
+    w = window
+    T = v_ext.shape[1] - 2 * w
+    offsets = _offsets(w)
+    center = jnp.arange(T) + w
+    v_nbr = jnp.stack([v_ext[:, center + o] for o in offsets], axis=2)
+    nbr_valid = jnp.stack([fm_ext[:, center + o] for o in offsets], axis=2)
+    nbr_valid = nbr_valid * fm_ext[:, center, None]           # [B,T,O]
+    v_c = v_ext[:, center]
+    ve, vn = _cast2(v_c, v_nbr, dtype)
     logits = jnp.einsum("btre,btose->btros", ve, vn,
                         preferred_element_type=jnp.float32, precision=PRECISION) / temp
     alpha = jax.nn.softmax(logits, axis=-1)                   # over neighbor regions S
@@ -132,11 +143,21 @@ def context_similarity(s: jax.Array, alpha: jax.Array, nbr_valid: jax.Array,
     alpha: [B,T,R,O,S], nbr_valid: [B,T,O]. Returns ŝ with the shape of s.
     """
     O = alpha.shape[3]
+    w = O // 2
+    pad = [(0, 0)] * (s.ndim - 2) + [(w, w), (0, 0)]
+    return context_similarity_ext(jnp.pad(s, pad), alpha, nbr_valid,
+                                  cross=cross, dtype=dtype)
+
+
+def context_similarity_ext(s_ext: jax.Array, alpha: jax.Array,
+                           nbr_valid: jax.Array, cross: bool = False,
+                           dtype=None) -> jax.Array:
+    """Extended-array form: s_ext has w halo frames at both ends of axis -2
+    (zeros when unsharded, real neighbor-shard frames under SP)."""
+    O = alpha.shape[3]
     T = alpha.shape[1]
-    offsets = _offsets(O // 2)
-    t_idx = jnp.arange(T)
-    gathered = [jnp.take(s, jnp.clip(t_idx + o, 0, T - 1), axis=-2) for o in offsets]
-    s_nbr = jnp.stack(gathered, axis=-2)                      # [..,K,T,O,S]
+    w = O // 2
+    s_nbr = _gather_neighbors(s_ext, T, w)                    # [..,K,T,O,S]
     alpha, s_nbr = _cast2(alpha, s_nbr, dtype)
     if cross:
         contrib = jnp.einsum("itros,ijktos->ijktro", alpha, s_nbr,
@@ -149,6 +170,13 @@ def context_similarity(s: jax.Array, alpha: jax.Array, nbr_valid: jax.Array,
     num = jnp.sum(contrib * nv, axis=-1)
     den = jnp.maximum(jnp.sum(nv, axis=-1), 1.0)
     return num / den
+
+
+def _gather_neighbors(s_ext: jax.Array, T: int, window: int) -> jax.Array:
+    """s_ext [.., w+T+w, S] -> neighbor stack [.., T, O, S] for the center T."""
+    center = jnp.arange(T) + window
+    return jnp.stack([jnp.take(s_ext, center + o, axis=-2)
+                      for o in _offsets(window)], axis=-2)
 
 
 def _offsets(window: int) -> list[int]:

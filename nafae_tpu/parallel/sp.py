@@ -1,0 +1,128 @@
+"""Sequence parallelism over the frame axis (SP) — SURVEY.md L160, L280.
+
+The frame axis T is this model's sequence axis. For long clips T is sharded
+over the mesh's `frame` axis; the reference has no equivalent (clip length
+was bounded by single-GPU memory, SURVEY.md L280). Three primitives make the
+sharded math EXACTLY equal to the unsharded run:
+
+* halo_exchange — the context window needs w neighbor frames from adjacent
+  shards: one ppermute each way (edge shards receive zeros, which the mask
+  semantics already treat as out-of-range — identical to the zero-padding the
+  unsharded path uses).
+* sp_video_scores — frame-attention softmax over the GLOBAL T via online
+  softmax: pmax of the logit max, psum of the exp-sum (the ring-attention
+  normalizer trick applied to attention pooling).
+* sp_cross_scores — the B×B ranking score matrix from frame-sharded region
+  tensors; every frame shard ends with identical rows.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from nafae_tpu.ops import grounding as G
+
+NEG = -1e9
+
+
+def halo_exchange(x: jax.Array, window: int, axis_name: str,
+                  t_axis: int = 1) -> jax.Array:
+    """x [.., Tl, ..] -> [.., w+Tl+w, ..] with real halos from neighbor shards.
+
+    Edge shards receive zeros in their outer halo (ppermute semantics), which
+    downstream masks treat as invalid — matching unsharded zero-padding.
+    """
+    n = jax.lax.axis_size(axis_name)
+    tl = x.shape[t_axis]
+    if window > tl:
+        raise ValueError(f"halo window {window} > local frames {tl}; "
+                         f"use fewer frame shards")
+
+    def tslice(lo, hi):
+        idx = [slice(None)] * x.ndim
+        idx[t_axis] = slice(lo, hi)
+        return x[tuple(idx)]
+
+    to_right = tslice(tl - window, tl)       # my tail -> right neighbor's left halo
+    to_left = tslice(0, window)              # my head -> left neighbor's right halo
+    left_halo = jax.lax.ppermute(to_right, axis_name,
+                                 perm=[(i, i + 1) for i in range(n - 1)])
+    right_halo = jax.lax.ppermute(to_left, axis_name,
+                                  perm=[(i + 1, i) for i in range(n - 1)])
+    return jnp.concatenate([left_halo, x, right_halo], axis=t_axis)
+
+
+def sp_video_scores(a: jax.Array, word_mask: jax.Array, frame_mask: jax.Array,
+                    temp: float, pool: str, frame_axis: str,
+                    frame_logits: jax.Array | None = None
+                    ) -> tuple[jax.Array, jax.Array]:
+    """Frame-sharded video_scores: a [..,K,Tl] -> (S [..], β_local [..,Tl]).
+
+    S is identical on every frame shard (online softmax + psum over shards).
+    """
+    g = (frame_logits if frame_logits is not None
+         else G._masked_word_mean(a, word_mask))
+    if pool == "mean":
+        cnt = jax.lax.psum(jnp.sum(frame_mask, axis=-1), frame_axis)
+        beta = frame_mask / jnp.maximum(cnt, 1.0)[..., None]
+        beta = jnp.broadcast_to(beta, g.shape)
+    else:
+        logits = jnp.where(frame_mask > 0, g / temp, NEG)
+        # softmax is shift-invariant: the global max is for numerics only, so
+        # stop_gradient is exact (and pmax has no differentiation rule anyway)
+        m = jax.lax.stop_gradient(
+            jax.lax.pmax(jnp.max(jax.lax.stop_gradient(logits), axis=-1),
+                         frame_axis))                            # [..]
+        e = jnp.exp(logits - m[..., None]) * frame_mask
+        den = jax.lax.psum(jnp.sum(e, axis=-1), frame_axis)
+        beta = e / jnp.maximum(den, 1e-30)[..., None]
+    s_w = jax.lax.psum(jnp.sum(beta[..., None, :] * a, axis=-1), frame_axis)
+    s = jnp.sum(s_w * word_mask, axis=-1) / jnp.maximum(
+        jnp.sum(word_mask, axis=-1), 1.0)
+    return s, beta
+
+
+def sp_cross_scores(w_emb: jax.Array, word_mask: jax.Array,
+                    v_emb: jax.Array, frame_mask: jax.Array,
+                    temp: float, pool: str, frame_axis: str,
+                    ctx_window: int = 0, ctx_temp: float = 0.1,
+                    dtype=None) -> jax.Array:
+    """Frame-sharded cross_scores. v_emb [I,Tl,R,E] local frames; w_emb/
+    word_mask are the (data-axis-gathered) global sentences. Returns
+    rows [I_loc, J_glob], identical across frame shards."""
+    fm = frame_mask[:, None, :]
+    wm = word_mask[None, :, :]
+    we, ve = G._cast2(w_emb, v_emb, dtype)
+    s = jnp.einsum("jke,itre->ijktr", we, ve,
+                   preferred_element_type=jnp.float32,
+                   precision=G.PRECISION)                     # [I,J,K,Tl,R]
+    a = G.frame_mil_max(s, fm)
+    frame_logits = None
+    if pool == "context" and ctx_window > 0:
+        alpha, nbr_valid = sp_region_affinity(v_emb, frame_mask, ctx_window,
+                                              ctx_temp, frame_axis, dtype)
+        s_ext = halo_exchange(s, ctx_window, frame_axis, t_axis=3)
+        shat = G.context_similarity_ext(s_ext, alpha, nbr_valid, cross=True,
+                                        dtype=dtype)
+        ahat = G.frame_mil_max(shat, fm)
+        frame_logits = G._masked_word_mean(ahat, wm)
+    return sp_video_scores(a, wm, fm, temp,
+                           "attention" if pool == "context" else pool,
+                           frame_axis, frame_logits=frame_logits)[0]
+
+
+def sp_region_affinity(v_emb: jax.Array, frame_mask: jax.Array, window: int,
+                       temp: float, frame_axis: str, dtype=None):
+    """Frame-sharded region_affinity via halo exchange of v̂ and the mask."""
+    v_ext = halo_exchange(v_emb, window, frame_axis)
+    fm_ext = halo_exchange(frame_mask, window, frame_axis)
+    return G.region_affinity_ext(v_ext, fm_ext, window, temp, dtype=dtype)
+
+
+def sp_context_similarity(s: jax.Array, alpha: jax.Array,
+                          nbr_valid: jax.Array, window: int,
+                          frame_axis: str, dtype=None) -> jax.Array:
+    """Frame-sharded diag context similarity: halo-exchange s over axis -2."""
+    s_ext = halo_exchange(s, window, frame_axis, t_axis=s.ndim - 2)
+    return G.context_similarity_ext(s_ext, alpha, nbr_valid, dtype=dtype)

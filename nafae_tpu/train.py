@@ -58,12 +58,15 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
-                   row_offset, axis_name: str | None = None,
-                   use_pallas: bool = False) -> tuple[jax.Array, dict]:
-    """Total loss + aux for one (local) batch shard. Exact under DP:
-    every cross-device reduction is a psum of numerators/denominators, so the
-    value equals the single-device run on the concatenated global batch."""
+                   row_offset, data_axis: str | None = None,
+                   use_pallas: bool = False,
+                   frame_axis: str | None = None) -> tuple[jax.Array, dict]:
+    """Total loss + aux for one (local) batch shard. Exact under DP and SP:
+    every cross-device reduction is a psum of numerators/denominators (frame-
+    softmax is an online softmax across frame shards), so the value equals the
+    single-device run on the full global batch (tested)."""
     lc, mc = cfg.loss, cfg.model
+    all_axes = tuple(a for a in (data_axis, frame_axis) if a)
     feats = batch["feats"]
     fm, wm = batch["frame_mask"], batch["word_mask"]
     ctx_on = lc.ctx_weight > 0 or mc.frame_pool == "context"
@@ -76,35 +79,49 @@ def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
     s = G.similarity_tensor(w_emb, v_emb, dtype=cdt)
 
     # --- ranking over the global batch (row-shard decomposition) -------------
-    if axis_name is not None:
-        gw, gwm = S.gather_words(w_emb, wm, axis_name)
+    if data_axis is not None:
+        gw, gwm = S.gather_words(w_emb, wm, data_axis)
     else:
         gw, gwm = w_emb, wm
-    rows = G.cross_scores(gw, gwm, v_emb, fm, mc.frame_attn_temp,
-                          mc.frame_pool, ctx_window, lc.ctx_temp,
-                          impl="pallas" if use_pallas else "jnp", dtype=cdt)
+    if frame_axis is not None:
+        from nafae_tpu.parallel import sp
+        rows = sp.sp_cross_scores(gw, gwm, v_emb, fm, mc.frame_attn_temp,
+                                  mc.frame_pool, frame_axis, ctx_window,
+                                  lc.ctx_temp, dtype=cdt)
+    else:
+        rows = G.cross_scores(gw, gwm, v_emb, fm, mc.frame_attn_temp,
+                              mc.frame_pool, ctx_window, lc.ctx_temp,
+                              impl="pallas" if use_pallas else "jnp", dtype=cdt)
     b_loc, b_glob = rows.shape
     gidx = row_offset + jnp.arange(b_loc)
     diag_local = jnp.sum(rows * (jnp.arange(b_glob)[None, :] == gidx[:, None]),
                          axis=1)
-    diag_global = (S.gather_diag(diag_local, axis_name)
-                   if axis_name is not None else diag_local)
+    diag_global = (S.gather_diag(diag_local, data_axis)
+                   if data_axis is not None else diag_local)
     l_rank = S.ranking_loss_rows(rows, diag_global, row_offset, lc.margin,
-                                 axis_name)
+                                 data_axis)
     total = l_rank
     score_pos = _global_mean(jnp.sum(diag_local),
                              jnp.asarray(diag_local.shape[0], jnp.float32),
-                             axis_name)
+                             data_axis)
     aux = {"l_rank": l_rank, "score_pos": score_pos}
 
     # --- contextual similarity loss ------------------------------------------
     if ctx_on:
-        alpha, nbr_valid = G.region_affinity(v_emb, fm, lc.ctx_window,
-                                             lc.ctx_temp, dtype=cdt)
-        shat = G.context_similarity(s, alpha, nbr_valid, dtype=cdt)
+        if frame_axis is not None:
+            from nafae_tpu.parallel import sp
+            alpha, nbr_valid = sp.sp_region_affinity(
+                v_emb, fm, lc.ctx_window, lc.ctx_temp, frame_axis, dtype=cdt)
+            shat = sp.sp_context_similarity(s, alpha, nbr_valid,
+                                            lc.ctx_window, frame_axis,
+                                            dtype=cdt)
+        else:
+            alpha, nbr_valid = G.region_affinity(v_emb, fm, lc.ctx_window,
+                                                 lc.ctx_temp, dtype=cdt)
+            shat = G.context_similarity(s, alpha, nbr_valid, dtype=cdt)
         if lc.ctx_weight > 0:
             l_ctx = _global_mean(*_context_loss_terms(s, shat, wm, fm, nbr_valid),
-                                 axis_name)
+                                 all_axes)
             total = total + lc.ctx_weight * l_ctx
             aux["l_ctx"] = l_ctx
 
@@ -116,7 +133,7 @@ def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
         target = jax.lax.stop_gradient(
             jnp.take(centers, _assign(f, centers), axis=0))
         sq = jnp.sum((f - target) ** 2, axis=-1)
-        l_clu = _global_mean(jnp.sum(sq * valid), jnp.sum(valid), axis_name)
+        l_clu = _global_mean(jnp.sum(sq * valid), jnp.sum(valid), all_axes)
         total = total + lc.cluster_weight * l_clu
         aux["l_clu"] = l_clu
 
@@ -136,25 +153,29 @@ def _context_loss_terms(s, shat, wm, fm, nbr_valid):
     return jnp.sum(sq * m[..., None]), jnp.sum(m) * s.shape[-1]
 
 
-def _global_mean(num, den, axis_name):
-    if axis_name is not None:
-        num = jax.lax.psum(num, axis_name)
-        den = jax.lax.psum(den, axis_name)
+def _global_mean(num, den, axes):
+    """axes: None, a name, or a tuple of names (empty tuple = no reduction)."""
+    if axes:
+        num = jax.lax.psum(num, axes)
+        den = jax.lax.psum(den, axes)
     return num / jnp.maximum(den, 1.0)
 
 
 def make_train_step(cfg: Config, tx: optax.GradientTransformation,
-                    axis_name: str | None = None, local_batch: int | None = None):
-    """Build the per-device train step. With axis_name, call under shard_map."""
+                    data_axis: str | None = None,
+                    frame_axis: str | None = None):
+    """Build the per-device train step. With axis names, call under shard_map."""
+    all_axes = tuple(a for a in (data_axis, frame_axis) if a)
 
     def step_fn(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
-        if axis_name is not None:
-            row_offset = jax.lax.axis_index(axis_name) * batch["feats"].shape[0]
+        if data_axis is not None:
+            row_offset = jax.lax.axis_index(data_axis) * batch["feats"].shape[0]
         else:
             row_offset = 0
         grad_fn = jax.value_and_grad(compute_losses, has_aux=True)
         (_, aux), grads = grad_fn(state.params, state.centers, batch, cfg,
-                                  row_offset, axis_name, cfg.train.use_pallas)
+                                  row_offset, data_axis, cfg.train.use_pallas,
+                                  frame_axis)
         # NOTE: no explicit psum of grads — shard_map transposes replicated
         # (P()) inputs with a built-in psum, so the per-device grads are
         # already the exact global gradient (verified == single-device run).
@@ -166,7 +187,8 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
             f = aux.pop("sel_feats").reshape(-1, cfg.model.embed_dim)
             valid = aux.pop("sel_valid").reshape(-1)
             refreshed = kmeans_lloyd(f, valid, centers, cfg.loss.kmeans_iters,
-                                     cfg.loss.kmeans_ema, axis_name)
+                                     cfg.loss.kmeans_ema,
+                                     all_axes if all_axes else None)
             do = (state.step % cfg.loss.kmeans_interval) == 0
             centers = jnp.where(do, refreshed, centers)
         else:
@@ -182,17 +204,22 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
 
 
 def build_train_fn(cfg: Config, mesh=None):
-    """jit(shard_map(step)) over the mesh's data axis, or plain jit."""
+    """jit(shard_map(step)) over the mesh (data [+ frame] axes), or plain jit."""
     tx = make_optimizer(cfg)
     if mesh is None:
-        step = make_train_step(cfg, tx, axis_name=None)
+        step = make_train_step(cfg, tx)
         return jax.jit(step, donate_argnums=(0,) if cfg.train.donate else ())
     from jax.sharding import PartitionSpec as P
     axis = cfg.mesh.data_axis_name
-    step = make_train_step(cfg, tx, axis_name=axis)
+    faxis = cfg.mesh.frame_axis_name
+    sp_on = mesh.shape.get(faxis, 1) > 1
+    step = make_train_step(cfg, tx, data_axis=axis,
+                           frame_axis=faxis if sp_on else None)
+    fspec = faxis if sp_on else None
     batch_spec = {
-        "feats": P(axis), "boxes": P(axis), "word_ids": P(axis),
-        "frame_mask": P(axis), "word_mask": P(axis), "segment_id": P(axis),
+        "feats": P(axis, fspec), "boxes": P(axis, fspec),
+        "word_ids": P(axis), "frame_mask": P(axis, fspec),
+        "word_mask": P(axis), "segment_id": P(axis),
     }
     # NOTE: default check_vma must stay ON — it is what makes the transpose of
     # replicated (P()) inputs insert the cross-device psum, so per-device grads

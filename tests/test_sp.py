@@ -1,0 +1,113 @@
+"""Sequence-parallel (frame-sharded) tests: halo exchange, online softmax,
+and full train-step equality vs the single-device run (SURVEY.md §5 item 3)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from nafae_tpu.config import load_config
+from nafae_tpu.data import BatchLoader, SegmentDataset
+from nafae_tpu.parallel import make_mesh
+from nafae_tpu.parallel.sp import halo_exchange, sp_video_scores
+from nafae_tpu.train import TrainState, build_train_fn
+
+OV = ["data.feat_dim=64", "model.feat_dim=64", "model.embed_dim=32",
+      "data.batch_size=8", "data.max_frames=8", "data.num_regions=6",
+      "data.max_words=3", "loss.num_clusters=8", "loss.kmeans_interval=5",
+      "train.warmup_steps=5", "train.log_every=1000", "train.ckpt_every=1000000",
+      "train.eval_every=1000000", "loss.ctx_window=3"]
+
+
+def _frame_mesh(data, frame):
+    return make_mesh(data, frame, devices=jax.devices()[:data * frame])
+
+
+def test_halo_exchange_matches_concat():
+    mesh = _frame_mesh(1, 4)
+    x = jnp.arange(4 * 8 * 3, dtype=jnp.float32).reshape(4, 8, 3)
+
+    def body(x_local):
+        return halo_exchange(x_local, 2, "frame")
+
+    out = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=P(None, "frame"),
+        out_specs=P(None, "frame")))(x)
+    # reassemble: each shard's extended block is [2 halo | 2 local | 2 halo]
+    out = np.asarray(out).reshape(4, 4, 6, 3)   # [B, shard, w+Tl+w, C] blocks
+    xs = np.asarray(x).reshape(4, 4, 2, 3)      # [B, shard, Tl, C]
+    for s in range(4):
+        np.testing.assert_array_equal(out[:, s, 2:4], xs[:, s])
+        if s > 0:
+            np.testing.assert_array_equal(out[:, s, 0:2], xs[:, s - 1])
+        else:
+            np.testing.assert_array_equal(out[:, s, 0:2], 0.0)
+        if s < 3:
+            np.testing.assert_array_equal(out[:, s, 4:6], xs[:, s + 1])
+        else:
+            np.testing.assert_array_equal(out[:, s, 4:6], 0.0)
+
+
+def test_sp_online_softmax_matches_local():
+    from nafae_tpu.ops.grounding import video_scores
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(4, 3, 8).astype(np.float32))
+    wm = jnp.asarray((rng.rand(4, 3) > 0.2).astype(np.float32))
+    fm = jnp.asarray((rng.rand(4, 8) > 0.2).astype(np.float32))
+    s_ref, _ = video_scores(a, wm, fm, 0.5, "attention")
+    mesh = _frame_mesh(1, 4)
+
+    def body(a_l, fm_l):
+        s, _ = sp_video_scores(a_l, wm, fm_l, 0.5, "attention", "frame")
+        return s
+
+    s_sp = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(None, None, "frame"), P(None, "frame")),
+        out_specs=P()))(a, fm)
+    np.testing.assert_allclose(np.asarray(s_sp), np.asarray(s_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mesh_shape,window", [((4, 2), 3), ((2, 2), 3),
+                                               ((1, 4), 2)])
+def test_sp_train_step_matches_single_device(synth_root, mesh_shape, window):
+    """DP×SP shard_map step == single-device step (config4: all losses)."""
+    data, frame = mesh_shape
+    cfg = load_config(preset_name="config4",
+                      overrides=OV + [f"data.root={synth_root}",
+                                      f"mesh.data_axis={data}",
+                                      f"mesh.frame_axis={frame}",
+                                      f"loss.ctx_window={window}"])
+    ds = SegmentDataset(synth_root, "train", cfg.data.max_frames,
+                        cfg.data.num_regions, cfg.data.feat_dim,
+                        cfg.data.max_words)
+    batch = next(iter(BatchLoader(ds, cfg.data.batch_size, shuffle=True,
+                                  seed=0)))
+    s1, m1 = build_train_fn(cfg, None)(
+        TrainState.create(jax.random.PRNGKey(0), cfg), batch)
+    mesh = _frame_mesh(data, frame)
+    s2, m2 = build_train_fn(cfg, mesh)(
+        TrainState.create(jax.random.PRNGKey(0), cfg), batch)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=3e-4, atol=1e-5, err_msg=k)
+    for k in s1.params:
+        np.testing.assert_allclose(np.asarray(s1.params[k]),
+                                   np.asarray(s2.params[k]), atol=2e-6,
+                                   err_msg=k)
+    np.testing.assert_allclose(np.asarray(s1.centers), np.asarray(s2.centers),
+                               atol=1e-5)
+
+
+def test_sp_rejects_window_wider_than_shard():
+    mesh = _frame_mesh(1, 8)
+    x = jnp.zeros((2, 8, 3))
+
+    def body(x_local):
+        return halo_exchange(x_local, 3, "frame")   # Tl=1 < w=3
+
+    with pytest.raises(ValueError, match="halo window"):
+        jax.jit(jax.shard_map(body, mesh=mesh, in_specs=P(None, "frame"),
+                              out_specs=P(None, "frame")))(x)
