@@ -30,6 +30,7 @@ from nafae_tpu.models.detector.rpn import RPNHead, select_proposals
 class FasterRCNNExtractor(nn.Module):
     cfg: DetectorConfig
     use_pallas_roi_align: bool = False
+    use_pallas_nms: bool = False
 
     def setup(self):
         self.backbone = ResNetC4()
@@ -48,12 +49,11 @@ class FasterRCNNExtractor(nn.Module):
             fh, fw, stride, cfg.anchor_scales, cfg.anchor_ratios))
         obj, deltas = self.rpn(feat)                         # [B,N], [B,N,4]
 
-        sel = jax.vmap(functools.partial(
-            select_proposals, image_size=cfg.image_size,
-            pre_nms_topk=cfg.rpn_pre_nms_topk,
-            num_proposals=cfg.num_proposals,
-            nms_iou=cfg.nms_iou_thresh), in_axes=(0, 0, None))
-        boxes, scores = sel(obj, deltas, anchors)            # [B,R,4], [B,R]
+        from nafae_tpu.models.detector.rpn import select_proposals_batched
+        boxes, scores = select_proposals_batched(
+            obj, deltas, anchors, cfg.image_size, cfg.rpn_pre_nms_topk,
+            cfg.num_proposals, cfg.nms_iou_thresh,
+            nms_impl="pallas" if self.use_pallas_nms else "jnp")
 
         if self.use_pallas_roi_align:
             from nafae_tpu.ops.pallas.roi_align import roi_align_pallas
@@ -62,10 +62,11 @@ class FasterRCNNExtractor(nn.Module):
                                                spatial_scale=1.0 / stride)
             )(feat, boxes)
         else:
-            from nafae_tpu.ops.roi_align import roi_align
+            # MXU-native separable-matmul RoIAlign (ops/roi_align.py)
+            from nafae_tpu.ops.roi_align import roi_align_matmul
             pooled = jax.vmap(
-                lambda f, bx: roi_align(f, bx, out_size=7,
-                                        spatial_scale=1.0 / stride)
+                lambda f, bx: roi_align_matmul(f, bx, out_size=7,
+                                               spatial_scale=1.0 / stride)
             )(feat, boxes)                                   # [B,R,7,7,1024]
 
         r = cfg.num_proposals

@@ -27,6 +27,33 @@ class RPNHead(nn.Module):
         return obj.reshape(b, -1), deltas.reshape(b, -1, 4)
 
 
+def select_proposals_batched(obj_logits: jax.Array, deltas: jax.Array,
+                             anchors: jax.Array, image_size: int,
+                             pre_nms_topk: int, num_proposals: int,
+                             nms_iou: float = 0.7,
+                             nms_impl: str = "jnp"
+                             ) -> tuple[jax.Array, jax.Array]:
+    """Batched proposal selection: obj [B,N], deltas [B,N,4] ->
+    (boxes [B,R,4], scores [B,R]). nms_impl="pallas" uses the on-chip
+    suppression kernel (ops/pallas/nms.py)."""
+    k = min(pre_nms_topk, obj_logits.shape[-1])
+    scores, idx = jax.lax.top_k(obj_logits, k)                  # [B,k]
+    boxes = jax.vmap(lambda i, d: decode_boxes(
+        jnp.take(anchors, i, axis=0), d, image_size))(
+        idx, jnp.take_along_axis(deltas, idx[..., None], axis=1))
+    if nms_impl == "pallas":
+        from nafae_tpu.ops.pallas.nms import nms_pallas
+        keep_idx, keep_valid = nms_pallas(boxes, scores, num_proposals,
+                                          nms_iou)
+    else:
+        from nafae_tpu.ops.nms import batched_nms
+        keep_idx, keep_valid = batched_nms(boxes, scores, num_proposals,
+                                           nms_iou)
+    out_boxes = jnp.take_along_axis(boxes, keep_idx[..., None], axis=1)
+    out_scores = jnp.take_along_axis(scores, keep_idx, axis=1) * keep_valid
+    return out_boxes * keep_valid[..., None], out_scores
+
+
 def select_proposals(obj_logits: jax.Array, deltas: jax.Array,
                      anchors: jax.Array, image_size: int,
                      pre_nms_topk: int, num_proposals: int,

@@ -6,3 +6,5 @@ rows tagged NATIVE: similarity+MIL fusion, context window, RoIAlign, NMS.
 """
 
 from nafae_tpu.ops.pallas.fused_ground import cross_mil  # noqa: F401
+from nafae_tpu.ops.pallas.nms import nms_pallas  # noqa: F401
+from nafae_tpu.ops.pallas.roi_align import roi_align_pallas  # noqa: F401

@@ -65,3 +65,47 @@ def roi_align(feat: jax.Array, boxes: jax.Array, out_size: int = 7,
     s = out_size
     pooled = samples.reshape(n, s, sr, s, sr, c).mean(axis=(2, 4))
     return pooled
+
+
+def bilinear_weights(coords: jax.Array, size: int, out_size: int,
+                     sampling_ratio: int) -> jax.Array:
+    """Separable bilinear pooling weights along one axis.
+
+    coords: (lo, hi) [N,2] box extent on this axis (feature coords).
+    Returns Wm [N, out_size, size] with
+      Wm[n,p,h] = mean over the cell's samples of relu(1 - |py - h|),
+    i.e. RoIAlign's bilinear kernel — clamped at the borders exactly like the
+    gather implementation (sample coords clipped to [0, size-1]).
+    """
+    lo, hi = coords[:, 0], coords[:, 1]
+    extent = jnp.maximum(hi - lo, 1.0)
+    cell = extent / out_size                                  # [N]
+    sr = sampling_ratio
+    grid = (jnp.arange(out_size * sr) + 0.5) / sr             # [P*sr] cell units
+    pts = lo[:, None] + grid[None, :] * cell[:, None]         # [N, P*sr]
+    pts = jnp.clip(pts - 0.5, 0.0, size - 1.0)
+    idx = jnp.arange(size, dtype=pts.dtype)
+    w = jax.nn.relu(1.0 - jnp.abs(pts[:, :, None] - idx[None, None, :]))
+    # border clamp: a clipped point sits exactly on cell 0 / size-1 -> weight 1
+    n = coords.shape[0]
+    return w.reshape(n, out_size, sr, size).mean(axis=2)      # [N,P,size]
+
+
+def roi_align_matmul(feat: jax.Array, boxes: jax.Array, out_size: int = 7,
+                     spatial_scale: float = 1.0, sampling_ratio: int = 2
+                     ) -> jax.Array:
+    """MXU-native RoIAlign: the bilinear kernel is separable, so the whole op
+    is two batched matmuls, out = Wy @ feat @ Wxᵀ — no gathers at all. This is
+    the production TPU formulation (the CUDA kernel the reference lineage uses
+    is gather-based; gathers are the wrong primitive on TPU). Matches
+    `roi_align` to float tolerance (tested)."""
+    h, w, c = feat.shape
+    b = boxes * spatial_scale
+    wy = bilinear_weights(b[:, (1, 3)], h, out_size, sampling_ratio)  # [N,P,H]
+    wx = bilinear_weights(b[:, (0, 2)], w, out_size, sampling_ratio)  # [N,P,W]
+    mid = jnp.einsum("nph,hwc->npwc", wy, feat,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("nqw,npwc->npqc", wx, mid,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)

@@ -66,3 +66,55 @@ def test_cross_scores_pallas_impl_matches():
         sp = G.cross_scores(w, wm, v, fm, 0.1, pool, impl="pallas")
         np.testing.assert_allclose(np.asarray(sp), np.asarray(sj),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_roi_align_pallas_matches_reference():
+    from nafae_tpu.ops.roi_align import roi_align, roi_align_matmul
+    from nafae_tpu.ops.pallas.roi_align import roi_align_pallas
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.randn(12, 14, 8).astype(np.float32))
+    xy = rng.rand(5, 2) * 8
+    wh = rng.rand(5, 2) * 8 + 2
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], 1).astype(np.float32))
+    ref = roi_align(feat, boxes, out_size=7, spatial_scale=0.5)
+    mm = roi_align_matmul(feat, boxes, out_size=7, spatial_scale=0.5)
+    pk = roi_align_pallas(feat, boxes, out_size=7, spatial_scale=0.5)
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pk), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_nms_pallas_matches_reference():
+    from nafae_tpu.ops.nms import batched_nms
+    from nafae_tpu.ops.pallas.nms import nms_pallas
+    rng = np.random.RandomState(1)
+    B, N = 3, 40
+    xy = rng.rand(B, N, 2) * 80
+    wh = rng.rand(B, N, 2) * 40 + 5
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+    scores = jnp.asarray(rng.rand(B, N).astype(np.float32))
+    ri, rv = batched_nms(boxes, scores, 10, 0.5)
+    pi, pv = nms_pallas(boxes, scores, 10, 0.5)
+    np.testing.assert_array_equal(np.asarray(rv), np.asarray(pv))
+    mask = np.asarray(rv) > 0
+    np.testing.assert_array_equal(np.asarray(ri)[mask], np.asarray(pi)[mask])
+
+
+def test_detector_pallas_kernels_end_to_end():
+    from nafae_tpu.config import DetectorConfig
+    from nafae_tpu.models.detector.faster_rcnn import FasterRCNNExtractor
+    cfg = DetectorConfig(image_size=64, num_proposals=5, rpn_pre_nms_topk=32,
+                         anchor_scales=(16, 32),
+                         anchor_ratios=(0.5, 1.0, 2.0))
+    imgs = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3)
+                       .astype(np.float32))
+    ref_model = FasterRCNNExtractor(cfg)
+    params = ref_model.init(jax.random.PRNGKey(0), imgs)
+    ref = ref_model.apply(params, imgs)
+    pal = FasterRCNNExtractor(cfg, use_pallas_roi_align=True,
+                              use_pallas_nms=True).apply(params, imgs)
+    np.testing.assert_allclose(np.asarray(pal["boxes"]),
+                               np.asarray(ref["boxes"]), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pal["feats"]),
+                               np.asarray(ref["feats"]), rtol=1e-3, atol=1e-3)
