@@ -60,13 +60,28 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
                    row_offset, data_axis: str | None = None,
                    use_pallas: bool = False,
-                   frame_axis: str | None = None) -> tuple[jax.Array, dict]:
+                   frame_axis: str | None = None,
+                   extractor=None) -> tuple[jax.Array, dict]:
     """Total loss + aux for one (local) batch shard. Exact under DP and SP:
     every cross-device reduction is a psum of numerators/denominators (frame-
     softmax is an online softmax across frame shards), so the value equals the
-    single-device run on the full global batch (tested)."""
+    single-device run on the full global batch (tested).
+
+    extractor: optional frozen (apply_fn, params) Faster R-CNN; when given and
+    the batch carries raw "frames" [B,T,H,W,3], RoI features are computed
+    inline — decode -> detector -> losses in ONE XLA program, no disk
+    round-trip (BASELINE config 5; SURVEY.md L205-213)."""
     lc, mc = cfg.loss, cfg.model
     all_axes = tuple(a for a in (data_axis, frame_axis) if a)
+    if extractor is not None and "frames" in batch:
+        apply_fn, det_params = extractor
+        frames = batch["frames"]                       # [B,T,H,W,3]
+        b_, t_ = frames.shape[:2]
+        det = apply_fn(det_params, frames.reshape((b_ * t_,) + frames.shape[2:]))
+        det = jax.lax.stop_gradient(det)               # detector is frozen
+        batch = dict(batch)
+        batch["feats"] = det["feats"].reshape(b_, t_, *det["feats"].shape[1:])
+        batch["boxes"] = det["boxes"].reshape(b_, t_, *det["boxes"].shape[1:])
     feats = batch["feats"]
     fm, wm = batch["frame_mask"], batch["word_mask"]
     ctx_on = lc.ctx_weight > 0 or mc.frame_pool == "context"
@@ -163,7 +178,8 @@ def _global_mean(num, den, axes):
 
 def make_train_step(cfg: Config, tx: optax.GradientTransformation,
                     data_axis: str | None = None,
-                    frame_axis: str | None = None):
+                    frame_axis: str | None = None,
+                    extractor=None):
     """Build the per-device train step. With axis names, call under shard_map."""
     all_axes = tuple(a for a in (data_axis, frame_axis) if a)
 
@@ -175,7 +191,7 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
         grad_fn = jax.value_and_grad(compute_losses, has_aux=True)
         (_, aux), grads = grad_fn(state.params, state.centers, batch, cfg,
                                   row_offset, data_axis, cfg.train.use_pallas,
-                                  frame_axis)
+                                  frame_axis, extractor)
         # NOTE: no explicit psum of grads — shard_map transposes replicated
         # (P()) inputs with a built-in psum, so the per-device grads are
         # already the exact global gradient (verified == single-device run).
@@ -203,24 +219,33 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
     return step_fn
 
 
-def build_train_fn(cfg: Config, mesh=None):
-    """jit(shard_map(step)) over the mesh (data [+ frame] axes), or plain jit."""
+def build_train_fn(cfg: Config, mesh=None, extractor=None, with_frames=False):
+    """jit(shard_map(step)) over the mesh (data [+ frame] axes), or plain jit.
+
+    extractor: frozen (apply_fn, params) detector for the inline config-5
+    path; batches must then carry "frames" instead of "feats"/"boxes".
+    """
     tx = make_optimizer(cfg)
     if mesh is None:
-        step = make_train_step(cfg, tx)
+        step = make_train_step(cfg, tx, extractor=extractor)
         return jax.jit(step, donate_argnums=(0,) if cfg.train.donate else ())
     from jax.sharding import PartitionSpec as P
     axis = cfg.mesh.data_axis_name
     faxis = cfg.mesh.frame_axis_name
     sp_on = mesh.shape.get(faxis, 1) > 1
     step = make_train_step(cfg, tx, data_axis=axis,
-                           frame_axis=faxis if sp_on else None)
+                           frame_axis=faxis if sp_on else None,
+                           extractor=extractor)
     fspec = faxis if sp_on else None
     batch_spec = {
-        "feats": P(axis, fspec), "boxes": P(axis, fspec),
         "word_ids": P(axis), "frame_mask": P(axis, fspec),
         "word_mask": P(axis), "segment_id": P(axis),
     }
+    if with_frames:
+        batch_spec["frames"] = P(axis, fspec)
+    else:
+        batch_spec["feats"] = P(axis, fspec)
+        batch_spec["boxes"] = P(axis, fspec)
     # NOTE: default check_vma must stay ON — it is what makes the transpose of
     # replicated (P()) inputs insert the cross-device psum, so per-device grads
     # equal the exact global gradient (verified against the single-device run).

@@ -1,0 +1,116 @@
+"""Config-5 end-to-end path: inline detector in the train step, RoboWatch
+transfer eval, golden config-1 number, determinism (SURVEY.md §5 items 4-5)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nafae_tpu.config import load_config
+from nafae_tpu.train import TrainState, build_train_fn
+
+
+def test_inline_detector_train_step():
+    """decode -> detector -> all losses in ONE jitted program (config 5)."""
+    from nafae_tpu.models.detector.faster_rcnn import init_detector
+    cfg = load_config(preset_name="config5", overrides=[
+        "model.feat_dim=2048", "model.embed_dim=32", "data.batch_size=2",
+        "data.max_frames=3", "data.num_regions=4", "data.max_words=3",
+        "loss.num_clusters=4", "loss.ctx_window=2", "loss.kmeans_interval=1",
+        "detector.image_size=64", "detector.num_proposals=4",
+        "detector.rpn_pre_nms_topk=16", "train.donate=false",
+        "train.warmup_steps=0",
+    ])
+    cfg.detector.anchor_scales = (16, 32)
+    model, det_params = init_detector(jax.random.PRNGKey(1), cfg.detector)
+    extractor = (model.apply, det_params)
+    rng = np.random.RandomState(0)
+    batch = {
+        "frames": jnp.asarray(rng.rand(2, 3, 64, 64, 3).astype(np.float32)),
+        "word_ids": jnp.asarray(rng.randint(0, 67, (2, 3)).astype(np.int32)),
+        "frame_mask": jnp.ones((2, 3)),
+        "word_mask": jnp.ones((2, 3)),
+        "segment_id": jnp.arange(2, dtype=jnp.int32),
+    }
+    state = TrainState.create(jax.random.PRNGKey(0), cfg)
+    fn = build_train_fn(cfg, None, extractor=extractor)
+    new_state, metrics = fn(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert {"l_rank", "l_ctx", "l_clu"} <= set(metrics)
+    # grounding params trained, detector frozen (not in state at all)
+    changed = any(float(jnp.abs(new_state.params[k] - state.params[k]).max())
+                  > 0 for k in state.params)
+    assert changed
+
+
+def test_robowatch_transfer_eval(synth_root, tmp_path):
+    """Train on 'YouCook2' fixtures, evaluate zero-shot on a differently-
+    seeded 'RoboWatch' fixture through the identical metric path."""
+    from nafae_tpu.data.robowatch import RoboWatchDataset
+    from nafae_tpu.data.synthetic import generate_synthetic_dataset
+    from nafae_tpu.evaluate import evaluate
+    rw_root = str(tmp_path / "robowatch")
+    generate_synthetic_dataset(rw_root, "val", num_segments=6, feat_dim=64,
+                               num_regions=6, min_frames=3, max_frames=8,
+                               max_words=3, seed=99, class_pool=8)
+    ds = RoboWatchDataset(rw_root, max_frames=8, num_regions=6, feat_dim=64,
+                          max_words=3)
+    cfg = load_config(preset_name="config1", overrides=[
+        "data.feat_dim=64", "model.feat_dim=64", "model.embed_dim=32"])
+    state = TrainState.create(jax.random.PRNGKey(0), cfg)
+    r = evaluate(state.params, ds, batch_size=4, num_classes=67)
+    assert r["num_annotations"] > 0
+    assert 0.0 <= r["box_acc_micro"] <= 1.0
+
+
+GOLDEN_ACC = 0.8961038961038961  # oracle params, seed-1 val fixture (69/77)
+
+
+def test_golden_config1_accuracy(synth_root):
+    """Checked-in exact accuracy on the standard fixture (SURVEY §5 item 4).
+
+    Any change to eval semantics, masking, IoU, or fixture generation moves
+    this number — update it deliberately, never casually.
+    """
+    from nafae_tpu.data.synthetic import _class_directions
+    from nafae_tpu.evaluate import evaluate_config
+    cfg = load_config(preset_name="config1", overrides=[
+        "data.feat_dim=64", "model.feat_dim=64", "model.embed_dim=32",
+        f"data.root={synth_root}"])
+    dirs = _class_directions(67, 64)
+    w = dirs.T[:, :32].astype(np.float32)
+    oracle = {"word_emb": jnp.asarray(dirs @ w), "w_v": jnp.asarray(w),
+              "b_v": jnp.zeros(32)}
+    r = evaluate_config(cfg, params=oracle)
+    np.testing.assert_allclose(r["box_acc_micro"], GOLDEN_ACC, atol=1e-9)
+
+
+def test_eval_deterministic(synth_root):
+    """Fixed params -> bitwise-stable eval across runs (SURVEY §5 item 5)."""
+    from nafae_tpu.evaluate import evaluate_config
+    cfg = load_config(preset_name="config1", overrides=[
+        "data.feat_dim=64", "model.feat_dim=64", "model.embed_dim=32",
+        f"data.root={synth_root}"])
+    state = TrainState.create(jax.random.PRNGKey(7), cfg)
+    r1 = evaluate_config(cfg, params=state.params)
+    r2 = evaluate_config(cfg, params=state.params)
+    assert r1 == r2
+
+
+def test_train_deterministic(synth_root, tmp_path):
+    """Same seed -> identical params after training (full determinism)."""
+    from nafae_tpu.train import fit
+    runs = []
+    for i in range(2):
+        cfg = load_config(preset_name="config4", overrides=[
+            "data.feat_dim=64", "model.feat_dim=64", "model.embed_dim=32",
+            "data.batch_size=8", "data.max_frames=8", "data.num_regions=6",
+            "data.max_words=3", "loss.num_clusters=8", "train.steps=5",
+            "train.warmup_steps=2", "train.log_every=100",
+            "train.ckpt_every=100000", "train.eval_every=100000",
+            f"train.ckpt_dir={tmp_path}/det{i}", f"data.root={synth_root}"])
+        state, _ = fit(cfg)
+        runs.append(jax.tree.map(np.asarray, state.params))
+    for k in runs[0]:
+        np.testing.assert_array_equal(runs[0][k], runs[1][k])
