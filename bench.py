@@ -37,34 +37,44 @@ def make_batch(s, seed=0):
     }
 
 
-def bench_jax(s, iters=20, warmup=3, use_pallas=True, dtype="bfloat16"):
+def bench_jax(s, iters=32, warmup=1, use_pallas=True, dtype="bfloat16",
+              steps_per_call=16):
     import jax
 
     from nafae_tpu.config import load_config
-    from nafae_tpu.train import TrainState, build_train_fn
+    from nafae_tpu.train import TrainState, make_optimizer, make_train_step
 
     cfg = load_config(preset_name="config4", overrides=[
         f"model.feat_dim={s['D']}", f"model.embed_dim={s['E']}",
         f"data.batch_size={s['B']}", f"loss.num_clusters={s['KC']}",
         f"loss.ctx_window={s['W']}", "loss.kmeans_interval=100",
         f"train.use_pallas={'true' if use_pallas else 'false'}",
-        f"model.dtype={dtype}",
+        f"model.dtype={dtype}", "model.matmul_precision=default",
     ])
     batch = {k: jax.device_put(v) for k, v in make_batch(s).items()}
+    step = make_train_step(cfg, make_optimizer(cfg))
+
+    # Timing protocol: scan steps_per_call optimizer steps inside ONE XLA
+    # execution (this host's per-dispatch overhead is 3-12 ms — per-call
+    # python-loop timing measures the tunnel, not the chip), then force a
+    # host fetch of the updated params to bound the computation.
+    @jax.jit
+    def multi(state, batch):
+        def body(st, _):
+            st, metrics = step(st, batch)
+            return st, metrics["loss"]
+        return jax.lax.scan(body, state, None, length=steps_per_call)
+
     state = TrainState.create(jax.random.PRNGKey(0), cfg)
-    fn = build_train_fn(cfg, None)
     for _ in range(warmup):
-        state, metrics = fn(state, batch)
-    loss = float(metrics["loss"])
-    # Timing protocol: chain `iters` dependent steps, then force a host fetch
-    # of the UPDATED PARAMS. block_until_ready on the scalar metrics under-
-    # reports wildly on the tunneled backend (observed "98us" for 40ms steps);
-    # fetching state the last step wrote bounds the full chain.
+        state, losses = multi(state, batch)
+    loss = float(losses[-1])
+    ncalls = max(1, iters // steps_per_call)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = fn(state, batch)
+    for _ in range(ncalls):
+        state, losses = multi(state, batch)
     float(np.asarray(state.params["w_v"])[0, 0])
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / (ncalls * steps_per_call)
     return s["B"] * s["T"] / dt, dt, loss
 
 
@@ -151,7 +161,7 @@ def get_baseline(s, remeasure=False):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
-    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--iters", type=int, default=32)
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--remeasure-baseline", action="store_true")
     args = p.parse_args()

@@ -20,6 +20,7 @@ class ModelConfig:
     frame_pool: str = "attention"  # "attention" | "mean" | "context"
     frame_attn_temp: float = 0.1   # τ_f in docs/MATH.md §Forward
     dtype: str = "float32"         # compute dtype for the sim einsum ("bfloat16" on TPU)
+    matmul_precision: str = "highest"  # "default" = fast bf16 MXU passes everywhere
 
 
 @dataclass
@@ -66,6 +67,8 @@ class TrainConfig:
     eval_every: int = 1000
     use_pallas: bool = False      # fused Pallas grounding kernel vs pure-jnp path
     donate: bool = True
+    steps_per_call: int = 1       # lax.scan this many steps inside ONE XLA call
+                                  # (amortizes dispatch; batches stack on a lead axis)
 
 
 @dataclass

@@ -16,10 +16,30 @@ import jax.numpy as jnp
 
 NEG = -1e9
 
-# All einsums request full input-dtype precision: on TPU the default would run
-# f32 contractions via bf16 MXU passes (~1e-3 error), breaking oracle parity.
-# The fast path opts into bf16 explicitly via compute_dtype, not silently.
+# All einsums request full input-dtype precision by default: on TPU the
+# default would run f32 contractions via bf16 MXU passes (~1e-3 error),
+# breaking oracle parity. The fast path opts into reduced precision
+# explicitly via compute_dtype + matmul_precision(), not silently.
+# PRECISION is read at trace time (call sites pass `precision=PRECISION`
+# late-bound through the module global), so the context manager below can
+# retarget a whole jitted trace — including the einsum TRANSPOSES in the
+# backward pass, where f32 cotangents would otherwise force 6-pass matmuls.
 PRECISION = jax.lax.Precision.HIGHEST
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def matmul_precision(p):
+    """Trace-time precision override: "highest" (default) or "default"."""
+    global PRECISION
+    old = PRECISION
+    PRECISION = (jax.lax.Precision.HIGHEST if str(p) == "highest"
+                 else jax.lax.Precision.DEFAULT)
+    try:
+        yield
+    finally:
+        PRECISION = old
 
 
 def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-8) -> jax.Array:
@@ -153,7 +173,12 @@ def context_similarity_ext(s_ext: jax.Array, alpha: jax.Array,
                            nbr_valid: jax.Array, cross: bool = False,
                            dtype=None) -> jax.Array:
     """Extended-array form: s_ext has w halo frames at both ends of axis -2
-    (zeros when unsharded, real neighbor-shard frames under SP)."""
+    (zeros when unsharded, real neighbor-shard frames under SP).
+
+    Kept as the direct (gather-s) formulation for reference/testing; the
+    production path uses context_mixed_regions + one einsum (identical math,
+    factored through the embedding axis — see that docstring).
+    """
     O = alpha.shape[3]
     T = alpha.shape[1]
     w = O // 2
@@ -170,6 +195,38 @@ def context_similarity_ext(s_ext: jax.Array, alpha: jax.Array,
     num = jnp.sum(contrib * nv, axis=-1)
     den = jnp.maximum(jnp.sum(nv, axis=-1), 1.0)
     return num / den
+
+
+def context_mixed_regions(v_ext: jax.Array, alpha: jax.Array,
+                          nbr_valid: jax.Array, dtype=None) -> jax.Array:
+    """Context-mixed region embeddings u[b,t,r,:] (the production ctx path).
+
+    Because ŝ is linear in s and s is linear in v̂, the context target
+    factors through the embedding axis:
+
+        ŝ[b,k,t,r] = ŵ[b,k] · u[b,t,r],
+        u[b,t,r]   = Σ_o nv·Σ_s α[b,t,r,o,s]·v̂[b,t+o,s] / Σ_o nv.
+
+    u is SENTENCE-INDEPENDENT, so the cross-batch context similarity is one
+    [J,K,E]x[I,T,R,E] einsum instead of a 6-D contraction over all neighbor
+    regions — ~O(J·K/ (O·S))x less work and no [I,J,K,T,O,S] intermediate.
+    Identical math to context_similarity_ext (tested to float tolerance).
+
+    v_ext [B, w+T+w, R, E] (halo form), alpha [B,T,R,O,S], nbr_valid [B,T,O].
+    """
+    O = alpha.shape[3]
+    w = O // 2
+    T = alpha.shape[1]
+    offsets = _offsets(w)
+    center = jnp.arange(T) + w
+    v_nbr = jnp.stack([v_ext[:, center + o] for o in offsets], axis=2)
+    # [B,T,O,S,E]
+    a_nv = alpha * nbr_valid[:, :, None, :, None]             # fold validity
+    a_nv, v_nbr = _cast2(a_nv.astype(v_ext.dtype), v_nbr, dtype)
+    num = jnp.einsum("btros,btose->btre", a_nv, v_nbr,
+                     preferred_element_type=jnp.float32, precision=PRECISION)
+    den = jnp.maximum(jnp.sum(nbr_valid, axis=-1), 1.0)       # [B,T]
+    return num / den[:, :, None, None]
 
 
 def _gather_neighbors(s_ext: jax.Array, T: int, window: int) -> jax.Array:
@@ -198,19 +255,33 @@ def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
     fm = frame_mask[:, None, :]                               # video i frames [I,1,T]
     wm = word_mask[None, :, :]                                # sentence j words [1,J,K]
     ctx_pool = pool == "context" and ctx_window > 0
-    if impl == "pallas" and not ctx_pool:
+    u = None
+    if ctx_pool:
+        # context pooling: ŝ factors through the (sentence-independent)
+        # context-mixed region embeddings u — one extra cross einsum total
+        w_ = ctx_window
+        v_ext = jnp.pad(v_emb, ((0, 0), (w_, w_), (0, 0), (0, 0)))
+        fm_ext = jnp.pad(frame_mask, ((0, 0), (w_, w_)))
+        alpha, nbr_valid = region_affinity_ext(v_ext, fm_ext, w_, ctx_temp,
+                                               dtype=dtype)
+        u = context_mixed_regions(v_ext, alpha, nbr_valid, dtype=dtype)
+    if impl == "pallas":
         from nafae_tpu.ops.pallas.fused_ground import cross_mil
         a = cross_mil(w_emb, v_emb, frame_mask)               # [I,J,K,T]
-        return video_scores(a, wm, fm, temp, pool)[0]
+        frame_logits = None
+        if ctx_pool:
+            ahat = cross_mil(w_emb, u, frame_mask)
+            frame_logits = _masked_word_mean(ahat, wm)
+        return video_scores(a, wm, fm, temp, pool, frame_logits=frame_logits)[0]
     we, ve = _cast2(w_emb, v_emb, dtype)
     s = jnp.einsum("jke,itre->ijktr", we, ve,
                    preferred_element_type=jnp.float32, precision=PRECISION)        # [I,J,K,T,R]
     a = frame_mil_max(s, fm)                                  # [I,J,K,T]
     frame_logits = None
     if ctx_pool:
-        alpha, nbr_valid = region_affinity(v_emb, frame_mask, ctx_window,
-                                           ctx_temp, dtype=dtype)
-        shat = context_similarity(s, alpha, nbr_valid, cross=True, dtype=dtype)
+        we2, ue = _cast2(w_emb, u, dtype)
+        shat = jnp.einsum("jke,itre->ijktr", we2, ue,
+                          preferred_element_type=jnp.float32, precision=PRECISION)
         ahat = frame_mil_max(shat, fm)
         frame_logits = _masked_word_mean(ahat, wm)
     return video_scores(a, wm, fm, temp, pool, frame_logits=frame_logits)[0]
@@ -234,10 +305,14 @@ def ground_forward(params: dict, feats: jax.Array, word_ids: jax.Array,
     out = {"w_emb": w_emb, "v_emb": v_emb, "s": s, "a": a}
     frame_logits = None
     if ctx_window > 0:
-        alpha, nbr_valid = region_affinity(v_emb, frame_mask, ctx_window, ctx_temp)
-        shat = context_similarity(s, alpha, nbr_valid)
+        w_ = ctx_window
+        v_ext = jnp.pad(v_emb, ((0, 0), (w_, w_), (0, 0), (0, 0)))
+        fm_ext = jnp.pad(frame_mask, ((0, 0), (w_, w_)))
+        alpha, nbr_valid = region_affinity_ext(v_ext, fm_ext, w_, ctx_temp)
+        u = context_mixed_regions(v_ext, alpha, nbr_valid)
+        shat = similarity_tensor(w_emb, u)
         ahat = frame_mil_max(shat, frame_mask)
-        out.update(alpha=alpha, nbr_valid=nbr_valid, shat=shat, ahat=ahat)
+        out.update(alpha=alpha, nbr_valid=nbr_valid, shat=shat, ahat=ahat, u=u)
         if pool == "context":
             frame_logits = _masked_word_mean(ahat, word_mask)
     score, beta = video_scores(a, word_mask, frame_mask, temp, pool,

@@ -100,11 +100,15 @@ def sp_cross_scores(w_emb: jax.Array, word_mask: jax.Array,
     a = G.frame_mil_max(s, fm)
     frame_logits = None
     if pool == "context" and ctx_window > 0:
-        alpha, nbr_valid = sp_region_affinity(v_emb, frame_mask, ctx_window,
-                                              ctx_temp, frame_axis, dtype)
-        s_ext = halo_exchange(s, ctx_window, frame_axis, t_axis=3)
-        shat = G.context_similarity_ext(s_ext, alpha, nbr_valid, cross=True,
-                                        dtype=dtype)
+        v_ext = halo_exchange(v_emb, ctx_window, frame_axis)
+        fm_ext = halo_exchange(frame_mask, ctx_window, frame_axis)
+        alpha, nbr_valid = G.region_affinity_ext(v_ext, fm_ext, ctx_window,
+                                                 ctx_temp, dtype=dtype)
+        u = G.context_mixed_regions(v_ext, alpha, nbr_valid, dtype=dtype)
+        ue, we2 = G._cast2(u, w_emb, dtype)
+        shat = jnp.einsum("jke,itre->ijktr", we2, ue,
+                          preferred_element_type=jnp.float32,
+                          precision=G.PRECISION)
         ahat = G.frame_mil_max(shat, fm)
         frame_logits = G._masked_word_mean(ahat, wm)
     return sp_video_scores(a, wm, fm, temp,

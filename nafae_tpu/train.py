@@ -73,6 +73,8 @@ def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
     round-trip (BASELINE config 5; SURVEY.md L205-213)."""
     lc, mc = cfg.loss, cfg.model
     all_axes = tuple(a for a in (data_axis, frame_axis) if a)
+    _prec = G.matmul_precision(mc.matmul_precision)
+    _prec.__enter__()
     if extractor is not None and "frames" in batch:
         apply_fn, det_params = extractor
         frames = batch["frames"]                       # [B,T,H,W,3]
@@ -123,17 +125,18 @@ def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
 
     # --- contextual similarity loss ------------------------------------------
     if ctx_on:
+        w_ = lc.ctx_window
         if frame_axis is not None:
             from nafae_tpu.parallel import sp
-            alpha, nbr_valid = sp.sp_region_affinity(
-                v_emb, fm, lc.ctx_window, lc.ctx_temp, frame_axis, dtype=cdt)
-            shat = sp.sp_context_similarity(s, alpha, nbr_valid,
-                                            lc.ctx_window, frame_axis,
-                                            dtype=cdt)
+            v_ext = sp.halo_exchange(v_emb, w_, frame_axis)
+            fm_ext = sp.halo_exchange(fm, w_, frame_axis)
         else:
-            alpha, nbr_valid = G.region_affinity(v_emb, fm, lc.ctx_window,
+            v_ext = jnp.pad(v_emb, ((0, 0), (w_, w_), (0, 0), (0, 0)))
+            fm_ext = jnp.pad(fm, ((0, 0), (w_, w_)))
+        alpha, nbr_valid = G.region_affinity_ext(v_ext, fm_ext, w_,
                                                  lc.ctx_temp, dtype=cdt)
-            shat = G.context_similarity(s, alpha, nbr_valid, dtype=cdt)
+        u = G.context_mixed_regions(v_ext, alpha, nbr_valid, dtype=cdt)
+        shat = G.similarity_tensor(w_emb, u, dtype=cdt)
         if lc.ctx_weight > 0:
             l_ctx = _global_mean(*_context_loss_terms(s, shat, wm, fm, nbr_valid),
                                  all_axes)
@@ -153,6 +156,7 @@ def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
         aux["l_clu"] = l_clu
 
     aux["loss"] = total
+    _prec.__exit__(None, None, None)
     return total, aux
 
 
@@ -219,6 +223,30 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
     return step_fn
 
 
+def make_multi_step(step_fn, steps_per_call: int):
+    """Scan `step_fn` over batches stacked on a leading [S, ...] axis.
+
+    One XLA execution runs S optimizer steps — essential on dispatch-latency-
+    bound hosts (the tunneled single-chip backend here costs 3-12 ms per
+    execute) and a throughput win everywhere. Returns (state, metrics of the
+    LAST step).
+    """
+
+    def multi(state, batches):
+        def body(st, batch):
+            st, metrics = step_fn(st, batch)
+            return st, metrics
+        state, ms = jax.lax.scan(body, state, batches, length=steps_per_call)
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    return multi
+
+
+def stack_batches(batches: list) -> dict:
+    import numpy as np
+    return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+
+
 def build_train_fn(cfg: Config, mesh=None, extractor=None, with_frames=False):
     """jit(shard_map(step)) over the mesh (data [+ frame] axes), or plain jit.
 
@@ -226,8 +254,11 @@ def build_train_fn(cfg: Config, mesh=None, extractor=None, with_frames=False):
     path; batches must then carry "frames" instead of "feats"/"boxes".
     """
     tx = make_optimizer(cfg)
+    spc = cfg.train.steps_per_call
     if mesh is None:
         step = make_train_step(cfg, tx, extractor=extractor)
+        if spc > 1:
+            step = make_multi_step(step, spc)
         return jax.jit(step, donate_argnums=(0,) if cfg.train.donate else ())
     from jax.sharding import PartitionSpec as P
     axis = cfg.mesh.data_axis_name
@@ -236,16 +267,19 @@ def build_train_fn(cfg: Config, mesh=None, extractor=None, with_frames=False):
     step = make_train_step(cfg, tx, data_axis=axis,
                            frame_axis=faxis if sp_on else None,
                            extractor=extractor)
+    if spc > 1:
+        step = make_multi_step(step, spc)
     fspec = faxis if sp_on else None
+    lead = (None,) if spc > 1 else ()      # leading scan axis is replicated
     batch_spec = {
-        "word_ids": P(axis), "frame_mask": P(axis, fspec),
-        "word_mask": P(axis), "segment_id": P(axis),
+        "word_ids": P(*lead, axis), "frame_mask": P(*lead, axis, fspec),
+        "word_mask": P(*lead, axis), "segment_id": P(*lead, axis),
     }
     if with_frames:
-        batch_spec["frames"] = P(axis, fspec)
+        batch_spec["frames"] = P(*lead, axis, fspec)
     else:
-        batch_spec["feats"] = P(axis, fspec)
-        batch_spec["boxes"] = P(axis, fspec)
+        batch_spec["feats"] = P(*lead, axis, fspec)
+        batch_spec["boxes"] = P(*lead, axis, fspec)
     # NOTE: default check_vma must stay ON — it is what makes the transpose of
     # replicated (P()) inputs insert the cross-device psum, so per-device grads
     # equal the exact global gradient (verified against the single-device run).
@@ -285,9 +319,18 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
     frames_per_batch = cfg.data.batch_size * cfg.data.max_frames
     t0 = time.perf_counter()
     metrics = {}
+    spc = cfg.train.steps_per_call
+    pending = []
     for step, batch in loader.steps(cfg.train.steps - start_step):
         gstep = start_step + step
-        state, metrics = train_fn(state, batch)
+        if spc > 1:
+            pending.append(batch)
+            if len(pending) < spc:
+                continue  # a trailing partial group is dropped (static scan len)
+            state, metrics = train_fn(state, stack_batches(pending))
+            pending = []
+        else:
+            state, metrics = train_fn(state, batch)
         if (gstep + 1) % cfg.train.log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
             dt = time.perf_counter() - t0
