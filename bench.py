@@ -162,13 +162,14 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--iters", type=int, default=32)
-    p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--pallas", action="store_true",
+                   help="route similarity+MIL through the fused Pallas kernel "
+                        "(XLA batched einsums are faster at bench shapes)")
     p.add_argument("--remeasure-baseline", action="store_true")
     args = p.parse_args()
     s = QUICK if args.quick else SHAPES
 
-    fps, dt, loss = bench_jax(s, iters=args.iters,
-                              use_pallas=not args.no_pallas)
+    fps, dt, loss = bench_jax(s, iters=args.iters, use_pallas=args.pallas)
     base = get_baseline(s, remeasure=args.remeasure_baseline)
     print(json.dumps({
         "metric": "grounding_train_frames_per_sec_per_chip",

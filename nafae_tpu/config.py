@@ -21,6 +21,7 @@ class ModelConfig:
     frame_attn_temp: float = 0.1   # τ_f in docs/MATH.md §Forward
     dtype: str = "float32"         # compute dtype for the sim einsum ("bfloat16" on TPU)
     matmul_precision: str = "highest"  # "default" = fast bf16 MXU passes everywhere
+    word_vectors: str = ""         # optional GloVe-style init file for word_emb
 
 
 @dataclass

@@ -102,10 +102,13 @@ def main(argv=None):
     p.add_argument("--config", default=None)
     p.add_argument("--override", nargs="*", default=[])
     p.add_argument("--split", default="val")
+    p.add_argument("--per-class", action="store_true",
+                   help="include the per-class accuracy table (paper protocol)")
     args = p.parse_args(argv)
     cfg = load_config(args.config, args.preset, args.override)
     result = evaluate_config(cfg, split=args.split)
-    result.pop("per_class_acc")
+    if not args.per_class:
+        result.pop("per_class_acc")
     print(json.dumps(result))
 
 

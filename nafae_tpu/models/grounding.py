@@ -17,16 +17,57 @@ from nafae_tpu.config import ModelConfig
 from nafae_tpu.ops.grounding import ground_forward
 
 
-def init_params(key: jax.Array, cfg: ModelConfig) -> dict:
-    """Initialize the functional parameter tree {word_emb, w_v, b_v}."""
+def init_params(key: jax.Array, cfg: ModelConfig,
+                word_vectors=None) -> dict:
+    """Initialize the functional parameter tree {word_emb, w_v, b_v}.
+
+    word_vectors: optional [vocab_size, embed_dim] array (e.g. GloVe vectors
+    for the 67 object words — the reference lineage optionally seeds its word
+    embedding this way, SURVEY.md L133). Loaded via load_word_vectors().
+    """
     k_emb, k_proj = jax.random.split(key)
     scale_emb = 1.0 / jnp.sqrt(cfg.embed_dim)
     scale_proj = 1.0 / jnp.sqrt(cfg.feat_dim)
+    if word_vectors is not None:
+        word_emb = jnp.asarray(word_vectors, jnp.float32)
+        if word_emb.shape != (cfg.vocab_size, cfg.embed_dim):
+            raise ValueError(
+                f"word_vectors shape {word_emb.shape} != "
+                f"({cfg.vocab_size}, {cfg.embed_dim})")
+    else:
+        word_emb = jax.random.normal(
+            k_emb, (cfg.vocab_size, cfg.embed_dim)) * scale_emb
     return {
-        "word_emb": jax.random.normal(k_emb, (cfg.vocab_size, cfg.embed_dim)) * scale_emb,
+        "word_emb": word_emb,
         "w_v": jax.random.normal(k_proj, (cfg.feat_dim, cfg.embed_dim)) * scale_proj,
         "b_v": jnp.zeros((cfg.embed_dim,)),
     }
+
+
+def load_word_vectors(path: str, vocab, embed_dim: int):
+    """Load GloVe-style text vectors ("word v1 v2 ...") or an .npz for the
+    vocab's classes; missing words fall back to random-normal rows."""
+    import numpy as np
+    rng = np.random.RandomState(0)
+    out = rng.randn(len(vocab), embed_dim).astype(np.float32) / np.sqrt(embed_dim)
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            table = {k: z[k] for k in z.files}
+    else:
+        table = {}
+        with open(path) as f:
+            for ln in f:
+                parts = ln.rstrip().split(" ")
+                if len(parts) < embed_dim + 1:
+                    continue
+                table[parts[0]] = np.asarray(parts[1:embed_dim + 1], np.float32)
+    hits = 0
+    for i, cls in enumerate(vocab.classes):
+        vec = table.get(cls)
+        if vec is not None and len(vec) == embed_dim:
+            out[i] = vec
+            hits += 1
+    return out, hits
 
 
 class GroundingModel(nn.Module):

@@ -308,6 +308,13 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
                          seed=cfg.train.seed, prefetch=cfg.data.prefetch,
                          use_native=cfg.data.use_native_io)
     state = TrainState.create(jax.random.PRNGKey(cfg.train.seed), cfg)
+    if cfg.model.word_vectors:
+        from nafae_tpu.data.vocab import Vocab
+        from nafae_tpu.models.grounding import load_word_vectors
+        vecs, hits = load_word_vectors(cfg.model.word_vectors, Vocab(),
+                                       cfg.model.embed_dim)
+        state = state.replace(params={**state.params,
+                                      "word_emb": jnp.asarray(vecs)})
     ckpt = CheckpointManager(cfg.train.ckpt_dir, keep=cfg.train.keep_ckpts)
     restored = ckpt.restore_latest(state)
     if restored is not None:
@@ -360,7 +367,11 @@ def main(argv=None):
     p.add_argument("--override", nargs="*", default=[])
     p.add_argument("--mesh", action="store_true",
                    help="shard over all local devices (DP)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (debug config, SURVEY.md L275)")
     args = p.parse_args(argv)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     cfg = load_config(args.config, args.preset, args.override)
     mesh = make_mesh(cfg.mesh.data_axis, cfg.mesh.frame_axis,
                      cfg.mesh.data_axis_name,
@@ -370,7 +381,19 @@ def main(argv=None):
         print(" ".join(f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
                        for k, v in sorted(m.items())), flush=True)
 
-    fit(cfg, mesh, log_fn=log_fn)
+    def eval_fn(state):
+        import os
+        if not os.path.exists(os.path.join(cfg.data.root, "val",
+                                           "index.jsonl")):
+            return
+        from nafae_tpu.evaluate import evaluate_config
+        r = evaluate_config(cfg, params=state.params)
+        r.pop("per_class_acc", None)
+        r["step"] = int(state.step)
+        print("eval " + " ".join(f"{k}={v}" for k, v in sorted(r.items())),
+              flush=True)
+
+    fit(cfg, mesh, log_fn=log_fn, eval_fn=eval_fn)
 
 
 if __name__ == "__main__":

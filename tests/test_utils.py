@@ -68,3 +68,22 @@ def test_throughput_tracker():
     assert fps is not None and fps > 0
     s = tr.summary()
     assert s["windows"] == 1 and s["frames_per_sec"] > 0
+
+
+def test_load_word_vectors_text_and_npz(tmp_path):
+    import numpy as np
+
+    from nafae_tpu.data.vocab import Vocab
+    from nafae_tpu.models.grounding import load_word_vectors
+
+    v = Vocab()
+    txt = tmp_path / "glove.txt"
+    txt.write_text("pan 1.0 0.0 0.0 0.0\noil 0.0 1.0 0.0 0.0\nunknownword 9 9 9 9\n")
+    vecs, hits = load_word_vectors(str(txt), v, 4)
+    assert hits == 2
+    np.testing.assert_allclose(vecs[v.word_to_id["pan"]], [1, 0, 0, 0])
+    np.testing.assert_allclose(vecs[v.word_to_id["oil"]], [0, 1, 0, 0])
+    npz = tmp_path / "vecs.npz"
+    np.savez(npz, pan=np.asarray([2., 0, 0, 0], np.float32))
+    vecs2, hits2 = load_word_vectors(str(npz), v, 4)
+    assert hits2 == 1 and vecs2[v.word_to_id["pan"]][0] == 2.0
