@@ -31,12 +31,17 @@ class FasterRCNNExtractor(nn.Module):
     cfg: DetectorConfig
     use_pallas_roi_align: bool = False
     use_pallas_nms: bool = False
+    with_detections: bool = False   # second-stage cls/reg outputs
+    num_classes: int = 67
 
     def setup(self):
         self.backbone = ResNetC4()
         a = len(self.cfg.anchor_scales) * len(self.cfg.anchor_ratios)
         self.rpn = RPNHead(num_anchors=a)
         self.head = ResNetC5Head()
+        if self.with_detections:
+            from nafae_tpu.models.detector.heads import DetectionHead
+            self.det_head = DetectionHead(self.num_classes)
 
     def __call__(self, images: jax.Array) -> dict:
         """images [B,H,W,3] (float, 0..1, H=W=cfg.image_size) ->
@@ -71,11 +76,22 @@ class FasterRCNNExtractor(nn.Module):
 
         r = cfg.num_proposals
         roi_feats = self.head(pooled.reshape(b * r, 7, 7, pooled.shape[-1]))
-        return {
+        out = {
             "boxes": boxes,
             "scores": scores,
             "feats": roi_feats.reshape(b, r, -1),            # [B,R,2048]
         }
+        if self.with_detections:
+            from nafae_tpu.models.detector.heads import decode_detections
+            logits, deltas = self.det_head(roi_feats)
+            det = jax.vmap(lambda bx, lo, de: decode_detections(
+                bx, lo, de, cfg.image_size))(
+                boxes, logits.reshape(b, r, -1),
+                deltas.reshape(b, r, *deltas.shape[1:]))
+            out["det_boxes"] = det["boxes"]
+            out["det_scores"] = det["scores"]
+            out["det_classes"] = det["classes"]
+        return out
 
 
 def init_detector(key: jax.Array, cfg: DetectorConfig,

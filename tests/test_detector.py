@@ -106,3 +106,38 @@ def test_extractor_end_to_end_shapes():
     b = np.asarray(out["boxes"])
     assert (b[..., 2] >= b[..., 0]).all() and (b[..., 3] >= b[..., 1]).all()
     assert (b >= 0).all() and (b <= 64).all()
+
+
+def test_detection_head_outputs():
+    from nafae_tpu.models.detector.faster_rcnn import FasterRCNNExtractor
+    cfg = DetectorConfig(image_size=64, num_proposals=5, rpn_pre_nms_topk=32,
+                         anchor_scales=(16, 32),
+                         anchor_ratios=(0.5, 1.0, 2.0))
+    model = FasterRCNNExtractor(cfg, with_detections=True, num_classes=10)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3)
+                       .astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), imgs)
+    out = jax.jit(model.apply)(params, imgs)
+    assert out["det_boxes"].shape == (2, 5, 4)
+    assert out["det_scores"].shape == (2, 5)
+    assert out["det_classes"].shape == (2, 5)
+    c = np.asarray(out["det_classes"])
+    assert ((0 <= c) & (c <= 10)).all()
+    b = np.asarray(out["det_boxes"])
+    assert (b >= 0).all() and (b <= 64).all()
+
+
+def test_decode_detections_thresholding():
+    from nafae_tpu.models.detector.heads import decode_detections
+    boxes = jnp.asarray([[10., 10., 30., 30.]])
+    # logits: background wins -> tiny fg prob -> class 0
+    logits = jnp.asarray([[10.0, 0.0, 0.0]])
+    deltas = jnp.zeros((1, 3, 4))
+    det = decode_detections(boxes, logits, deltas, 64, score_thresh=0.05)
+    assert int(det["classes"][0]) == 0
+    # clear foreground class 2
+    logits2 = jnp.asarray([[0.0, 1.0, 8.0]])
+    det2 = decode_detections(boxes, logits2, deltas, 64, score_thresh=0.05)
+    assert int(det2["classes"][0]) == 2
+    np.testing.assert_allclose(np.asarray(det2["boxes"][0]),
+                               [10, 10, 30, 30], atol=1e-5)

@@ -112,3 +112,26 @@ def test_eval_discriminates(synth_root):
     assert good["box_acc_micro"] > rnd["box_acc_micro"] + 0.4
     assert good["num_annotations"] == rnd["num_annotations"] > 0
     assert 0 < good["num_classes_seen"] <= 67
+
+
+def test_flax_wrapper_matches_functional(synth_root):
+    """GroundingModel (flax) == ground_forward with the same params."""
+    import jax.numpy as jnp
+
+    from nafae_tpu.models.grounding import GroundingModel
+    from nafae_tpu.ops.grounding import ground_forward
+    cfg = _cfg(synth_root)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(2, 4, 6, 64).astype(np.float32))
+    wid = jnp.asarray(rng.randint(0, 67, (2, 3)))
+    fm, wm = jnp.ones((2, 4)), jnp.ones((2, 3))
+    model = GroundingModel(cfg.model, ctx_window=2)
+    variables = model.init(jax.random.PRNGKey(0), feats, wid, fm, wm)
+    out_flax = model.apply(variables, feats, wid, fm, wm)
+    out_fn = ground_forward(variables["params"], feats, wid, fm, wm,
+                            temp=cfg.model.frame_attn_temp,
+                            pool=cfg.model.frame_pool, ctx_window=2)
+    np.testing.assert_allclose(np.asarray(out_flax["score"]),
+                               np.asarray(out_fn["score"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_flax["s"]),
+                               np.asarray(out_fn["s"]), rtol=1e-6)
