@@ -50,6 +50,7 @@ class DataConfig:
     prefetch: int = 2
     num_workers: int = 2
     use_native_io: bool = True    # C++ packer (native/); falls back to Python if .so missing
+    pipeline: str = "thread"      # "thread" (BatchLoader+native) | "grain"
 
 
 @dataclass

@@ -1,0 +1,135 @@
+"""Parsers for the official YouCook2 / YouCook2-BoundingBox annotation files.
+
+Bridges a reference user's data to this pipeline (SURVEY.md L97/L131: the
+reference parses segment annotations + the 67-class vocabulary):
+
+* youcookii_annotations_trainval.json (YouCook2 release):
+    {"database": {video_id: {"duration": float, "subset": "training"|...,
+        "annotations": [{"id": int, "segment": [start,end], "sentence": str}]}}}
+  -> extract-CLI segment dicts (nafae_tpu.extract).
+
+* yc2_bb annotations (YouCook2-BoundingBox release, val/test only):
+    {"database": {video_id: {"rwidth": int, "rheight": int,
+        "segments": {seg_id: {"objects": [{"label": str,
+            "boxes": [{"x1","y1","x2","y2","outside","occluded"} per frame]}]}}}}}
+  -> per-segment GT tensors merged into extracted .npz feature files.
+
+The reference mount was empty at build time (SURVEY provenance warning), so
+these schemas are reconstructed from the public releases' documentation;
+parsers are lenient (missing keys skip rather than crash) and fully covered
+by schema-fixture tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from nafae_tpu.data.vocab import Vocab
+
+_SUBSET_TO_SPLIT = {"training": "train", "validation": "val", "testing": "test"}
+
+
+def segments_from_youcook2(ann_path: str, video_dir: str,
+                           ext: str = ".mp4",
+                           subset: str | None = None) -> list[dict]:
+    """YouCook2 annotations -> extract-CLI segment list."""
+    with open(ann_path) as f:
+        db = json.load(f)["database"]
+    out = []
+    for vid, meta in sorted(db.items()):
+        split = _SUBSET_TO_SPLIT.get(meta.get("subset", ""), "train")
+        if subset and split != subset:
+            continue
+        video = os.path.join(video_dir, vid + ext)
+        for ann in meta.get("annotations", []):
+            seg = ann.get("segment", [None, None])
+            out.append({
+                "id": f"{vid}_{ann.get('id', len(out))}",
+                "video": video,
+                "sentence": ann.get("sentence", ""),
+                "split": split,
+                "start": seg[0],
+                "end": seg[1],
+            })
+    return out
+
+
+def gt_from_youcook2bb(bb_path: str, vocab: Vocab | None = None,
+                       max_words: int = 8, max_frames: int = 20) -> dict:
+    """YouCook2-BB annotations -> {segment_id: {gt_boxes, gt_mask, word_ids}}.
+
+    gt_boxes [K, T, 4] xyxy in the release's resized coordinates;
+    gt_mask [K, T] = 1 where the object is visible (not outside) and a box
+    exists; word_ids [K] from the 67-class vocab (unknown labels skipped).
+    """
+    vocab = vocab or Vocab()
+    with open(bb_path) as f:
+        db = json.load(f)["database"]
+    out = {}
+    for vid, meta in sorted(db.items()):
+        for seg_id, seg in sorted(meta.get("segments", {}).items()):
+            gt_boxes = np.zeros((max_words, max_frames, 4), np.float32)
+            gt_mask = np.zeros((max_words, max_frames), np.float32)
+            word_ids = []
+            for obj in seg.get("objects", []):
+                cls = vocab.lookup(str(obj.get("label", "")).lower()
+                                   .replace(" ", "_"))
+                if cls is None or len(word_ids) >= max_words:
+                    continue
+                k = len(word_ids)
+                word_ids.append(cls)
+                for t, box in enumerate(obj.get("boxes", [])[:max_frames]):
+                    if not box or box.get("outside", 0):
+                        continue
+                    x1, y1 = box.get("x1"), box.get("y1")
+                    x2, y2 = box.get("x2"), box.get("y2")
+                    if None in (x1, y1, x2, y2):
+                        continue
+                    gt_boxes[k, t] = (x1, y1, x2, y2)
+                    gt_mask[k, t] = 1.0
+            if word_ids:
+                out[f"{vid}_{seg_id}"] = {
+                    "gt_boxes": gt_boxes,
+                    "gt_mask": gt_mask,
+                    "word_ids": np.asarray(word_ids, np.int32),
+                }
+    return out
+
+
+def merge_gt_into_features(feature_dir: str, gt: dict) -> int:
+    """Write GT tensors into extracted .npz segment files (in place).
+
+    Matches by segment id; also overwrites word_ids with the BB labels so
+    eval classes == annotation classes. Returns #segments updated. The
+    index.jsonl is untouched (same files, new keys)."""
+    index_path = os.path.join(feature_dir, "index.jsonl")
+    with open(index_path) as f:
+        index = [json.loads(ln) for ln in f if ln.strip()]
+    updated = 0
+    for meta in index:
+        g = gt.get(meta["id"])
+        if g is None:
+            continue
+        path = os.path.join(feature_dir, meta["file"])
+        with np.load(path) as z:
+            data = {k: z[k] for k in z.files}
+        t = data["feats"].shape[0]
+        k = len(g["word_ids"])
+        data["word_ids"] = g["word_ids"]
+        data["gt_boxes"] = np.transpose(
+            _fit(g["gt_boxes"][:k], (k, t, 4)), (0, 1, 2))
+        data["gt_mask"] = _fit(g["gt_mask"][:k], (k, t))
+        np.savez(path, **data)
+        updated += 1
+    return updated
+
+
+def _fit(arr: np.ndarray, shape: tuple) -> np.ndarray:
+    """Crop/zero-pad arr to `shape`."""
+    out = np.zeros(shape, arr.dtype)
+    sl = tuple(slice(0, min(a, b)) for a, b in zip(arr.shape, shape))
+    out[sl] = arr[sl]
+    return out

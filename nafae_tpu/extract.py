@@ -125,15 +125,39 @@ def main(argv=None):
     p.add_argument("--preset", default="config5")
     p.add_argument("--config", default=None)
     p.add_argument("--override", nargs="*", default=[])
-    p.add_argument("--annotations", required=True,
+    p.add_argument("--annotations",
                    help="segments.jsonl (id, video, sentence, split)")
+    p.add_argument("--youcook2-json",
+                   help="official youcookii_annotations_trainval.json")
+    p.add_argument("--video-dir", default=".",
+                   help="video directory for --youcook2-json")
+    p.add_argument("--subset", default=None,
+                   help="train|val|test filter for --youcook2-json")
+    p.add_argument("--yc2bb-json",
+                   help="YouCook2-BB box annotations: merge GT into --out "
+                        "after extraction (enables eval)")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
     cfg = load_config(args.config, args.preset, args.override)
-    with open(args.annotations) as f:
-        anns = [json.loads(ln) for ln in f if ln.strip()]
+    if args.youcook2_json:
+        from nafae_tpu.data.annotations import segments_from_youcook2
+        anns = segments_from_youcook2(args.youcook2_json, args.video_dir,
+                                      subset=args.subset)
+    elif args.annotations:
+        with open(args.annotations) as f:
+            anns = [json.loads(ln) for ln in f if ln.strip()]
+    else:
+        p.error("one of --annotations / --youcook2-json is required")
     index = extract_segments(cfg, anns, args.out)
-    print(json.dumps({"index": index, "segments": len(anns)}))
+    result = {"index": index, "segments": len(anns)}
+    if args.yc2bb_json:
+        from nafae_tpu.data.annotations import (gt_from_youcook2bb,
+                                                merge_gt_into_features)
+        gt = gt_from_youcook2bb(args.yc2bb_json,
+                                max_words=cfg.data.max_words,
+                                max_frames=cfg.data.max_frames)
+        result["gt_merged"] = merge_gt_into_features(args.out, gt)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -297,16 +297,16 @@ def build_train_fn(cfg: Config, mesh=None, extractor=None, with_frames=False):
 
 def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
     """Run cfg.train.steps steps; returns the final state and last metrics."""
-    from nafae_tpu.data import BatchLoader, SegmentDataset
+    from nafae_tpu.data import SegmentDataset
     from nafae_tpu.utils.checkpoint import CheckpointManager
     from nafae_tpu.utils.metrics_log import MetricsLogger
 
     ds = SegmentDataset(cfg.data.root, cfg.data.split, cfg.data.max_frames,
                         cfg.data.num_regions, cfg.data.feat_dim,
                         cfg.data.max_words)
-    loader = BatchLoader(ds, cfg.data.batch_size, shuffle=True,
-                         seed=cfg.train.seed, prefetch=cfg.data.prefetch,
-                         use_native=cfg.data.use_native_io)
+    from nafae_tpu.data.grain_loader import make_loader
+    loader = make_loader(cfg.data, ds, seed=cfg.train.seed,
+                         pipeline=cfg.data.pipeline)
     state = TrainState.create(jax.random.PRNGKey(cfg.train.seed), cfg)
     if cfg.model.word_vectors:
         from nafae_tpu.data.vocab import Vocab

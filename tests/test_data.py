@@ -59,3 +59,35 @@ def test_loader_steps_cycles(synth_root):
     dl = BatchLoader(ds, batch_size=4, shuffle=False)
     seen = [i for i, _ in dl.steps(7)]
     assert seen == list(range(7))
+
+
+def test_grain_loader_matches_interface(synth_root):
+    import pytest
+    pytest.importorskip("grain")
+    from nafae_tpu.data.grain_loader import GrainLoader
+    ds = SegmentDataset(synth_root, "train", max_frames=8, num_regions=6,
+                        feat_dim=64, max_words=3)
+    dl = GrainLoader(ds, batch_size=4, shuffle=True, seed=0)
+    batches = list(dl.epoch(0))
+    assert len(batches) == len(ds) // 4
+    assert batches[0]["feats"].shape == (4, 8, 6, 64)
+    again = list(dl.epoch(0))
+    np.testing.assert_array_equal(batches[0]["feats"], again[0]["feats"])
+    steps = [i for i, _ in dl.steps(5)]
+    assert steps == list(range(5))
+
+
+def test_grain_pipeline_trains(synth_root, tmp_path):
+    import pytest
+    pytest.importorskip("grain")
+    from nafae_tpu.config import load_config
+    from nafae_tpu.train import fit
+    cfg = load_config(preset_name="config2", overrides=[
+        "data.feat_dim=64", "model.feat_dim=64", "model.embed_dim=32",
+        "data.batch_size=4", "data.max_frames=8", "data.num_regions=6",
+        "data.max_words=3", "train.steps=3", "train.log_every=1000",
+        "train.ckpt_every=100000", "train.eval_every=100000",
+        "data.pipeline=grain",
+        f"train.ckpt_dir={tmp_path}/gck", f"data.root={synth_root}"])
+    state, _ = fit(cfg)
+    assert int(state.step) == 3
