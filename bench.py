@@ -78,6 +78,52 @@ def bench_jax(s, iters=32, warmup=1, use_pallas=True, dtype="bfloat16",
     return s["B"] * s["T"] / dt, dt, loss
 
 
+def bench_jax_eval(s, iters=128, steps_per_call=64):
+    """Grounding inference throughput: similarity + argmax + IoU hits."""
+    import jax
+    import jax.numpy as jnp
+
+    from nafae_tpu.config import load_config
+    from nafae_tpu.models.grounding import init_params
+    from nafae_tpu.ops import grounding as Gr
+    from nafae_tpu.ops.iou import grounding_hits
+
+    cfg = load_config(preset_name="config1", overrides=[
+        f"model.feat_dim={s['D']}", f"model.embed_dim={s['E']}"])
+    params = init_params(jax.random.PRNGKey(0), cfg.model)
+    b = make_batch(s)
+    gt_boxes = np.zeros((s["B"], s["K"], s["T"], 4), np.float32)
+    gt_mask = np.ones((s["B"], s["K"], s["T"]), np.float32)
+    feats = jax.device_put(b["feats"])
+
+    @jax.jit
+    def evals(params, feats):
+        def body(acc, _):
+            with Gr.matmul_precision("default"):
+                w = Gr.embed_words(jnp.asarray(b["word_ids"]),
+                                   params["word_emb"])
+                v = Gr.project_regions(feats, params["w_v"], params["b_v"],
+                                       dtype=jnp.bfloat16)
+                sim = Gr.similarity_tensor(w, v, dtype=jnp.bfloat16)
+                correct, gm = grounding_hits(sim, jnp.asarray(b["boxes"]),
+                                             jnp.asarray(gt_boxes),
+                                             jnp.asarray(gt_mask))
+            return acc + jnp.sum(correct), None
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), None,
+                              length=steps_per_call)
+        return acc
+
+    acc = evals(params, feats)
+    float(acc)
+    ncalls = max(1, iters // steps_per_call)
+    t0 = time.perf_counter()
+    for _ in range(ncalls):
+        acc = evals(params, feats)
+    float(acc)
+    dt = (time.perf_counter() - t0) / (ncalls * steps_per_call)
+    return s["B"] * s["T"] / dt, dt
+
+
 def bench_torch(s, iters=3, warmup=1):
     """Vectorized torch-cpu train step on the same shapes (the baseline)."""
     import torch
@@ -166,8 +212,19 @@ def main():
                    help="route similarity+MIL through the fused Pallas kernel "
                         "(XLA batched einsums are faster at bench shapes)")
     p.add_argument("--remeasure-baseline", action="store_true")
+    p.add_argument("--mode", choices=("train", "eval"), default="train")
     args = p.parse_args()
     s = QUICK if args.quick else SHAPES
+
+    if args.mode == "eval":
+        fps, dt = bench_jax_eval(s)
+        print(json.dumps({
+            "metric": "grounding_eval_frames_per_sec_per_chip",
+            "value": round(fps, 1),
+            "unit": "frames/sec",
+            "vs_baseline": None,
+        }))
+        return
 
     fps, dt, loss = bench_jax(s, iters=args.iters, use_pallas=args.pallas)
     base = get_baseline(s, remeasure=args.remeasure_baseline)
