@@ -68,10 +68,109 @@ def _fwd_kernel(w_ref, v_ref, fm_ref, a_ref, idx_ref, *, T, R, R_pad):
             idx_ref[0, :, t] = jnp.argmax(chunk, axis=1).astype(jnp.int32)
 
 
+def _rollmax_kernel(w_ref, v_ref, fm_ref, sel_ref, a_ref, idx_ref,
+                    *, N, R, R_pad):
+    """i-tiled forward: ONE MXU matmul for the whole tile, then a windowed
+    roll-max over the R_pad-lane groups and a selection-matrix matmul to
+    extract per-frame max/argmax — no per-column writes, no reshapes.
+
+    w_ref [M,E]; v_ref [1, N, E] (N = IT*T*R_pad flattened regions);
+    fm_ref [1, 1, IT*T] frame mask; sel_ref [N, IT*T] group-start selector;
+    outputs a/idx [1, M, IT*T].
+    """
+    scores = jax.lax.dot_general(
+        w_ref[:], v_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)               # [M, N]
+    m = scores.shape[0]
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, (m, N), 1) % R_pad
+    v = jnp.where(lane_r < R, scores, NEG)
+    ix = lane_r
+    s = R_pad // 2
+    while s >= 1:                                          # windowed tree max
+        v2 = pltpu.roll(v, N - s, 1)                       # circular left by s
+        i2 = pltpu.roll(ix, N - s, 1)
+        take = v2 > v
+        v = jnp.where(take, v2, v)
+        ix = jnp.where(take, i2, ix)
+        s //= 2
+    sel = sel_ref[:]
+    dn = (((1,), (0,)), ((), ()))
+    hp = jax.lax.Precision.HIGHEST
+    a = jax.lax.dot_general(v, sel, dn, preferred_element_type=jnp.float32,
+                            precision=hp)                  # [M, IT*T]
+    idx = jax.lax.dot_general(ix.astype(jnp.float32), sel, dn,
+                              preferred_element_type=jnp.float32,
+                              precision=hp)
+    fm = fm_ref[0]                                         # [1, IT*T]
+    a_ref[0] = jnp.where(fm > 0, a, 0.0)
+    idx_ref[0] = idx.astype(jnp.int32)
+
+
+def _cross_mil_fwd_rollmax(w_flat, v, fm):
+    """Tiled roll-max forward (requires R <= 32). Shapes as in _fwd_impl."""
+    m, e = w_flat.shape
+    i, t, r, _ = v.shape
+    r_pad = 32
+    m_pad = _round_up(m, 8)
+    # tile budget: the roll pipeline keeps ~8 [M, N]-sized f32/i32 buffers
+    # live in VMEM, so cap N = IT*T*R_pad at ~1280 lanes (measured: 4096
+    # lanes OOMs the 16MB scoped vmem at M=256)
+    it = max(1, min(i, 1280 // (t * r_pad) or 1))          # videos per tile
+    i_pad = _round_up(i, it)
+    if r_pad != r:
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, r_pad - r), (0, 0)))
+    if i_pad != i:
+        v = jnp.pad(v, ((0, i_pad - i), (0, 0), (0, 0), (0, 0)))
+        fm = jnp.pad(fm, ((0, i_pad - i), (0, 0)))
+    if m_pad != m:
+        w_flat = jnp.pad(w_flat, ((0, m_pad - m), (0, 0)))
+    nb = i_pad // it
+    n = it * t * r_pad
+    v2 = v.reshape(nb, n, e)
+    fm2 = fm.reshape(nb, 1, it * t)
+    sel = jnp.zeros((n, it * t), jnp.float32).at[
+        jnp.arange(it * t) * r_pad, jnp.arange(it * t)].set(1.0)
+
+    kernel = functools.partial(_rollmax_kernel, N=n, R=r, R_pad=r_pad)
+    a, idx = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((m_pad, e), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, e), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, it * t), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, it * t), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, m_pad, it * t), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, it * t), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, m_pad, it * t), jnp.float32),
+            jax.ShapeDtypeStruct((nb, m_pad, it * t), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(w_flat, v2, fm2, sel)
+    # [nb, M, IT*T] -> [nb, M, IT, T] -> [I, M, T]
+    a = jnp.moveaxis(a.reshape(nb, m_pad, it, t), 2, 1).reshape(i_pad, m_pad, t)
+    idx = jnp.moveaxis(idx.reshape(nb, m_pad, it, t), 2, 1).reshape(
+        i_pad, m_pad, t)
+    return a[:i, :m, :], idx[:i, :m, :]
+
+
 def _cross_mil_fwd_impl(w_flat: jax.Array, v: jax.Array, fm: jax.Array):
     """w_flat [M,E], v [I,T,R,E], fm [I,T] -> a [I,M,T], idx [I,M,T]."""
     m, e = w_flat.shape
     i, t, r, _ = v.shape
+    if r <= 32:
+        return _cross_mil_fwd_rollmax(w_flat, v, fm)
     r_pad = _round_up(r, 32)
     m_pad = _round_up(m, 8)
     if r_pad != r:
