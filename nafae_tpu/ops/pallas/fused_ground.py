@@ -114,9 +114,10 @@ def _cross_mil_fwd_rollmax(w_flat, v, fm):
     r_pad = 32
     m_pad = _round_up(m, 8)
     # tile budget: the roll pipeline keeps ~8 [M, N]-sized f32/i32 buffers
-    # live in VMEM, so cap N = IT*T*R_pad at ~1280 lanes (measured: 4096
-    # lanes OOMs the 16MB scoped vmem at M=256)
-    it = max(1, min(i, 1280 // (t * r_pad) or 1))          # videos per tile
+    # live in VMEM; cap N = IT*T*R_pad at ~640 lanes so the kernel fits the
+    # 16MB scoped vmem even when embedded in a large jitted train step
+    # (1280 lanes passes standalone but OOMs in-context)
+    it = max(1, min(i, 640 // (t * r_pad) or 1))           # videos per tile
     i_pad = _round_up(i, it)
     if r_pad != r:
         v = jnp.pad(v, ((0, 0), (0, 0), (0, r_pad - r), (0, 0)))

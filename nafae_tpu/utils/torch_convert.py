@@ -77,6 +77,70 @@ def load_converted(npz_path: str) -> dict:
         return {k: jnp.asarray(z[k]) for k in z.files}
 
 
+RESNET50_BLOCKS = (3, 4, 6)   # conv2..conv4 (backbone); conv5 (3) = head
+
+
+def convert_detector_resnet50(state_dict: dict, params: dict) -> dict:
+    """Map a torchvision-style resnet50 state_dict onto the detector params.
+
+    Covers the ResNetC4 backbone (conv1 + layer1-3) and the C5 RoI head
+    (layer4); RPN/detection-head params are left as-is (they have no torch
+    counterpart in a plain resnet50 checkpoint). Conv weights transpose
+    [out,in,kh,kw] -> [kh,kw,in,out]; BN maps weight/bias/running_mean/
+    running_var -> scale/bias/mean/var (FrozenBN). Returns a NEW params tree.
+    """
+    import copy
+
+    flat = {}
+    for k, v in state_dict.items():
+        arr = np.asarray(v.detach().cpu().numpy()
+                         if hasattr(v, "detach") else v)
+        flat[k] = arr
+
+    def conv(name):
+        return np.transpose(flat[name + ".weight"], (2, 3, 1, 0))
+
+    def bn(dst, name):
+        dst["scale"] = flat[name + ".weight"].astype(np.float32)
+        dst["bias"] = flat[name + ".bias"].astype(np.float32)
+        dst["mean"] = flat[name + ".running_mean"].astype(np.float32)
+        dst["var"] = flat[name + ".running_var"].astype(np.float32)
+
+    out = copy.deepcopy(jax.tree.map(np.asarray, params))
+    bb = out["params"]["backbone"]
+    bb["Conv_0"]["kernel"] = conv("conv1")
+    bn(bb["FrozenBN_0"], "bn1")
+    bi = 0
+    for stage, n_blocks in enumerate(RESNET50_BLOCKS, start=1):
+        for b in range(n_blocks):
+            src = f"layer{stage}.{b}"
+            dst = bb[f"Bottleneck_{bi}"]
+            _copy_bottleneck(dst, src, conv, bn, flat)
+            bi += 1
+    head = out["params"]["head"]
+    for b in range(3):
+        _copy_bottleneck(head[f"Bottleneck_{b}"], f"layer4.{b}", conv, bn,
+                         flat)
+    return jax.tree.map(jnp_asarray, out)
+
+
+def _copy_bottleneck(dst, src, conv, bn, flat):
+    for i in (0, 1, 2):
+        dst[f"Conv_{i}"]["kernel"] = conv(f"{src}.conv{i + 1}")
+        bn(dst[f"FrozenBN_{i}"], f"{src}.bn{i + 1}")
+    if f"{src}.downsample.0.weight" in flat:
+        dst["Conv_3"]["kernel"] = conv(f"{src}.downsample.0")
+        bn(dst["FrozenBN_3"], f"{src}.downsample.1")
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
+
+
+import jax  # noqa: E402  (tree mapping in the detector converter)
+
+
 def main(argv=None):
     import argparse
     p = argparse.ArgumentParser("nafae_tpu.utils.torch_convert")

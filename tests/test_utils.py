@@ -87,3 +87,71 @@ def test_load_word_vectors_text_and_npz(tmp_path):
     np.savez(npz, pan=np.asarray([2., 0, 0, 0], np.float32))
     vecs2, hits2 = load_word_vectors(str(npz), v, 4)
     assert hits2 == 1 and vecs2[v.word_to_id["pan"]][0] == 2.0
+
+
+def test_convert_detector_resnet50(tmp_path):
+    """Synthetic torchvision-style resnet50 state_dict maps onto the detector
+    params with correct shapes/values (torchvision itself isn't installed)."""
+    import jax
+    import numpy as np
+
+    from nafae_tpu.config import DetectorConfig
+    from nafae_tpu.models.detector.faster_rcnn import init_detector
+    from nafae_tpu.utils.torch_convert import (RESNET50_BLOCKS,
+                                               convert_detector_resnet50)
+
+    cfg = DetectorConfig(image_size=64, num_proposals=4, rpn_pre_nms_topk=16,
+                         anchor_scales=(16, 32))
+    model, params = init_detector(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.RandomState(0)
+    sd = {"conv1.weight": (rng.randn(64, 3, 7, 7) * 0.05).astype(np.float32)}
+    for s, n in (("bn1", 64),):
+        sd[f"{s}.weight"] = rng.rand(n).astype(np.float32)
+        sd[f"{s}.bias"] = rng.rand(n).astype(np.float32)
+        sd[f"{s}.running_mean"] = rng.rand(n).astype(np.float32)
+        sd[f"{s}.running_var"] = 1 + rng.rand(n).astype(np.float32)
+
+    def add_block(prefix, cin, mid, downsample):
+        for i, (ci, co, k) in enumerate([(cin, mid, 1), (mid, mid, 3),
+                                         (mid, mid * 4, 1)], start=1):
+            sd[f"{prefix}.conv{i}.weight"] = (rng.randn(co, ci, k, k)
+                                              * 0.05).astype(np.float32)
+            for key, val in (("weight", rng.rand(co)), ("bias", rng.rand(co)),
+                             ("running_mean", rng.rand(co)),
+                             ("running_var", 1 + rng.rand(co))):
+                sd[f"{prefix}.bn{i}.{key}"] = val.astype(np.float32)
+        if downsample:
+            sd[f"{prefix}.downsample.0.weight"] = (rng.randn(
+                mid * 4, cin, 1, 1) * 0.05).astype(np.float32)
+            for key, val in (("weight", rng.rand(mid * 4)),
+                             ("bias", rng.rand(mid * 4)),
+                             ("running_mean", rng.rand(mid * 4)),
+                             ("running_var", 1 + rng.rand(mid * 4))):
+                sd[f"{prefix}.downsample.1.{key}"] = val.astype(np.float32)
+
+    cin = 64
+    for stage, nb in enumerate(RESNET50_BLOCKS, start=1):
+        mid = 64 * 2 ** (stage - 1)
+        for b in range(nb):
+            add_block(f"layer{stage}.{b}", cin if b == 0 else mid * 4, mid,
+                      downsample=(b == 0))
+        cin = mid * 4
+    for b in range(3):
+        add_block(f"layer4.{b}", 1024 if b == 0 else 2048, 512,
+                  downsample=(b == 0))
+
+    converted = convert_detector_resnet50(sd, params)
+    bb = converted["params"]["backbone"]
+    np.testing.assert_allclose(
+        np.asarray(bb["Conv_0"]["kernel"]),
+        np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
+    np.testing.assert_allclose(np.asarray(bb["FrozenBN_0"]["mean"]),
+                               sd["bn1.running_mean"])
+    np.testing.assert_allclose(
+        np.asarray(bb["Bottleneck_3"]["Conv_1"]["kernel"]),
+        np.transpose(sd["layer2.0.conv2.weight"], (2, 3, 1, 0)))
+    # converted params still run end-to-end
+    import jax.numpy as jnp
+    out = jax.jit(model.apply)(converted, jnp.zeros((1, 64, 64, 3)))
+    assert np.isfinite(np.asarray(out["feats"])).all()
