@@ -41,7 +41,10 @@ class LossConfig:
 class DataConfig:
     root: str = "data/youcook2"   # directory with index.jsonl + per-segment .npz
     split: str = "train"
-    max_frames: int = 20          # T bucket
+    max_frames: int = 20          # T bucket (upper bound)
+    frame_buckets: tuple = ()     # optional ascending T buckets, e.g. (8, 20):
+                                  # each segment pads to the smallest fitting
+                                  # bucket; one jit specialization per bucket
     num_regions: int = 20         # R
     feat_dim: int = 2048          # D (must match model.feat_dim)
     max_words: int = 8            # K

@@ -31,6 +31,9 @@ class BatchLoader:
         self.drop_remainder = drop_remainder
         self.prefetch = prefetch
         self._native = None
+        multi_bucket = len(getattr(dataset, "frame_buckets", ()) or ()) > 1
+        if use_native and multi_bucket:
+            use_native = False  # native packer packs a single fixed T bucket
         if use_native:
             try:
                 from nafae_tpu.utils.native_io import NativePacker
@@ -38,11 +41,31 @@ class BatchLoader:
             except Exception:
                 self._native = None  # graceful fallback to the Python path
 
-    def _epoch_order(self, epoch: int) -> np.ndarray:
+    def _epoch_batches(self, epoch: int) -> list:
+        """Batch index lists for one epoch; every batch is bucket-homogeneous
+        (one jit specialization per bucket, no straddling, no recompiles)."""
+        rng = np.random.RandomState(self.seed + epoch)
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            np.random.RandomState(self.seed + epoch).shuffle(order)
-        return order
+            rng.shuffle(order)
+        buckets = getattr(self.dataset, "frame_buckets", None)
+        batches = []
+        if buckets and len(buckets) > 1:
+            keys = np.asarray([self.dataset.bucket_of(int(i)) for i in order])
+            for b in buckets:
+                grp = order[keys == b]
+                batches += self._chunk(grp)
+            if self.shuffle:
+                rng.shuffle(batches)          # interleave buckets across steps
+        else:
+            batches = self._chunk(order)
+        return batches
+
+    def _chunk(self, order: np.ndarray) -> list:
+        nb = (len(order) // self.batch_size if self.drop_remainder
+              else -(-len(order) // self.batch_size))
+        return [order[b * self.batch_size:(b + 1) * self.batch_size]
+                for b in range(nb)]
 
     def _make_batch(self, idxs) -> dict[str, np.ndarray]:
         if self._native is not None:
@@ -52,18 +75,15 @@ class BatchLoader:
 
     def epoch(self, epoch: int = 0):
         """Yield batches for one epoch, prefetched by a background thread."""
-        order = self._epoch_order(epoch)
-        n = len(order)
-        nb = n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
+        batch_idxs = self._epoch_batches(epoch)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def worker():
             try:
-                for b in range(nb):
+                for idxs in batch_idxs:
                     if stop.is_set():
                         return
-                    idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
                     q.put(self._make_batch(idxs))
             finally:
                 q.put(None)

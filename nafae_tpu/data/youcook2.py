@@ -21,9 +21,13 @@ import numpy as np
 
 class SegmentDataset:
     def __init__(self, root: str, split: str, max_frames: int, num_regions: int,
-                 feat_dim: int, max_words: int, with_gt: bool = False):
+                 feat_dim: int, max_words: int, with_gt: bool = False,
+                 frame_buckets: tuple = ()):
         self.dir = os.path.join(root, split)
         self.max_frames = max_frames
+        # ascending bucket sizes; () = single bucket at max_frames
+        self.frame_buckets = tuple(sorted(b for b in frame_buckets
+                                          if b <= max_frames)) or (max_frames,)
         self.num_regions = num_regions
         self.feat_dim = feat_dim
         self.max_words = max_words
@@ -35,6 +39,14 @@ class SegmentDataset:
     def __len__(self) -> int:
         return len(self.index)
 
+    def bucket_of(self, i: int) -> int:
+        """Smallest bucket T that fits segment i (last bucket if none do)."""
+        t = self.index[i].get("num_frames", self.max_frames)
+        for b in self.frame_buckets:
+            if t <= b:
+                return b
+        return self.frame_buckets[-1]
+
     def __getitem__(self, i: int) -> dict[str, np.ndarray]:
         meta = self.index[i]
         with np.load(os.path.join(self.dir, meta["file"])) as z:
@@ -42,7 +54,7 @@ class SegmentDataset:
                 feats=z["feats"].astype(np.float32),
                 boxes=z["boxes"].astype(np.float32),
                 word_ids=z["word_ids"].astype(np.int32),
-                max_frames=self.max_frames,
+                max_frames=self.bucket_of(i),
                 num_regions=self.num_regions,
                 max_words=self.max_words,
                 gt_boxes=z["gt_boxes"].astype(np.float32) if self.with_gt else None,

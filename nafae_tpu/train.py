@@ -310,7 +310,8 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
 
     ds = SegmentDataset(cfg.data.root, cfg.data.split, cfg.data.max_frames,
                         cfg.data.num_regions, cfg.data.feat_dim,
-                        cfg.data.max_words)
+                        cfg.data.max_words,
+                        frame_buckets=tuple(cfg.data.frame_buckets))
     from nafae_tpu.data.grain_loader import make_loader
     loader = make_loader(cfg.data, ds, seed=cfg.train.seed,
                          pipeline=cfg.data.pipeline)
@@ -334,15 +335,16 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
     t0 = time.perf_counter()
     metrics = {}
     spc = cfg.train.steps_per_call
-    pending = []
+    pending: dict = {}
     for step, batch in loader.steps(cfg.train.steps - start_step):
         gstep = start_step + step
         if spc > 1:
-            pending.append(batch)
-            if len(pending) < spc:
-                continue  # a trailing partial group is dropped (static scan len)
-            state, metrics = train_fn(state, stack_batches(pending))
-            pending = []
+            # group by frame-bucket shape so every stacked scan is homogeneous
+            key = batch["feats"].shape[1]
+            pending.setdefault(key, []).append(batch)
+            if len(pending[key]) < spc:
+                continue  # trailing partial groups are dropped (static scan len)
+            state, metrics = train_fn(state, stack_batches(pending.pop(key)))
         else:
             state, metrics = train_fn(state, batch)
         if (gstep + 1) % cfg.train.log_every == 0:

@@ -91,3 +91,35 @@ def test_grain_pipeline_trains(synth_root, tmp_path):
         f"train.ckpt_dir={tmp_path}/gck", f"data.root={synth_root}"])
     state, _ = fit(cfg)
     assert int(state.step) == 3
+
+
+def test_frame_buckets(synth_root):
+    ds = SegmentDataset(synth_root, "train", max_frames=8, num_regions=6,
+                        feat_dim=64, max_words=3, frame_buckets=(4, 8))
+    shapes = {ds[i]["feats"].shape[0] for i in range(len(ds))}
+    assert shapes <= {4, 8} and len(shapes) == 2
+    # short segments land in the small bucket with full frames preserved
+    for i in range(len(ds)):
+        t = ds.index[i]["num_frames"]
+        assert ds.bucket_of(i) >= min(t, 8)
+        assert ds[i]["frame_mask"].sum() == min(t, ds.bucket_of(i))
+    # loader batches are shape-homogeneous
+    dl = BatchLoader(ds, batch_size=4, shuffle=True, seed=0)
+    for b in dl.epoch(0):
+        assert b["feats"].shape[1] in (4, 8)
+
+
+def test_frame_buckets_no_straddling_and_full_epoch(synth_root):
+    """Every batch is bucket-homogeneous and no segment is silently lost."""
+    ds = SegmentDataset(synth_root, "train", max_frames=8, num_regions=6,
+                        feat_dim=64, max_words=3, frame_buckets=(4, 8))
+    dl = BatchLoader(ds, batch_size=2, shuffle=True, seed=1)
+    seen = []
+    for b in dl.epoch(0):
+        ts = b["feats"].shape[1]
+        assert ts in (4, 8)
+        assert (b["frame_mask"].sum(1) <= ts).all()
+        seen.extend(b["segment_id"].tolist())
+    # with drop_remainder, at most (batch_size-1) lost PER BUCKET, no more
+    assert len(seen) >= len(ds) - 2 * (2 - 1)
+    assert len(set(seen)) == len(seen)

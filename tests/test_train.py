@@ -135,3 +135,12 @@ def test_flax_wrapper_matches_functional(synth_root):
                                np.asarray(out_fn["score"]), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out_flax["s"]),
                                np.asarray(out_fn["s"]), rtol=1e-6)
+
+
+def test_training_with_frame_buckets(synth_root, tmp_path):
+    """Multi-bucket training runs (one jit specialization per bucket)."""
+    cfg = _cfg(synth_root, extra=[f"train.ckpt_dir={tmp_path}/bk",
+                                  "train.steps=6", "data.frame_buckets=[4,8]"])
+    state, metrics = fit(cfg)
+    assert int(state.step) == 6
+    assert np.isfinite(float(metrics["loss"]))
