@@ -54,6 +54,8 @@ class DataConfig:
     num_workers: int = 2
     use_native_io: bool = True    # C++ packer (native/); falls back to Python if .so missing
     pipeline: str = "thread"      # "thread" (BatchLoader+native) | "grain"
+    transfer_dtype: str = "float32"  # feats host->device dtype ("float16"
+                                     # halves transfer bytes; upcast on device)
 
 
 @dataclass

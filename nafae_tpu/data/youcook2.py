@@ -22,7 +22,8 @@ import numpy as np
 class SegmentDataset:
     def __init__(self, root: str, split: str, max_frames: int, num_regions: int,
                  feat_dim: int, max_words: int, with_gt: bool = False,
-                 frame_buckets: tuple = ()):
+                 frame_buckets: tuple = (), transfer_dtype: str = "float32"):
+        self.transfer_dtype = np.dtype(transfer_dtype)
         self.dir = os.path.join(root, split)
         self.max_frames = max_frames
         # ascending bucket sizes; () = single bucket at max_frames
@@ -51,7 +52,7 @@ class SegmentDataset:
         meta = self.index[i]
         with np.load(os.path.join(self.dir, meta["file"])) as z:
             sample = pad_sample(
-                feats=z["feats"].astype(np.float32),
+                feats=z["feats"].astype(self.transfer_dtype),
                 boxes=z["boxes"].astype(np.float32),
                 word_ids=z["word_ids"].astype(np.int32),
                 max_frames=self.bucket_of(i),
@@ -73,7 +74,7 @@ def pad_sample(feats: np.ndarray, boxes: np.ndarray, word_ids: np.ndarray,
     tt, rr = min(t, max_frames), min(r, num_regions)
     k = min(len(word_ids), max_words)
 
-    out_f = np.zeros((max_frames, num_regions, d), np.float32)
+    out_f = np.zeros((max_frames, num_regions, d), feats.dtype)
     out_f[:tt, :rr] = feats[:tt, :rr]
     out_b = np.zeros((max_frames, num_regions, 4), np.float32)
     out_b[:tt, :rr] = boxes[:tt, :rr]

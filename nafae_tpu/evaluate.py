@@ -16,7 +16,6 @@ import functools
 import json
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from nafae_tpu.config import Config
@@ -37,19 +36,44 @@ def _eval_batch(params: dict, batch: dict, temp: float = 0.1,
 
 
 def evaluate(params: dict, dataset, batch_size: int, num_classes: int,
-             temp: float = 0.1, iou_thresh: float = 0.5) -> dict:
-    """Run grounding eval over `dataset` (must have with_gt=True)."""
+             temp: float = 0.1, iou_thresh: float = 0.5, mesh=None) -> dict:
+    """Run grounding eval over `dataset` (must have with_gt=True).
+
+    mesh: optional jax Mesh — shards each eval batch over the first mesh axis
+    (pure data parallelism; per-sample metric bits need no collectives). The
+    ragged final batch is zero-padded: padded rows have gt_mask=0 and thus
+    contribute nothing.
+    """
     from nafae_tpu.data import BatchLoader
+
+    eval_fn = _eval_batch
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        axis = mesh.axis_names[0]
+        shard = NamedSharding(mesh, P(axis))
+        rep = NamedSharding(mesh, P())
+
+        def eval_fn(params, batch, temp, iou_thresh):   # noqa: F811
+            batch = {k: jax.device_put(_pad_rows(v, batch_size), shard)
+                     for k, v in batch.items()}
+            params = jax.device_put(params, rep)
+            return _eval_batch(params, batch, temp=temp,
+                               iou_thresh=iou_thresh)
 
     loader = BatchLoader(dataset, batch_size, shuffle=False,
                          drop_remainder=False)
     per_class_correct = np.zeros(num_classes)
     per_class_total = np.zeros(num_classes)
     for batch in loader:
-        correct, gt_mask = _eval_batch(params, batch, temp=temp,
-                                       iou_thresh=iou_thresh)
+        correct, gt_mask = eval_fn(params, batch, temp=temp,
+                                   iou_thresh=iou_thresh)
+        correct = np.asarray(correct)[:batch["word_ids"].shape[0]]
+        gt_mask = np.asarray(gt_mask)[:batch["word_ids"].shape[0]]
         correct = np.asarray(correct)          # [B,K,T]
         gt_mask = np.asarray(gt_mask)
+        correct = correct[:batch["word_ids"].shape[0]]
+        gt_mask = gt_mask[:batch["word_ids"].shape[0]]
         word_ids = batch["word_ids"]           # [B,K]
         b, k, t = correct.shape
         cls = np.broadcast_to(word_ids[:, :, None], (b, k, t))
@@ -72,8 +96,16 @@ def evaluate(params: dict, dataset, batch_size: int, num_classes: int,
     }
 
 
+def _pad_rows(x, n):
+    import numpy as np
+    if x.shape[0] >= n:
+        return x
+    pad = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(np.asarray(x), pad)
+
+
 def evaluate_config(cfg: Config, params: dict | None = None,
-                    split: str = "val") -> dict:
+                    split: str = "val", mesh=None) -> dict:
     """Config-driven eval: loads the dataset (+ checkpoint when params=None)."""
     from nafae_tpu.data import SegmentDataset
 
@@ -89,7 +121,7 @@ def evaluate_config(cfg: Config, params: dict | None = None,
             state = restored
         params = state.params
     return evaluate(params, ds, cfg.data.batch_size, cfg.model.vocab_size,
-                    temp=cfg.model.frame_attn_temp)
+                    temp=cfg.model.frame_attn_temp, mesh=mesh)
 
 
 def main(argv=None):

@@ -13,7 +13,6 @@ the reference lineage (conv4 stride-16 features, conv5 RoI head -> 2048-d).
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 

@@ -10,7 +10,6 @@ CLI: python -m nafae_tpu.train --preset config2 --override train.steps=500 ...
 
 from __future__ import annotations
 
-import functools
 import time
 
 import jax
@@ -311,7 +310,8 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
     ds = SegmentDataset(cfg.data.root, cfg.data.split, cfg.data.max_frames,
                         cfg.data.num_regions, cfg.data.feat_dim,
                         cfg.data.max_words,
-                        frame_buckets=tuple(cfg.data.frame_buckets))
+                        frame_buckets=tuple(cfg.data.frame_buckets),
+                        transfer_dtype=cfg.data.transfer_dtype)
     from nafae_tpu.data.grain_loader import make_loader
     loader = make_loader(cfg.data, ds, seed=cfg.train.seed,
                          pipeline=cfg.data.pipeline)

@@ -114,3 +114,16 @@ def test_train_deterministic(synth_root, tmp_path):
         runs.append(jax.tree.map(np.asarray, state.params))
     for k in runs[0]:
         np.testing.assert_array_equal(runs[0][k], runs[1][k])
+
+
+def test_mesh_eval_matches_single_device(synth_root):
+    """Data-parallel eval over an 8-device mesh == single-device eval."""
+    from nafae_tpu.evaluate import evaluate_config
+    from nafae_tpu.parallel import make_mesh
+    cfg = load_config(preset_name="config1", overrides=[
+        "data.feat_dim=64", "model.feat_dim=64", "model.embed_dim=32",
+        "data.batch_size=8", f"data.root={synth_root}"])
+    state = TrainState.create(jax.random.PRNGKey(3), cfg)
+    r1 = evaluate_config(cfg, params=state.params)
+    r8 = evaluate_config(cfg, params=state.params, mesh=make_mesh())
+    assert r1 == r8
