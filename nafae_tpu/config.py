@@ -76,6 +76,9 @@ class TrainConfig:
     donate: bool = True
     steps_per_call: int = 1       # lax.scan this many steps inside ONE XLA call
                                   # (amortizes dispatch; batches stack on a lead axis)
+    device_cache: bool = False    # upload the WHOLE dataset to HBM once and
+                                  # gather batches on device (no per-step host
+                                  # transfer; requires a single frame bucket)
 
 
 @dataclass

@@ -28,13 +28,12 @@ def nms(boxes: jax.Array, scores: jax.Array, num_keep: int,
 
     Exactly matches classic greedy NMS for the top num_keep survivors.
     Invalid slots (fewer than num_keep survivors) have keep_valid=0 and
-    keep_idx pointing at the last selected box (safe to gather).
+    keep_idx=0 (safe to gather; multiply results by keep_valid).
     """
     iou = pairwise_iou(boxes, boxes)                        # [N,N]
     live = scores > score_thresh
 
-    def body(carry, _):
-        live, _ = carry
+    def body(live, _):
         s = jnp.where(live, scores, NEG)
         best = jnp.argmax(s)
         valid = s[best] > NEG
@@ -42,10 +41,10 @@ def nms(boxes: jax.Array, scores: jax.Array, num_keep: int,
         suppress = (iou[best] > iou_thresh) | (
             jnp.arange(scores.shape[0]) == best)
         live = live & ~suppress & valid                     # freeze when done
-        return (live, best), (best, valid.astype(jnp.float32))
+        return live, (best, valid.astype(jnp.float32))
 
-    (_, _), (keep_idx, keep_valid) = jax.lax.scan(
-        body, (live, jnp.int32(0)), None, length=num_keep)
+    _, (keep_idx, keep_valid) = jax.lax.scan(
+        body, live, None, length=num_keep)
     return keep_idx, keep_valid
 
 

@@ -20,19 +20,6 @@ import jax.numpy as jnp
 from nafae_tpu.ops import grounding as G
 
 
-def cross_scores_rows(w_emb_global: jax.Array, word_mask_global: jax.Array,
-                      v_emb_local: jax.Array, frame_mask_local: jax.Array,
-                      temp: float, pool: str,
-                      ctx_window: int = 0, ctx_temp: float = 0.1) -> jax.Array:
-    """Row shard of the score matrix: local videos × global sentences.
-
-    Identical math to ops.grounding.cross_scores — the 'videos' and
-    'sentences' batches just differ in size.
-    """
-    return G.cross_scores(w_emb_global, word_mask_global, v_emb_local,
-                          frame_mask_local, temp, pool, ctx_window, ctx_temp)
-
-
 def ranking_loss_rows(rows: jax.Array, diag_global: jax.Array,
                       row_offset: int | jax.Array, margin: float,
                       axis_name: str | None = None) -> jax.Array:

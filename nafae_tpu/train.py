@@ -301,6 +301,70 @@ def build_train_fn(cfg: Config, mesh=None, extractor=None, with_frames=False):
 # Fit loop + CLI
 # ---------------------------------------------------------------------------
 
+def fit_device_cached(cfg: Config, state, loader, ckpt, logger,
+                      log_fn=None, eval_fn=None):
+    """Training loop with the dataset resident in HBM (train.device_cache).
+
+    The whole (padded) dataset uploads once; each call gathers its batches by
+    index on device and scans steps_per_call optimizer steps — zero per-step
+    host->device feature traffic. Requires a single frame bucket and the
+    dataset fitting device memory (e.g. YouCook2 features in f16 ~8 GB).
+    """
+    import numpy as np
+
+    ds = loader.dataset
+    n = len(ds)
+    data = {k: jnp.asarray(np.stack([ds[i][k] for i in range(n)]))
+            for k in ds[0]}
+    tx = make_optimizer(cfg)
+    step = make_train_step(cfg, tx)
+    spc = max(1, cfg.train.steps_per_call)
+
+    # data must be a runtime ARGUMENT: closing over it would embed ~GBs of
+    # constants in the jaxpr (the remote compile service rejects the payload)
+    @jax.jit
+    def multi(state, idxs, data):                            # idxs [spc, B]
+        def body(st, idx):
+            batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), data)
+            return step(st, batch)
+        state, ms = jax.lax.scan(body, state, idxs)
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    start_step = int(state.step)
+    total = cfg.train.steps - start_step
+    bsz = cfg.data.batch_size
+    rng = np.random.RandomState(cfg.train.seed)
+    frames_per_batch = bsz * cfg.data.max_frames
+    order: list = []
+    done = 0
+    t0 = time.perf_counter()
+    metrics = {}
+    while done < total:
+        while len(order) < spc * bsz:
+            ep = np.arange(n)
+            rng.shuffle(ep)
+            order.extend(ep.tolist())
+        idxs = np.asarray(order[:spc * bsz], np.int32).reshape(spc, bsz)
+        order = order[spc * bsz:]
+        state, metrics = multi(state, idxs, data)
+        done += spc
+        gstep = start_step + done
+        if gstep % max(cfg.train.log_every, spc) < spc:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.perf_counter() - t0
+            m["frames_per_sec"] = frames_per_batch * done / dt
+            m["step"] = gstep
+            logger.log(m)
+            if log_fn:
+                log_fn(m)
+        if eval_fn and gstep % cfg.train.eval_every < spc:
+            eval_fn(state)
+        if gstep % cfg.train.ckpt_every < spc:
+            ckpt.save(state)
+    ckpt.save(state, wait=True)
+    return state, metrics
+
+
 def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
     """Run cfg.train.steps steps; returns the final state and last metrics."""
     from nafae_tpu.data import SegmentDataset
@@ -328,6 +392,15 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
     if restored is not None:
         state = restored
     logger = MetricsLogger(cfg.train.ckpt_dir)
+    if cfg.train.device_cache:
+        if mesh is not None:
+            raise NotImplementedError("device_cache with a mesh: shard the "
+                                      "cache over the data axis (future work)")
+        if len(ds.frame_buckets) > 1:
+            raise ValueError("device_cache requires a single frame bucket")
+        loader_like = type("L", (), {"dataset": ds})()
+        return fit_device_cached(cfg, state, loader_like, ckpt, logger,
+                                 log_fn=log_fn, eval_fn=eval_fn)
     train_fn = build_train_fn(cfg, mesh)
 
     start_step = int(state.step)

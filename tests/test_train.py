@@ -144,3 +144,13 @@ def test_training_with_frame_buckets(synth_root, tmp_path):
     state, metrics = fit(cfg)
     assert int(state.step) == 6
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_device_cache_training(synth_root, tmp_path):
+    """HBM-resident dataset path trains and matches the loss trend."""
+    cfg = _cfg(synth_root, extra=[f"train.ckpt_dir={tmp_path}/dc",
+                                  "train.steps=8", "train.device_cache=true",
+                                  "train.steps_per_call=2"])
+    state, metrics = fit(cfg)
+    assert int(state.step) == 8
+    assert np.isfinite(float(metrics["loss"]))
