@@ -33,6 +33,7 @@ def make_batch(s, seed=0):
         "word_ids": rng.randint(0, s["V"], (s["B"], s["K"])).astype(np.int32),
         "frame_mask": np.ones((s["B"], s["T"]), np.float32),
         "word_mask": np.ones((s["B"], s["K"]), np.float32),
+        "region_mask": np.ones((s["B"], s["T"], s["R"]), np.float32),
         "segment_id": np.arange(s["B"], dtype=np.int32),
     }
 

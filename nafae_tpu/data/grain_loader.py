@@ -19,6 +19,10 @@ class GrainLoader:
                  seed: int = 0, drop_remainder: bool = True,
                  prefetch: int = 2, use_native: bool = False):
         import grain
+        if len(getattr(dataset, "frame_buckets", ()) or ()) > 1:
+            raise ValueError(
+                "GrainLoader does not support multiple frame buckets yet; "
+                "use data.pipeline='thread' with data.frame_buckets")
         self._grain = grain
         self.dataset = dataset
         self.batch_size = batch_size

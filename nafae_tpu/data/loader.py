@@ -87,9 +87,24 @@ class BatchLoader:
                 for idxs in batch_idxs:
                     if stop.is_set():
                         return
-                    q.put(self._make_batch(idxs))
+                    item = self._make_batch(idxs)
+                    while True:   # poll stop: never block forever on a full
+                        try:      # queue after the consumer abandoned us
+                            q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            if stop.is_set():
+                                return
             finally:
-                q.put(None)
+                # the end-of-epoch sentinel must never be dropped (a Full
+                # queue here would leave the consumer blocked on q.get()
+                # forever) — keep trying until it lands or we're abandoned
+                while not stop.is_set():
+                    try:
+                        q.put(None, timeout=0.2)
+                        break
+                    except queue.Full:
+                        pass
 
         th = threading.Thread(target=worker, daemon=True)
         th.start()

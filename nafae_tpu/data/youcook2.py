@@ -60,6 +60,8 @@ class SegmentDataset:
                 max_words=self.max_words,
                 gt_boxes=z["gt_boxes"].astype(np.float32) if self.with_gt else None,
                 gt_mask=z["gt_mask"].astype(np.float32) if self.with_gt else None,
+                region_mask=(z["region_mask"].astype(np.float32)
+                             if "region_mask" in z.files else None),
             )
         sample["segment_id"] = i
         return sample
@@ -68,7 +70,8 @@ class SegmentDataset:
 def pad_sample(feats: np.ndarray, boxes: np.ndarray, word_ids: np.ndarray,
                max_frames: int, num_regions: int, max_words: int,
                gt_boxes: np.ndarray | None = None,
-               gt_mask: np.ndarray | None = None) -> dict[str, np.ndarray]:
+               gt_mask: np.ndarray | None = None,
+               region_mask: np.ndarray | None = None) -> dict[str, np.ndarray]:
     """Pad/truncate one segment to fixed [T,R,D]/[K] buckets with masks."""
     t, r, d = feats.shape
     tt, rr = min(t, max_frames), min(r, num_regions)
@@ -84,8 +87,10 @@ def pad_sample(feats: np.ndarray, boxes: np.ndarray, word_ids: np.ndarray,
     fm[:tt] = 1.0
     wm = np.zeros((max_words,), np.float32)
     wm[:k] = 1.0
+    rm = np.zeros((max_frames, num_regions), np.float32)
+    rm[:tt, :rr] = region_mask[:tt, :rr] if region_mask is not None else 1.0
     sample = {"feats": out_f, "boxes": out_b, "word_ids": out_w,
-              "frame_mask": fm, "word_mask": wm}
+              "frame_mask": fm, "word_mask": wm, "region_mask": rm}
     if gt_boxes is not None:
         gb = np.zeros((max_words, max_frames, 4), np.float32)
         gm = np.zeros((max_words, max_frames), np.float32)

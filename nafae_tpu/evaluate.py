@@ -28,7 +28,8 @@ def _eval_batch(params: dict, batch: dict, temp: float = 0.1,
                 iou_thresh: float = 0.5):
     w_emb = G.embed_words(batch["word_ids"], params["word_emb"])
     v_emb = G.project_regions(batch["feats"], params["w_v"], params["b_v"])
-    s = G.similarity_tensor(w_emb, v_emb)
+    s = G.mask_regions(G.similarity_tensor(w_emb, v_emb),
+                       batch.get("region_mask"))
     # region argmax must ignore padded frames/words via gt_mask (already 0 there)
     correct, gt_mask = grounding_hits(s, batch["boxes"], batch["gt_boxes"],
                                       batch["gt_mask"], iou_thresh)
@@ -68,12 +69,9 @@ def evaluate(params: dict, dataset, batch_size: int, num_classes: int,
     for batch in loader:
         correct, gt_mask = eval_fn(params, batch, temp=temp,
                                    iou_thresh=iou_thresh)
-        correct = np.asarray(correct)[:batch["word_ids"].shape[0]]
-        gt_mask = np.asarray(gt_mask)[:batch["word_ids"].shape[0]]
-        correct = np.asarray(correct)          # [B,K,T]
-        gt_mask = np.asarray(gt_mask)
-        correct = correct[:batch["word_ids"].shape[0]]
-        gt_mask = gt_mask[:batch["word_ids"].shape[0]]
+        b_real = batch["word_ids"].shape[0]
+        correct = np.asarray(correct)[:b_real]     # [B,K,T]
+        gt_mask = np.asarray(gt_mask)[:b_real]
         word_ids = batch["word_ids"]           # [B,K]
         b, k, t = correct.shape
         cls = np.broadcast_to(word_ids[:, :, None], (b, k, t))

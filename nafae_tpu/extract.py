@@ -89,7 +89,7 @@ def extract_segments(cfg: Config, annotations: list[dict], out_dir: str,
             t = frames.shape[0]
             if t == 0:
                 continue
-            boxes, feats = [], []
+            boxes, feats, rvalid = [], [], []
             for lo in range(0, t, frame_batch):
                 real = min(frame_batch, t - lo)
                 chunk = frames[lo:lo + real]
@@ -100,6 +100,7 @@ def extract_segments(cfg: Config, annotations: list[dict], out_dir: str,
                 out = fn(params, jnp.asarray(chunk))
                 boxes.append(np.asarray(out["boxes"])[:real])
                 feats.append(np.asarray(out["feats"])[:real])
+                rvalid.append(np.asarray(out["region_valid"])[:real])
             word_ids = np.asarray(
                 vocab.extract(ann["sentence"], cfg.data.max_words),
                 np.int32)
@@ -107,6 +108,7 @@ def extract_segments(cfg: Config, annotations: list[dict], out_dir: str,
             np.savez(os.path.join(out_dir, name + ".npz"),
                      feats=np.concatenate(feats).astype(np.float16),
                      boxes=np.concatenate(boxes).astype(np.float32),
+                     region_mask=np.concatenate(rvalid).astype(np.float32),
                      word_ids=word_ids)
             idx.write(json.dumps({
                 "id": name, "file": name + ".npz", "num_frames": t,

@@ -54,7 +54,7 @@ class FasterRCNNExtractor(nn.Module):
         obj, deltas = self.rpn(feat)                         # [B,N], [B,N,4]
 
         from nafae_tpu.models.detector.rpn import select_proposals_batched
-        boxes, scores = select_proposals_batched(
+        boxes, scores, keep_valid = select_proposals_batched(
             obj, deltas, anchors, cfg.image_size, cfg.rpn_pre_nms_topk,
             cfg.num_proposals, cfg.nms_iou_thresh,
             nms_impl="pallas" if self.use_pallas_nms else "jnp")
@@ -79,6 +79,7 @@ class FasterRCNNExtractor(nn.Module):
             "boxes": boxes,
             "scores": scores,
             "feats": roi_feats.reshape(b, r, -1),            # [B,R,2048]
+            "region_valid": keep_valid,                      # [B,R] NMS survivors
         }
         if self.with_detections:
             from nafae_tpu.models.detector.heads import decode_detections

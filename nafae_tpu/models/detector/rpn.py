@@ -51,7 +51,7 @@ def select_proposals_batched(obj_logits: jax.Array, deltas: jax.Array,
                                            nms_iou)
     out_boxes = jnp.take_along_axis(boxes, keep_idx[..., None], axis=1)
     out_scores = jnp.take_along_axis(scores, keep_idx, axis=1) * keep_valid
-    return out_boxes * keep_valid[..., None], out_scores
+    return out_boxes * keep_valid[..., None], out_scores, keep_valid
 
 
 def select_proposals(obj_logits: jax.Array, deltas: jax.Array,

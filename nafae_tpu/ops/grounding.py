@@ -78,6 +78,20 @@ def _cast2(a, b, dtype):
     return a.astype(dtype), b.astype(dtype)
 
 
+def mask_regions(s: jax.Array, region_mask: jax.Array | None) -> jax.Array:
+    """Fill invalid region slots with NEG so max/argmax/softmax ignore them.
+
+    s [..,K,T,R] (leading video axis first); region_mask [B,T,R] or None.
+    For cross tensors [I,J,K,T,R] the mask indexes the VIDEO axis I.
+    """
+    if region_mask is None:
+        return s
+    extra = s.ndim - region_mask.ndim - 1          # axes between B and (T,R)
+    rm = region_mask.reshape(
+        region_mask.shape[:1] + (1,) * (extra + 1) + region_mask.shape[1:])
+    return jnp.where(rm > 0, s, NEG)
+
+
 def frame_mil_max(s: jax.Array, frame_mask: jax.Array) -> jax.Array:
     """MIL max over regions: a[..,k,t] = max_r s (invalid frames -> 0).
 
@@ -136,10 +150,13 @@ def region_affinity(v_emb: jax.Array, frame_mask: jax.Array,
 
 
 def region_affinity_ext(v_ext: jax.Array, fm_ext: jax.Array, window: int,
-                        temp: float, dtype=None) -> tuple[jax.Array, jax.Array]:
+                        temp: float, dtype=None,
+                        rm_ext: jax.Array | None = None
+                        ) -> tuple[jax.Array, jax.Array]:
     """Extended-array form: v_ext [B, w+T+w, R, E], fm_ext [B, w+T+w]
     (halo frames at both ends; invalid halos have fm_ext=0). Returns alpha /
-    nbr_valid for the CENTER T frames."""
+    nbr_valid for the CENTER T frames. rm_ext [B, w+T+w, R] optionally
+    excludes invalid neighbor regions from the affinity softmax."""
     w = window
     T = v_ext.shape[1] - 2 * w
     offsets = _offsets(w)
@@ -151,6 +168,9 @@ def region_affinity_ext(v_ext: jax.Array, fm_ext: jax.Array, window: int,
     ve, vn = _cast2(v_c, v_nbr, dtype)
     logits = jnp.einsum("btre,btose->btros", ve, vn,
                         preferred_element_type=jnp.float32, precision=PRECISION) / temp
+    if rm_ext is not None:
+        rm_nbr = jnp.stack([rm_ext[:, center + o] for o in offsets], axis=2)
+        logits = jnp.where(rm_nbr[:, :, None, :, :] > 0, logits, NEG)
     alpha = jax.nn.softmax(logits, axis=-1)                   # over neighbor regions S
     return alpha, nbr_valid
 
@@ -244,7 +264,8 @@ def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
                  v_emb: jax.Array, frame_mask: jax.Array,
                  temp: float, pool: str,
                  ctx_window: int = 0, ctx_temp: float = 0.1,
-                 impl: str = "jnp", dtype=None) -> jax.Array:
+                 impl: str = "jnp", dtype=None,
+                 region_mask: jax.Array | None = None) -> jax.Array:
     """Full B×B score matrix S[i,j] = score(video i, sentence j) for ranking.
 
     The reference scores positives/negatives with per-sample loops (SURVEY.md
@@ -262,26 +283,30 @@ def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
         w_ = ctx_window
         v_ext = jnp.pad(v_emb, ((0, 0), (w_, w_), (0, 0), (0, 0)))
         fm_ext = jnp.pad(frame_mask, ((0, 0), (w_, w_)))
+        rm_ext = (jnp.pad(region_mask, ((0, 0), (w_, w_), (0, 0)))
+                  if region_mask is not None else None)
         alpha, nbr_valid = region_affinity_ext(v_ext, fm_ext, w_, ctx_temp,
-                                               dtype=dtype)
+                                               dtype=dtype, rm_ext=rm_ext)
         u = context_mixed_regions(v_ext, alpha, nbr_valid, dtype=dtype)
     if impl == "pallas":
         from nafae_tpu.ops.pallas.fused_ground import cross_mil
-        a = cross_mil(w_emb, v_emb, frame_mask)               # [I,J,K,T]
+        a = cross_mil(w_emb, v_emb, frame_mask, region_mask)  # [I,J,K,T]
         frame_logits = None
         if ctx_pool:
-            ahat = cross_mil(w_emb, u, frame_mask)
+            ahat = cross_mil(w_emb, u, frame_mask, region_mask)
             frame_logits = _masked_word_mean(ahat, wm)
         return video_scores(a, wm, fm, temp, pool, frame_logits=frame_logits)[0]
     we, ve = _cast2(w_emb, v_emb, dtype)
     s = jnp.einsum("jke,itre->ijktr", we, ve,
                    preferred_element_type=jnp.float32, precision=PRECISION)        # [I,J,K,T,R]
+    s = mask_regions(s, region_mask)
     a = frame_mil_max(s, fm)                                  # [I,J,K,T]
     frame_logits = None
     if ctx_pool:
         we2, ue = _cast2(w_emb, u, dtype)
         shat = jnp.einsum("jke,itre->ijktr", we2, ue,
                           preferred_element_type=jnp.float32, precision=PRECISION)
+        shat = mask_regions(shat, region_mask)
         ahat = frame_mil_max(shat, fm)
         frame_logits = _masked_word_mean(ahat, wm)
     return video_scores(a, wm, fm, temp, pool, frame_logits=frame_logits)[0]

@@ -12,14 +12,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-PRECISION = jax.lax.Precision.HIGHEST  # see nafae_tpu/ops/grounding.py
+
 
 
 def kmeans_assign(f: jax.Array, centers: jax.Array) -> jax.Array:
     """Cosine assignment c* = argmax_c f·Ĉ[c].  f [..,E], centers [Kc,E] -> [..]."""
     from nafae_tpu.ops.grounding import l2_normalize
+    from nafae_tpu.ops import grounding as _G
     sims = jnp.einsum("...e,ce->...c", f, l2_normalize(centers),
-                      preferred_element_type=jnp.float32, precision=PRECISION)
+                      preferred_element_type=jnp.float32,
+                      precision=_G.PRECISION)
     return jnp.argmax(sims, axis=-1)
 
 
@@ -28,8 +30,10 @@ def _lloyd_step(carry, _, f, valid, axis_name):
     assign = kmeans_assign(f, centers)                        # [N]
     onehot = jax.nn.one_hot(assign, centers.shape[0], dtype=f.dtype)  # [N,Kc]
     onehot = onehot * valid[:, None]
+    from nafae_tpu.ops import grounding as _G
     sums = jnp.einsum("nc,ne->ce", onehot, f,
-                      preferred_element_type=jnp.float32, precision=PRECISION)     # [Kc,E]
+                      preferred_element_type=jnp.float32,
+                      precision=_G.PRECISION)                 # [Kc,E]
     counts = jnp.sum(onehot, axis=0)                          # [Kc]
     if axis_name is not None:
         sums = jax.lax.psum(sums, axis_name)

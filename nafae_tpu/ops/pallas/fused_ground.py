@@ -35,12 +35,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _fwd_kernel(w_ref, v_ref, fm_ref, a_ref, idx_ref, *, T, R, R_pad):
+def _fwd_kernel(w_ref, v_ref, fm_ref, rm_ref, a_ref, idx_ref, *, T, R, R_pad):
     """Per-video tile: scores = w @ v_iᵀ on the MXU, then per-frame masked max.
 
     w_ref:  [M, E]        all words of all sentences (flattened J·K)
     v_ref:  [1, T*R_pad, E]  one video's region embeddings (R padded)
     fm_ref: [1, 1, T]     frame mask
+    rm_ref: [1, 1, T*R_pad]  region validity (data-dependent, R_pad-padded)
     a_ref:  [M, T]        output MIL max
     idx_ref:[M, T]        output argmax region index (for the VJP)
     """
@@ -60,6 +61,8 @@ def _fwd_kernel(w_ref, v_ref, fm_ref, a_ref, idx_ref, *, T, R, R_pad):
         lane_r = jax.lax.broadcasted_iota(
             jnp.int32, (m, gcnt * R_pad), 1) % R_pad
         scores = jnp.where(lane_r < R, scores, NEG)
+        rm_g = rm_ref[0, :, g0 * R_pad:(g0 + gcnt) * R_pad]  # [1, gcnt*R_pad]
+        scores = jnp.where(rm_g > 0, scores, NEG)
         for u in range(gcnt):
             t = g0 + u
             chunk = scores[:, u * R_pad:(u + 1) * R_pad]   # [M, R_pad]
@@ -68,15 +71,15 @@ def _fwd_kernel(w_ref, v_ref, fm_ref, a_ref, idx_ref, *, T, R, R_pad):
             idx_ref[0, :, t] = jnp.argmax(chunk, axis=1).astype(jnp.int32)
 
 
-def _rollmax_kernel(w_ref, v_ref, fm_ref, sel_ref, a_ref, idx_ref,
+def _rollmax_kernel(w_ref, v_ref, fm_ref, rm_ref, sel_ref, a_ref, idx_ref,
                     *, N, R, R_pad):
     """i-tiled forward: ONE MXU matmul for the whole tile, then a windowed
     roll-max over the R_pad-lane groups and a selection-matrix matmul to
     extract per-frame max/argmax — no per-column writes, no reshapes.
 
     w_ref [M,E]; v_ref [1, N, E] (N = IT*T*R_pad flattened regions);
-    fm_ref [1, 1, IT*T] frame mask; sel_ref [N, IT*T] group-start selector;
-    outputs a/idx [1, M, IT*T].
+    fm_ref [1, 1, IT*T] frame mask; rm_ref [1, 1, N] region validity;
+    sel_ref [N, IT*T] group-start selector; outputs a/idx [1, M, IT*T].
     """
     scores = jax.lax.dot_general(
         w_ref[:], v_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
@@ -85,6 +88,7 @@ def _rollmax_kernel(w_ref, v_ref, fm_ref, sel_ref, a_ref, idx_ref,
     m = scores.shape[0]
     lane_r = jax.lax.broadcasted_iota(jnp.int32, (m, N), 1) % R_pad
     v = jnp.where(lane_r < R, scores, NEG)
+    v = jnp.where(rm_ref[0] > 0, v, NEG)                   # [1,N] bcast over M
     ix = lane_r
     s = R_pad // 2
     while s >= 1:                                          # windowed tree max
@@ -107,7 +111,7 @@ def _rollmax_kernel(w_ref, v_ref, fm_ref, sel_ref, a_ref, idx_ref,
     idx_ref[0] = idx.astype(jnp.int32)
 
 
-def _cross_mil_fwd_rollmax(w_flat, v, fm):
+def _cross_mil_fwd_rollmax(w_flat, v, fm, rm):
     """Tiled roll-max forward (requires R <= 32). Shapes as in _fwd_impl."""
     m, e = w_flat.shape
     i, t, r, _ = v.shape
@@ -121,15 +125,18 @@ def _cross_mil_fwd_rollmax(w_flat, v, fm):
     i_pad = _round_up(i, it)
     if r_pad != r:
         v = jnp.pad(v, ((0, 0), (0, 0), (0, r_pad - r), (0, 0)))
+        rm = jnp.pad(rm, ((0, 0), (0, 0), (0, r_pad - r)))
     if i_pad != i:
         v = jnp.pad(v, ((0, i_pad - i), (0, 0), (0, 0), (0, 0)))
         fm = jnp.pad(fm, ((0, i_pad - i), (0, 0)))
+        rm = jnp.pad(rm, ((0, i_pad - i), (0, 0), (0, 0)))
     if m_pad != m:
         w_flat = jnp.pad(w_flat, ((0, m_pad - m), (0, 0)))
     nb = i_pad // it
     n = it * t * r_pad
     v2 = v.reshape(nb, n, e)
     fm2 = fm.reshape(nb, 1, it * t)
+    rm2 = rm.reshape(nb, 1, n)
     sel = jnp.zeros((n, it * t), jnp.float32).at[
         jnp.arange(it * t) * r_pad, jnp.arange(it * t)].set(1.0)
 
@@ -143,6 +150,8 @@ def _cross_mil_fwd_rollmax(w_flat, v, fm):
             pl.BlockSpec((1, n, e), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, it * t), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, it * t), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -158,7 +167,7 @@ def _cross_mil_fwd_rollmax(w_flat, v, fm):
             jax.ShapeDtypeStruct((nb, m_pad, it * t), jnp.int32),
         ],
         interpret=_interpret(),
-    )(w_flat, v2, fm2, sel)
+    )(w_flat, v2, fm2, rm2, sel)
     # [nb, M, IT*T] -> [nb, M, IT, T] -> [I, M, T]
     a = jnp.moveaxis(a.reshape(nb, m_pad, it, t), 2, 1).reshape(i_pad, m_pad, t)
     idx = jnp.moveaxis(idx.reshape(nb, m_pad, it, t), 2, 1).reshape(
@@ -166,19 +175,22 @@ def _cross_mil_fwd_rollmax(w_flat, v, fm):
     return a[:i, :m, :], idx[:i, :m, :]
 
 
-def _cross_mil_fwd_impl(w_flat: jax.Array, v: jax.Array, fm: jax.Array):
-    """w_flat [M,E], v [I,T,R,E], fm [I,T] -> a [I,M,T], idx [I,M,T]."""
+def _cross_mil_fwd_impl(w_flat: jax.Array, v: jax.Array, fm: jax.Array,
+                        rm: jax.Array):
+    """w_flat [M,E], v [I,T,R,E], fm [I,T], rm [I,T,R] -> a/idx [I,M,T]."""
     m, e = w_flat.shape
     i, t, r, _ = v.shape
     if r <= 32:
-        return _cross_mil_fwd_rollmax(w_flat, v, fm)
+        return _cross_mil_fwd_rollmax(w_flat, v, fm, rm)
     r_pad = _round_up(r, 32)
     m_pad = _round_up(m, 8)
     if r_pad != r:
         v = jnp.pad(v, ((0, 0), (0, 0), (0, r_pad - r), (0, 0)))
+        rm = jnp.pad(rm, ((0, 0), (0, 0), (0, r_pad - r)))
     if m_pad != m:
         w_flat = jnp.pad(w_flat, ((0, m_pad - m), (0, 0)))
     v2 = v.reshape(i, t * r_pad, e)
+    rm2 = rm.reshape(i, 1, t * r_pad)
 
     kernel = functools.partial(_fwd_kernel, T=t, R=r, R_pad=r_pad)
     a, idx = pl.pallas_call(
@@ -190,6 +202,8 @@ def _cross_mil_fwd_impl(w_flat: jax.Array, v: jax.Array, fm: jax.Array):
             pl.BlockSpec((1, t * r_pad, e), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, t), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t * r_pad), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -203,32 +217,33 @@ def _cross_mil_fwd_impl(w_flat: jax.Array, v: jax.Array, fm: jax.Array):
             jax.ShapeDtypeStruct((i, m_pad, t), jnp.int32),
         ],
         interpret=_interpret(),
-    )(w_flat, v2, fm[:, None, :])
+    )(w_flat, v2, fm[:, None, :], rm2)
     return a[:, :m, :], idx[:, :m, :]
 
 
-def _squeeze_kernel_blocks(fn):
-    return fn
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _cross_mil(w_flat: jax.Array, v: jax.Array, fm: jax.Array) -> jax.Array:
-    a, _ = _cross_mil_fwd_impl(w_flat, v, fm)
+def _cross_mil(w_flat: jax.Array, v: jax.Array, fm: jax.Array,
+               rm: jax.Array) -> jax.Array:
+    a, _ = _cross_mil_fwd_impl(w_flat, v, fm, rm)
     return a
 
 
-def _cross_mil_fwd(w_flat, v, fm):
-    a, idx = _cross_mil_fwd_impl(w_flat, v, fm)
-    return a, (w_flat, v, fm, idx)
+def _cross_mil_fwd(w_flat, v, fm, rm):
+    a, idx = _cross_mil_fwd_impl(w_flat, v, fm, rm)
+    return a, (w_flat, v, fm, rm, idx)
 
 
 def _cross_mil_bwd(res, da):
-    w_flat, v, fm, idx = res
+    w_flat, v, fm, rm, idx = res
     i, t, r, e = v.shape
 
     def body(dw_acc, xs):
-        v_i, fm_i, idx_i, da_i = xs                       # [T,R,E],[T],[M,T],[M,T]
-        g = da_i * fm_i[None, :]                          # max-subgrad gate
+        v_i, fm_i, rm_i, idx_i, da_i = xs        # [T,R,E],[T],[T,R],[M,T],[M,T]
+        # max-subgrad gate; frames with zero valid regions are constant NEG
+        # in the forward, so their gradient must vanish (matches the jnp
+        # where()-masked path exactly)
+        any_valid = (jnp.max(rm_i, axis=-1) > 0).astype(da.dtype)     # [T]
+        g = da_i * (fm_i * any_valid)[None, :]
         oh = jax.nn.one_hot(idx_i, r, dtype=da.dtype) * g[..., None]  # [M,T,R]
         dv_i = jnp.einsum("mtr,me->tre", oh, w_flat,
                           preferred_element_type=jnp.float32,
@@ -238,21 +253,25 @@ def _cross_mil_bwd(res, da):
                           precision=jax.lax.Precision.HIGHEST)
         return dw_acc + dw_i, dv_i
 
-    dw, dv = jax.lax.scan(body, jnp.zeros_like(w_flat), (v, fm, idx, da))
-    return dw, dv, None
+    dw, dv = jax.lax.scan(body, jnp.zeros_like(w_flat), (v, fm, rm, idx, da))
+    return dw, dv, None, None
 
 
 _cross_mil.defvjp(_cross_mil_fwd, _cross_mil_bwd)
 
 
-def cross_mil(w_emb: jax.Array, v_emb: jax.Array,
-              frame_mask: jax.Array) -> jax.Array:
+def cross_mil(w_emb: jax.Array, v_emb: jax.Array, frame_mask: jax.Array,
+              region_mask: jax.Array | None = None) -> jax.Array:
     """Fused a[i,j,k,t] = masked max_r ŵ[j,k]·v̂[i,t,r].
 
-    w_emb [J,K,E], v_emb [I,T,R,E], frame_mask [I,T] -> [I,J,K,T].
-    Matches frame_mil_max(einsum('jke,itre->ijktr'), fm) exactly.
+    w_emb [J,K,E], v_emb [I,T,R,E], frame_mask [I,T], region_mask [I,T,R]
+    (optional, data-dependent validity, e.g. NMS survivors) -> [I,J,K,T].
+    Matches frame_mil_max(mask_regions(einsum('jke,itre->ijktr'), rm), fm)
+    exactly, including gradients.
     """
     j, k, e = w_emb.shape
     i, t, r, _ = v_emb.shape
-    a = _cross_mil(w_emb.reshape(j * k, e), v_emb, frame_mask)
+    if region_mask is None:
+        region_mask = jnp.ones((i, t, r), v_emb.dtype)
+    a = _cross_mil(w_emb.reshape(j * k, e), v_emb, frame_mask, region_mask)
     return a.reshape(i, j, k, t)

@@ -87,7 +87,8 @@ def sp_cross_scores(w_emb: jax.Array, word_mask: jax.Array,
                     v_emb: jax.Array, frame_mask: jax.Array,
                     temp: float, pool: str, frame_axis: str,
                     ctx_window: int = 0, ctx_temp: float = 0.1,
-                    dtype=None) -> jax.Array:
+                    dtype=None, region_mask: jax.Array | None = None
+                    ) -> jax.Array:
     """Frame-sharded cross_scores. v_emb [I,Tl,R,E] local frames; w_emb/
     word_mask are the (data-axis-gathered) global sentences. Returns
     rows [I_loc, J_glob], identical across frame shards."""
@@ -97,18 +98,23 @@ def sp_cross_scores(w_emb: jax.Array, word_mask: jax.Array,
     s = jnp.einsum("jke,itre->ijktr", we, ve,
                    preferred_element_type=jnp.float32,
                    precision=G.PRECISION)                     # [I,J,K,Tl,R]
+    s = G.mask_regions(s, region_mask)
     a = G.frame_mil_max(s, fm)
     frame_logits = None
     if pool == "context" and ctx_window > 0:
         v_ext = halo_exchange(v_emb, ctx_window, frame_axis)
         fm_ext = halo_exchange(frame_mask, ctx_window, frame_axis)
+        rm_ext = (halo_exchange(region_mask, ctx_window, frame_axis)
+                  if region_mask is not None else None)
         alpha, nbr_valid = G.region_affinity_ext(v_ext, fm_ext, ctx_window,
-                                                 ctx_temp, dtype=dtype)
+                                                 ctx_temp, dtype=dtype,
+                                                 rm_ext=rm_ext)
         u = G.context_mixed_regions(v_ext, alpha, nbr_valid, dtype=dtype)
         ue, we2 = G._cast2(u, w_emb, dtype)
         shat = jnp.einsum("jke,itre->ijktr", we2, ue,
                           preferred_element_type=jnp.float32,
                           precision=G.PRECISION)
+        shat = G.mask_regions(shat, region_mask)
         ahat = G.frame_mil_max(shat, fm)
         frame_logits = G._masked_word_mean(ahat, wm)
     return sp_video_scores(a, wm, fm, temp,

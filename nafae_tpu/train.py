@@ -70,10 +70,16 @@ def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
     the batch carries raw "frames" [B,T,H,W,3], RoI features are computed
     inline — decode -> detector -> losses in ONE XLA program, no disk
     round-trip (BASELINE config 5; SURVEY.md L205-213)."""
+    with G.matmul_precision(cfg.model.matmul_precision):
+        return _compute_losses_inner(params, centers, batch, cfg, row_offset,
+                                     data_axis, use_pallas, frame_axis,
+                                     extractor)
+
+
+def _compute_losses_inner(params, centers, batch, cfg, row_offset,
+                          data_axis, use_pallas, frame_axis, extractor):
     lc, mc = cfg.loss, cfg.model
     all_axes = tuple(a for a in (data_axis, frame_axis) if a)
-    _prec = G.matmul_precision(mc.matmul_precision)
-    _prec.__enter__()
     if extractor is not None and "frames" in batch:
         apply_fn, det_params = extractor
         frames = batch["frames"]                       # [B,T,H,W,3]
@@ -83,8 +89,12 @@ def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
         batch = dict(batch)
         batch["feats"] = det["feats"].reshape(b_, t_, *det["feats"].shape[1:])
         batch["boxes"] = det["boxes"].reshape(b_, t_, *det["boxes"].shape[1:])
+        if "region_valid" in det:  # NMS slots that survived -> region mask
+            batch["region_mask"] = det["region_valid"].reshape(
+                b_, t_, *det["region_valid"].shape[1:])
     feats = batch["feats"]
     fm, wm = batch["frame_mask"], batch["word_mask"]
+    rm = batch.get("region_mask")                  # [B,T,R] or None (=all valid)
     ctx_on = lc.ctx_weight > 0 or mc.frame_pool == "context"
     ctx_window = lc.ctx_window if ctx_on else 0
 
@@ -92,7 +102,7 @@ def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
     w_emb = G.embed_words(batch["word_ids"], params["word_emb"])
     v_emb = G.project_regions(feats, params["w_v"], params["b_v"],
                               dtype=jnp.dtype(mc.dtype))
-    s = G.similarity_tensor(w_emb, v_emb, dtype=cdt)
+    s = G.mask_regions(G.similarity_tensor(w_emb, v_emb, dtype=cdt), rm)
 
     # --- ranking over the global batch (row-shard decomposition) -------------
     if data_axis is not None:
@@ -103,11 +113,12 @@ def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
         from nafae_tpu.parallel import sp
         rows = sp.sp_cross_scores(gw, gwm, v_emb, fm, mc.frame_attn_temp,
                                   mc.frame_pool, frame_axis, ctx_window,
-                                  lc.ctx_temp, dtype=cdt)
+                                  lc.ctx_temp, dtype=cdt, region_mask=rm)
     else:
         rows = G.cross_scores(gw, gwm, v_emb, fm, mc.frame_attn_temp,
                               mc.frame_pool, ctx_window, lc.ctx_temp,
-                              impl="pallas" if use_pallas else "jnp", dtype=cdt)
+                              impl="pallas" if use_pallas else "jnp", dtype=cdt,
+                              region_mask=rm)
     b_loc, b_glob = rows.shape
     gidx = row_offset + jnp.arange(b_loc)
     diag_local = jnp.sum(rows * (jnp.arange(b_glob)[None, :] == gidx[:, None]),
@@ -129,16 +140,22 @@ def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
             from nafae_tpu.parallel import sp
             v_ext = sp.halo_exchange(v_emb, w_, frame_axis)
             fm_ext = sp.halo_exchange(fm, w_, frame_axis)
+            rm_ext = (sp.halo_exchange(rm, w_, frame_axis)
+                      if rm is not None else None)
         else:
             v_ext = jnp.pad(v_emb, ((0, 0), (w_, w_), (0, 0), (0, 0)))
             fm_ext = jnp.pad(fm, ((0, 0), (w_, w_)))
+            rm_ext = (jnp.pad(rm, ((0, 0), (w_, w_), (0, 0)))
+                      if rm is not None else None)
         alpha, nbr_valid = G.region_affinity_ext(v_ext, fm_ext, w_,
-                                                 lc.ctx_temp, dtype=cdt)
+                                                 lc.ctx_temp, dtype=cdt,
+                                                 rm_ext=rm_ext)
         u = G.context_mixed_regions(v_ext, alpha, nbr_valid, dtype=cdt)
-        shat = G.similarity_tensor(w_emb, u, dtype=cdt)
+        shat = G.mask_regions(G.similarity_tensor(w_emb, u, dtype=cdt), rm)
         if lc.ctx_weight > 0:
-            l_ctx = _global_mean(*_context_loss_terms(s, shat, wm, fm, nbr_valid),
-                                 all_axes)
+            l_ctx = _global_mean(
+                *_context_loss_terms(s, shat, wm, fm, nbr_valid, rm),
+                all_axes)
             total = total + lc.ctx_weight * l_ctx
             aux["l_ctx"] = l_ctx
 
@@ -155,7 +172,6 @@ def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
         aux["l_clu"] = l_clu
 
     aux["loss"] = total
-    _prec.__exit__(None, None, None)
     return total, aux
 
 
@@ -164,11 +180,14 @@ def _assign(f, centers):
     return kmeans_assign(f, centers)
 
 
-def _context_loss_terms(s, shat, wm, fm, nbr_valid):
+def _context_loss_terms(s, shat, wm, fm, nbr_valid, rm=None):
     has_ctx = (jnp.sum(nbr_valid, axis=-1) > 0).astype(s.dtype)
-    m = wm[:, :, None] * fm[:, None, :] * has_ctx[:, None, :]
+    m = wm[:, :, None] * fm[:, None, :] * has_ctx[:, None, :]    # [B,K,T]
     sq = (s - jax.lax.stop_gradient(shat)) ** 2
-    return jnp.sum(sq * m[..., None]), jnp.sum(m) * s.shape[-1]
+    if rm is None:
+        return jnp.sum(sq * m[..., None]), jnp.sum(m) * s.shape[-1]
+    m4 = m[..., None] * rm[:, None, :, :]          # exclude invalid regions
+    return jnp.sum(sq * m4), jnp.sum(m4)
 
 
 def _global_mean(num, den, axes):
@@ -188,7 +207,9 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
 
     def step_fn(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
         if data_axis is not None:
-            row_offset = jax.lax.axis_index(data_axis) * batch["feats"].shape[0]
+            # word_ids exists in both the features and the raw-frames layouts
+            row_offset = (jax.lax.axis_index(data_axis)
+                          * batch["word_ids"].shape[0])
         else:
             row_offset = 0
         grad_fn = jax.value_and_grad(compute_losses, has_aux=True)
@@ -286,6 +307,7 @@ def build_train_fn(cfg: Config, mesh=None, extractor=None, with_frames=False):
     else:
         batch_spec["feats"] = P(*lead, axis, fspec)
         batch_spec["boxes"] = P(*lead, axis, fspec)
+        batch_spec["region_mask"] = P(*lead, axis, fspec)
     # NOTE: default check_vma must stay ON — it is what makes the transpose of
     # replicated (P()) inputs insert the cross-device psum, so per-device grads
     # equal the exact global gradient (verified against the single-device run).

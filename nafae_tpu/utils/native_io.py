@@ -47,6 +47,7 @@ def load_library() -> ctypes.CDLL:
                                 ctypes.POINTER(ctypes.c_float),
                                 ctypes.POINTER(ctypes.c_float),
                                 ctypes.POINTER(ctypes.c_float),
+                                ctypes.POINTER(ctypes.c_float),
                                 ctypes.POINTER(ctypes.c_float)]
     lib.packer_num_segments.restype = ctypes.c_int
     lib.packer_num_segments.argtypes = [ctypes.c_void_p]
@@ -70,17 +71,24 @@ def decode_video(path: str, sample_fps: float, max_frames: int,
 
 def write_nbin(path: str, feats: np.ndarray, boxes: np.ndarray,
                word_ids: np.ndarray, gt_boxes: np.ndarray | None = None,
-               gt_mask: np.ndarray | None = None) -> None:
-    """Write one segment in the flat binary cache format (see .cpp header)."""
+               gt_mask: np.ndarray | None = None,
+               region_mask: np.ndarray | None = None) -> None:
+    """Write one segment in the flat binary cache format (see .cpp header).
+
+    Version 3 adds an optional per-region validity block after word_ids.
+    """
     t, r, d = feats.shape
     k = len(word_ids)
     with_gt = gt_boxes is not None
     with open(path, "wb") as f:
-        hdr = np.asarray([_MAGIC, 2, t, r, d, k], np.int32)
+        hdr = np.asarray([_MAGIC, 3, t, r, d, k], np.int32)
         hdr.tofile(f)
         feats.astype(np.float32).tofile(f)
         boxes.astype(np.float32).tofile(f)
         word_ids.astype(np.int32).tofile(f)
+        np.asarray([1 if region_mask is not None else 0], np.int32).tofile(f)
+        if region_mask is not None:
+            region_mask.astype(np.float32).tofile(f)
         np.asarray([1 if with_gt else 0], np.int32).tofile(f)
         if with_gt:
             gt_boxes.astype(np.float32).tofile(f)
@@ -110,7 +118,9 @@ class NativePacker:
                     write_nbin(dst, z["feats"].astype(np.float32),
                                z["boxes"], z["word_ids"],
                                z["gt_boxes"] if "gt_boxes" in z else None,
-                               z["gt_mask"] if "gt_mask" in z else None)
+                               z["gt_mask"] if "gt_mask" in z else None,
+                               z["region_mask"] if "region_mask" in z
+                               else None)
             paths.append(dst)
         with open(manifest, "w") as f:
             f.write("\n".join(paths) + "\n")
@@ -133,6 +143,7 @@ class NativePacker:
         word_mask = np.empty((n, k), np.float32)
         gt_boxes = np.empty((n, k, t, 4), np.float32) if ds.with_gt else None
         gt_mask = np.empty((n, k, t), np.float32) if ds.with_gt else None
+        region_mask = np.empty((n, t, r), np.float32)
         idx_arr = np.ascontiguousarray(idxs, dtype=np.int32)
         fptr = ctypes.POINTER(ctypes.c_float)
         rc = self._lib.packer_pack(
@@ -140,13 +151,14 @@ class NativePacker:
             n, feats.ctypes.data_as(fptr), boxes.ctypes.data_as(fptr),
             word_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             frame_mask.ctypes.data_as(fptr), word_mask.ctypes.data_as(fptr),
+            region_mask.ctypes.data_as(fptr),
             gt_boxes.ctypes.data_as(fptr) if gt_boxes is not None else None,
             gt_mask.ctypes.data_as(fptr) if gt_mask is not None else None)
         if rc != 0:
             raise IOError(f"packer_pack failed rc={rc}")
         batch = {"feats": feats, "boxes": boxes, "word_ids": word_ids,
                  "frame_mask": frame_mask, "word_mask": word_mask,
-                 "segment_id": idx_arr.copy()}
+                 "region_mask": region_mask, "segment_id": idx_arr.copy()}
         if ds.with_gt:
             batch["gt_boxes"] = gt_boxes
             batch["gt_mask"] = gt_mask

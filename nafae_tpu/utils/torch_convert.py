@@ -45,11 +45,11 @@ def convert_state_dict(state_dict: dict, key_map: dict | None = None,
             raise KeyError(
                 f"no source key for {ours!r}; tried {candidates}; "
                 f"checkpoint has {sorted(flat)[:20]}...")
-        if ours == "w_v" and found.ndim == 2:
-            # torch Linear stores [out, in] = [E, D]; ours is [D, E]
-            d_guess = max(found.shape)
-            if found.shape[0] != d_guess:
-                found = found.T
+        if ours == "w_v" and found.ndim == 2 and c != "w_v":
+            # torch Linear stores [out, in] = [E, D]; ours is [D, E].
+            # Always transpose torch-named sources — a max(shape) heuristic
+            # would silently pick the wrong orientation for square matrices.
+            found = found.T
         out[ours] = found.astype(np.float32)
     if expect:
         for k, shape in expect.items():

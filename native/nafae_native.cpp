@@ -10,10 +10,11 @@
 // Exposed with a plain C ABI for ctypes (no pybind11 in this image).
 //
 // .nbin layout (little-endian):
-//   int32 magic 0x4e414641 ('NAFA'), int32 version=1
+//   int32 magic 0x4e414641 ('NAFA'), int32 version
 //   int32 T, R, D, K
 //   float feats[T*R*D]; float boxes[T*R*4]; int32 word_ids[K]
-//   (optional, version>=2) int32 has_gt; float gt_boxes[K*T*4]; float gt_mask[K*T]
+//   (version>=3) int32 has_rm; float region_mask[T*R]
+//   (version>=2) int32 has_gt; float gt_boxes[K*T*4]; float gt_mask[K*T]
 
 #include <atomic>
 #include <condition_variable>
@@ -93,6 +94,7 @@ struct Packer {
   int32_t* word_ids = nullptr;  // [B,K]
   float* frame_mask = nullptr;  // [B,T]
   float* word_mask = nullptr;   // [B,K]
+  float* region_mask = nullptr; // [B,T,R]
   float* gt_boxes = nullptr;    // [B,K,T,4]
   float* gt_mask = nullptr;     // [B,K,T]
 
@@ -182,9 +184,38 @@ struct Packer {
     // masks
     for (int ti = 0; ti < t; ++ti) frame_mask[b * T + ti] = 1.0f;
     for (int ki = 0; ki < k; ++ki) word_mask[b * K + ki] = 1.0f;
+    // region validity: from the file's v3 block, else structural (r < file R)
+    long after_wids = wid_off + sizeof(int32_t) * h.K;
+    bool rm_from_file = false;
+    if (h.version >= 3) {
+      std::fseek(f, after_wids, SEEK_SET);
+      int32_t has_rm = 0;
+      if (std::fread(&has_rm, sizeof(int32_t), 1, f) != 1)
+        { std::fclose(f); return false; }
+      after_wids += sizeof(int32_t);
+      if (has_rm) {
+        std::vector<float> rmrow(static_cast<size_t>(h.R));
+        for (int ti = 0; ti < t; ++ti) {
+          std::fseek(f, after_wids +
+                     sizeof(float) * static_cast<long>(ti) * h.R, SEEK_SET);
+          if (std::fread(rmrow.data(), sizeof(float), h.R, f)
+              != static_cast<size_t>(h.R))
+            { std::fclose(f); return false; }
+          for (int ri = 0; ri < r; ++ri)
+            region_mask[(b * T + ti) * R + ri] = rmrow[ri];
+        }
+        after_wids += sizeof(float) * static_cast<long>(h.T) * h.R;
+        rm_from_file = true;
+      }
+    }
+    if (!rm_from_file) {
+      for (int ti = 0; ti < t; ++ti)
+        for (int ri = 0; ri < r; ++ri)
+          region_mask[(b * T + ti) * R + ri] = 1.0f;
+    }
     // optional GT block
     if (with_gt && h.version >= 2 && gt_boxes && gt_mask) {
-      long gt_off = wid_off + sizeof(int32_t) * h.K;
+      long gt_off = after_wids;
       std::fseek(f, gt_off, SEEK_SET);
       int32_t has_gt = 0;
       if (std::fread(&has_gt, sizeof(int32_t), 1, f) == 1 && has_gt) {
@@ -238,7 +269,7 @@ int packer_num_segments(void* handle) {
 // batch buffers. Blocking; internally parallel. Returns 0 on success.
 int packer_pack(void* handle, const int32_t* idxs, int n,
                 float* feats, float* boxes, int32_t* word_ids,
-                float* frame_mask, float* word_mask,
+                float* frame_mask, float* word_mask, float* region_mask,
                 float* gt_boxes, float* gt_mask) {
   auto* p = static_cast<Packer*>(handle);
   size_t B = static_cast<size_t>(n);
@@ -247,20 +278,25 @@ int packer_pack(void* handle, const int32_t* idxs, int n,
   std::memset(word_ids, 0, sizeof(int32_t) * B * p->K);
   std::memset(frame_mask, 0, sizeof(float) * B * p->T);
   std::memset(word_mask, 0, sizeof(float) * B * p->K);
+  std::memset(region_mask, 0, sizeof(float) * B * p->T * p->R);
   if (p->with_gt && gt_boxes && gt_mask) {
     std::memset(gt_boxes, 0, sizeof(float) * B * p->K * p->T * 4);
     std::memset(gt_mask, 0, sizeof(float) * B * p->K * p->T);
   }
   p->feats = feats; p->boxes = boxes; p->word_ids = word_ids;
   p->frame_mask = frame_mask; p->word_mask = word_mask;
+  p->region_mask = region_mask;
   p->gt_boxes = gt_boxes; p->gt_mask = gt_mask;
   p->errors.store(0);
+  // validate BEFORE queueing: a mid-loop early return would leave stale
+  // tasks + an unset pending count for the next call (deadlock/OOB writes)
+  for (int i = 0; i < n; ++i) {
+    if (idxs[i] < 0 || idxs[i] >= static_cast<int>(p->files.size())) return 1;
+  }
   {
     std::unique_lock<std::mutex> lk(p->mu);
     for (int i = 0; i < n; ++i) {
-      int seg = idxs[i];
-      if (seg < 0 || seg >= static_cast<int>(p->files.size())) return 1;
-      p->tasks.push(PackerTask{i, seg});
+      p->tasks.push(PackerTask{i, idxs[i]});
     }
     p->pending = n;
   }

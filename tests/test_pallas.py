@@ -14,10 +14,10 @@ from nafae_tpu.ops import grounding as G
 from nafae_tpu.ops.pallas.fused_ground import cross_mil
 
 
-def _ref_a(w, v, fm):
+def _ref_a(w, v, fm, rm=None):
     s = jnp.einsum("jke,itre->ijktr", w, v,
                    precision=jax.lax.Precision.HIGHEST)
-    return G.frame_mil_max(s, fm[:, None, :])
+    return G.frame_mil_max(G.mask_regions(s, rm), fm[:, None, :])
 
 
 @pytest.mark.parametrize("shapes", [
@@ -54,6 +54,36 @@ def test_cross_mil_gradients_match():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("shapes", [
+    (3, 3, 2, 4, 5, 16),    # rollmax path (R<=32)
+    (4, 4, 2, 6, 33, 16),   # grouped path (R>32)
+])
+def test_cross_mil_region_mask(shapes):
+    """Data-dependent region validity (NMS survivors), incl. a frame with
+    ZERO valid regions — values and gradients must match the jnp where-mask."""
+    I, J, K, T, R, E = shapes
+    rng = np.random.RandomState(7 + R)
+    w = jnp.asarray(rng.randn(J, K, E).astype(np.float32))
+    v = jnp.asarray(rng.randn(I, T, R, E).astype(np.float32))
+    fm = jnp.asarray((rng.rand(I, T) > 0.2).astype(np.float32))
+    rm_np = (rng.rand(I, T, R) > 0.4).astype(np.float32)
+    rm_np[0, 0, :] = 0.0                       # valid frame, no valid regions
+    rm = jnp.asarray(rm_np)
+    np.testing.assert_allclose(np.asarray(cross_mil(w, v, fm, rm)),
+                               np.asarray(_ref_a(w, v, fm, rm)),
+                               rtol=1e-5, atol=1e-5)
+    loss_ref = lambda w, v: jnp.sum(jnp.sin(_ref_a(w, v, fm, rm) * 1.7))
+    loss_pl = lambda w, v: jnp.sum(jnp.sin(cross_mil(w, v, fm, rm) * 1.7))
+    gr = jax.grad(loss_ref, argnums=(0, 1))(w, v)
+    gp = jax.grad(loss_pl, argnums=(0, 1))(w, v)
+    # atol 5e-5: dw accumulates I*T max-subgradient terms in different orders
+    # (lax.scan in the VJP vs XLA's fused reduction in the reference)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gr[0]),
+                               rtol=1e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]),
+                               rtol=1e-4, atol=5e-5)
+
+
 def test_cross_scores_pallas_impl_matches():
     rng = np.random.RandomState(1)
     B, K, T, R, E = 4, 3, 6, 5, 16
@@ -61,11 +91,16 @@ def test_cross_scores_pallas_impl_matches():
     v = G.l2_normalize(jnp.asarray(rng.randn(B, T, R, E).astype(np.float32)))
     fm = jnp.asarray((rng.rand(B, T) > 0.2).astype(np.float32))
     wm = jnp.asarray((rng.rand(B, K) > 0.2).astype(np.float32))
-    for pool in ("attention", "mean"):
-        sj = G.cross_scores(w, wm, v, fm, 0.1, pool, impl="jnp")
-        sp = G.cross_scores(w, wm, v, fm, 0.1, pool, impl="pallas")
-        np.testing.assert_allclose(np.asarray(sp), np.asarray(sj),
-                                   rtol=1e-5, atol=1e-6)
+    rm = jnp.asarray((rng.rand(B, T, R) > 0.3).astype(np.float32))
+    for pool in ("attention", "mean", "context"):
+        for rmask in (None, rm):
+            kw = dict(ctx_window=2) if pool == "context" else {}
+            sj = G.cross_scores(w, wm, v, fm, 0.1, pool, impl="jnp",
+                                region_mask=rmask, **kw)
+            sp = G.cross_scores(w, wm, v, fm, 0.1, pool, impl="pallas",
+                                region_mask=rmask, **kw)
+            np.testing.assert_allclose(np.asarray(sp), np.asarray(sj),
+                                       rtol=1e-5, atol=1e-6)
 
 
 def test_roi_align_pallas_matches_reference():
