@@ -249,6 +249,50 @@ def context_mixed_regions(v_ext: jax.Array, alpha: jax.Array,
     return num / den[:, :, None, None]
 
 
+def context_mix(v_ext: jax.Array, fm_ext: jax.Array, window: int,
+                temp: float, dtype=None,
+                rm_ext: jax.Array | None = None
+                ) -> tuple[jax.Array, jax.Array]:
+    """Fused affinity+mixing: (u [B,T,R,E], nbr_valid [B,T,O]) in one pass.
+
+    Identical math to region_affinity_ext -> context_mixed_regions (tested to
+    float tolerance), but restructured as a static loop over the O = 2w frame
+    offsets so the [B,T,O,S,E] neighbor stack and the [B,T,R,O,S] alpha
+    tensor (the two big HBM intermediates of the reference formulation;
+    ~78 MB at production shapes) are never materialized — each offset is one
+    [B,T,R,S] tile that XLA fuses with its softmax and mix matmul. This is
+    the production ctx path (the reference's per-frame Python hot loop,
+    SURVEY.md L181 / BASELINE north star).
+    """
+    w = window
+    T = v_ext.shape[1] - 2 * w
+    v_c = v_ext[:, w:w + T]                                   # [B,T,R,E]
+    fm_c = fm_ext[:, w:w + T]                                 # [B,T]
+    num = None
+    nv_list = []
+    for o in _offsets(w):
+        v_o = v_ext[:, w + o:w + o + T]                       # [B,T,S,E]
+        nv_o = fm_ext[:, w + o:w + o + T] * fm_c              # [B,T]
+        ve, vn = _cast2(v_c, v_o, dtype)
+        logits = jnp.einsum("btre,btse->btrs", ve, vn,
+                            preferred_element_type=jnp.float32,
+                            precision=PRECISION) / temp
+        if rm_ext is not None:
+            rm_o = rm_ext[:, w + o:w + o + T]                 # [B,T,S]
+            logits = jnp.where(rm_o[:, :, None, :] > 0, logits, NEG)
+        a_o = jax.nn.softmax(logits, axis=-1)                 # [B,T,R,S]
+        a_nv = a_o * nv_o[:, :, None, None]
+        ae, vn2 = _cast2(a_nv.astype(v_ext.dtype), v_o, dtype)
+        mix = jnp.einsum("btrs,btse->btre", ae, vn2,
+                         preferred_element_type=jnp.float32,
+                         precision=PRECISION)
+        num = mix if num is None else num + mix
+        nv_list.append(nv_o)
+    nbr_valid = jnp.stack(nv_list, axis=2)                    # [B,T,O]
+    den = jnp.maximum(jnp.sum(nbr_valid, axis=-1), 1.0)
+    return num / den[:, :, None, None], nbr_valid
+
+
 def _gather_neighbors(s_ext: jax.Array, T: int, window: int) -> jax.Array:
     """s_ext [.., w+T+w, S] -> neighbor stack [.., T, O, S] for the center T."""
     center = jnp.arange(T) + window
@@ -285,9 +329,8 @@ def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
         fm_ext = jnp.pad(frame_mask, ((0, 0), (w_, w_)))
         rm_ext = (jnp.pad(region_mask, ((0, 0), (w_, w_), (0, 0)))
                   if region_mask is not None else None)
-        alpha, nbr_valid = region_affinity_ext(v_ext, fm_ext, w_, ctx_temp,
-                                               dtype=dtype, rm_ext=rm_ext)
-        u = context_mixed_regions(v_ext, alpha, nbr_valid, dtype=dtype)
+        u, _ = context_mix(v_ext, fm_ext, w_, ctx_temp,
+                           dtype=dtype, rm_ext=rm_ext)
     if impl == "pallas":
         from nafae_tpu.ops.pallas.fused_ground import cross_mil
         a = cross_mil(w_emb, v_emb, frame_mask, region_mask)  # [I,J,K,T]

@@ -106,10 +106,8 @@ def sp_cross_scores(w_emb: jax.Array, word_mask: jax.Array,
         fm_ext = halo_exchange(frame_mask, ctx_window, frame_axis)
         rm_ext = (halo_exchange(region_mask, ctx_window, frame_axis)
                   if region_mask is not None else None)
-        alpha, nbr_valid = G.region_affinity_ext(v_ext, fm_ext, ctx_window,
-                                                 ctx_temp, dtype=dtype,
-                                                 rm_ext=rm_ext)
-        u = G.context_mixed_regions(v_ext, alpha, nbr_valid, dtype=dtype)
+        u, _ = G.context_mix(v_ext, fm_ext, ctx_window, ctx_temp,
+                             dtype=dtype, rm_ext=rm_ext)
         ue, we2 = G._cast2(u, w_emb, dtype)
         shat = jnp.einsum("jke,itre->ijktr", we2, ue,
                           preferred_element_type=jnp.float32,

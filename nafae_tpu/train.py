@@ -147,10 +147,8 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
             fm_ext = jnp.pad(fm, ((0, 0), (w_, w_)))
             rm_ext = (jnp.pad(rm, ((0, 0), (w_, w_), (0, 0)))
                       if rm is not None else None)
-        alpha, nbr_valid = G.region_affinity_ext(v_ext, fm_ext, w_,
-                                                 lc.ctx_temp, dtype=cdt,
-                                                 rm_ext=rm_ext)
-        u = G.context_mixed_regions(v_ext, alpha, nbr_valid, dtype=cdt)
+        u, nbr_valid = G.context_mix(v_ext, fm_ext, w_, lc.ctx_temp,
+                                     dtype=cdt, rm_ext=rm_ext)
         shat = G.mask_regions(G.similarity_tensor(w_emb, u, dtype=cdt), rm)
         if lc.ctx_weight > 0:
             l_ctx = _global_mean(

@@ -40,6 +40,28 @@ def test_context_no_valid_neighbors_gives_zero_loss():
     assert float(loss) == 0.0
 
 
+def test_context_mix_matches_reference_formulation():
+    """context_mix (per-offset fused path) == region_affinity_ext ->
+    context_mixed_regions, with and without a region mask, ragged fm."""
+    rng = np.random.RandomState(3)
+    B, T, R, E, w = 3, 7, 5, 16, 2
+    v = G.l2_normalize(jnp.asarray(rng.randn(B, T, R, E).astype(np.float32)))
+    fm = jnp.asarray((rng.rand(B, T) > 0.3).astype(np.float32))
+    v_ext = jnp.pad(v, ((0, 0), (w, w), (0, 0), (0, 0)))
+    fm_ext = jnp.pad(fm, ((0, 0), (w, w)))
+    rm = jnp.asarray((rng.rand(B, T, R) > 0.4).astype(np.float32))
+    rm_ext = jnp.pad(rm, ((0, 0), (w, w), (0, 0)))
+    for rme in (None, rm_ext):
+        alpha, nv_ref = G.region_affinity_ext(v_ext, fm_ext, w, 0.1,
+                                              rm_ext=rme)
+        u_ref = G.context_mixed_regions(v_ext, alpha, nv_ref)
+        u, nv = G.context_mix(v_ext, fm_ext, w, 0.1, rm_ext=rme)
+        np.testing.assert_allclose(np.asarray(nv), np.asarray(nv_ref),
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_kmeans_recovers_planted_clusters():
     rng = np.random.RandomState(1)
     true = rng.randn(4, 16).astype(np.float32)
