@@ -19,10 +19,6 @@ class GrainLoader:
                  seed: int = 0, drop_remainder: bool = True,
                  prefetch: int = 2, use_native: bool = False):
         import grain
-        if len(getattr(dataset, "frame_buckets", ()) or ()) > 1:
-            raise ValueError(
-                "GrainLoader does not support multiple frame buckets yet; "
-                "use data.pipeline='thread' with data.frame_buckets")
         self._grain = grain
         self.dataset = dataset
         self.batch_size = batch_size
@@ -32,6 +28,18 @@ class GrainLoader:
 
     def _pipeline(self, epoch: int):
         g = self._grain
+        buckets = getattr(self.dataset, "frame_buckets", None)
+        if buckets and len(buckets) > 1:
+            # bucket-homogeneous batches: the source elements are the batch
+            # index lists (already bucket-pure and epoch-shuffled, identical
+            # order to BatchLoader), mapped to stacked batches
+            from nafae_tpu.data.loader import epoch_batches
+            idx_lists = epoch_batches(self.dataset, self.batch_size,
+                                      self.shuffle, self.seed,
+                                      self.drop_remainder, epoch)
+            ds = g.MapDataset.source(idx_lists)
+            return ds.map(lambda idxs: _stack_samples(
+                [self.dataset[int(i)] for i in idxs]))
         ds = g.MapDataset.source(self.dataset)
         if self.shuffle:
             ds = ds.shuffle(seed=self.seed + epoch)

@@ -20,6 +20,35 @@ import threading
 import numpy as np
 
 
+def epoch_batches(dataset, batch_size: int, shuffle: bool, seed: int,
+                  drop_remainder: bool, epoch: int) -> list:
+    """Batch index lists for one epoch; every batch is bucket-homogeneous
+    (one jit specialization per bucket, no straddling, no recompiles).
+    Shared by BatchLoader and GrainLoader so bucketing semantics (and the
+    seeded order) are identical across pipelines."""
+    def chunk(order):
+        nb = (len(order) // batch_size if drop_remainder
+              else -(-len(order) // batch_size))
+        return [order[b * batch_size:(b + 1) * batch_size]
+                for b in range(nb)]
+
+    rng = np.random.RandomState(seed + epoch)
+    order = np.arange(len(dataset))
+    if shuffle:
+        rng.shuffle(order)
+    buckets = getattr(dataset, "frame_buckets", None)
+    if buckets and len(buckets) > 1:
+        keys = np.asarray([dataset.bucket_of(int(i)) for i in order])
+        batches = []
+        for b in buckets:
+            grp = order[keys == b]
+            batches += chunk(grp)
+        if shuffle:
+            rng.shuffle(batches)              # interleave buckets across steps
+        return batches
+    return chunk(order)
+
+
 class BatchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_remainder: bool = True,
@@ -45,30 +74,8 @@ class BatchLoader:
                 self._native = None  # graceful fallback to the Python path
 
     def _epoch_batches(self, epoch: int) -> list:
-        """Batch index lists for one epoch; every batch is bucket-homogeneous
-        (one jit specialization per bucket, no straddling, no recompiles)."""
-        rng = np.random.RandomState(self.seed + epoch)
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            rng.shuffle(order)
-        buckets = getattr(self.dataset, "frame_buckets", None)
-        batches = []
-        if buckets and len(buckets) > 1:
-            keys = np.asarray([self.dataset.bucket_of(int(i)) for i in order])
-            for b in buckets:
-                grp = order[keys == b]
-                batches += self._chunk(grp)
-            if self.shuffle:
-                rng.shuffle(batches)          # interleave buckets across steps
-        else:
-            batches = self._chunk(order)
-        return batches
-
-    def _chunk(self, order: np.ndarray) -> list:
-        nb = (len(order) // self.batch_size if self.drop_remainder
-              else -(-len(order) // self.batch_size))
-        return [order[b * self.batch_size:(b + 1) * self.batch_size]
-                for b in range(nb)]
+        return epoch_batches(self.dataset, self.batch_size, self.shuffle,
+                             self.seed, self.drop_remainder, epoch)
 
     def _make_batch(self, idxs) -> dict[str, np.ndarray]:
         if self._native is not None:

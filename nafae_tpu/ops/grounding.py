@@ -251,19 +251,28 @@ def context_mixed_regions(v_ext: jax.Array, alpha: jax.Array,
 
 def context_mix(v_ext: jax.Array, fm_ext: jax.Array, window: int,
                 temp: float, dtype=None,
-                rm_ext: jax.Array | None = None
-                ) -> tuple[jax.Array, jax.Array]:
+                rm_ext: jax.Array | None = None,
+                impl: str = "offset") -> tuple[jax.Array, jax.Array]:
     """Fused affinity+mixing: (u [B,T,R,E], nbr_valid [B,T,O]) in one pass.
 
     Identical math to region_affinity_ext -> context_mixed_regions (tested to
-    float tolerance), but restructured as a static loop over the O = 2w frame
-    offsets so the [B,T,O,S,E] neighbor stack and the [B,T,R,O,S] alpha
-    tensor (the two big HBM intermediates of the reference formulation;
-    ~78 MB at production shapes) are never materialized — each offset is one
-    [B,T,R,S] tile that XLA fuses with its softmax and mix matmul. This is
-    the production ctx path (the reference's per-frame Python hot loop,
-    SURVEY.md L181 / BASELINE north star).
+    float tolerance). This is the production ctx path (the reference's
+    per-frame Python hot loop, SURVEY.md L181 / BASELINE north star).
+
+    impl="offset" (default): static loop over the O = 2w offsets; each
+    offset is one [B,T,R,S] tile fused with its softmax and mix matmul. No
+    [B,T,O,S,E] neighbor stack or [B,T,R,O,S] alpha tensor in HBM (~78 MB
+    at production shapes in the naive formulation).
+
+    impl="dense": ONE [T·R, E]x[E, T_ext·R] batched matmul per video
+    computes all offset logits at once, per-(row, neighbor-frame) softmax
+    via a reshape group-sum, then one [T·R, T_ext·R]x[T_ext·R, E] matmul
+    mixes. Measured at parity with "offset" at production shapes (XLA
+    already batches the small per-offset matmuls well); expected to win at
+    larger T·R where the dense matmul shape dominates.
     """
+    if impl == "dense":
+        return _context_mix_dense(v_ext, fm_ext, window, temp, dtype, rm_ext)
     w = window
     T = v_ext.shape[1] - 2 * w
     v_c = v_ext[:, w:w + T]                                   # [B,T,R,E]
@@ -289,6 +298,65 @@ def context_mix(v_ext: jax.Array, fm_ext: jax.Array, window: int,
         num = mix if num is None else num + mix
         nv_list.append(nv_o)
     nbr_valid = jnp.stack(nv_list, axis=2)                    # [B,T,O]
+    den = jnp.maximum(jnp.sum(nbr_valid, axis=-1), 1.0)
+    return num / den[:, :, None, None], nbr_valid
+
+
+def _context_mix_dense(v_ext: jax.Array, fm_ext: jax.Array, window: int,
+                       temp: float, dtype=None,
+                       rm_ext: jax.Array | None = None
+                       ) -> tuple[jax.Array, jax.Array]:
+    """Dense band-matrix form of context_mix (see its docstring).
+
+    The per-(row, neighbor-frame) softmax is a standard max-subtracted
+    softmax computed on the [B, T·R, T_ext, R] group view. Groups whose
+    neighbor frame is valid but has zero rm-valid regions reproduce the
+    per-offset softmax's uniform-over-all-NEG behavior exactly.
+    """
+    w = window
+    b, t_ext, r, e = v_ext.shape
+    t = t_ext - 2 * w
+    n = t_ext * r
+    vf = v_ext.reshape(b, n, e)
+    vc = vf[:, w * r:(w + t) * r]                             # [B,T·R,E]
+    ve, vn = _cast2(vc, vf, dtype)
+    s = jnp.einsum("bme,bne->bmn", ve, vn,
+                   preferred_element_type=jnp.float32,
+                   precision=PRECISION) / temp               # [B,T·R,N]
+    # band structure: row m belongs to center frame m//R; col n to extended
+    # frame n//R; keep only offsets 1..w on either side (never self)
+    off = (jnp.arange(n)[None, :] // r) - (jnp.arange(t * r)[:, None] // r + w)
+    band = (off != 0) & (jnp.abs(off) <= w)                  # [T·R,N] static
+    colv = jnp.repeat(fm_ext, r, axis=1)                     # [B,N] frame valid
+    if rm_ext is not None:
+        colv = colv * rm_ext.reshape(b, n)
+    live = band[None] & (colv[:, None, :] > 0)
+    s4 = s.reshape(b, t * r, t_ext, r)
+    live4 = live.reshape(b, t * r, t_ext, r)
+    # all operands kept finite (no ±inf) so the where() backward stays
+    # NaN-free: masked lanes hold the constant -1e30, which carries no
+    # gradient and underflows exp() to 0 whenever the group has a live max
+    s4m = jnp.where(live4, s4, jnp.float32(-1e30))
+    mx = jnp.max(s4m, axis=-1, keepdims=True)
+    ex4 = jnp.where(live4, jnp.exp(s4m - mx), 0.0)
+    gs = jnp.sum(ex4, axis=-1, keepdims=True)                # per-group sums
+    # empty-but-valid group (frame valid, all regions rm-masked): the
+    # per-offset softmax over all-NEG logits is uniform — reproduce it
+    frame_ok = (fm_ext[:, None, :, None] > 0) & band.reshape(
+        1, t * r, t_ext, r).any(-1, keepdims=True)
+    alpha4 = jnp.where(gs > 0, ex4 / jnp.maximum(gs, 1e-30),
+                       jnp.where(frame_ok, 1.0 / r, 0.0))
+    alpha = alpha4.reshape(b, t * r, n)
+    ae, vm = _cast2(alpha.astype(v_ext.dtype), vf, dtype)
+    num = jnp.einsum("bmn,bne->bme", ae, vm,
+                     preferred_element_type=jnp.float32,
+                     precision=PRECISION).reshape(b, t, r, e)
+    # validity/averaging identical to the offset form
+    center = jnp.arange(t) + w
+    fm_c = fm_ext[:, w:w + t]
+    nbr_valid = jnp.stack([fm_ext[:, center + o] for o in _offsets(w)],
+                          axis=2) * fm_c[:, :, None]          # [B,T,O]
+    num = num * fm_c[:, :, None, None]       # rows of invalid center frames
     den = jnp.maximum(jnp.sum(nbr_valid, axis=-1), 1.0)
     return num / den[:, :, None, None], nbr_valid
 

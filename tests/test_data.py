@@ -77,6 +77,28 @@ def test_grain_loader_matches_interface(synth_root):
     assert steps == list(range(5))
 
 
+def test_grain_loader_frame_buckets(synth_root):
+    """GrainLoader yields bucket-homogeneous batches, same order semantics as
+    BatchLoader, no segment lost beyond per-bucket remainders."""
+    import pytest
+    pytest.importorskip("grain")
+    from nafae_tpu.data.grain_loader import GrainLoader
+    ds = SegmentDataset(synth_root, "train", max_frames=8, num_regions=6,
+                        feat_dim=64, max_words=3, frame_buckets=(4, 8))
+    dl = GrainLoader(ds, batch_size=2, shuffle=True, seed=1)
+    seen = []
+    for b in dl.epoch(0):
+        assert b["feats"].shape[1] in (4, 8)
+        seen.extend(b["segment_id"].tolist())
+    assert len(seen) >= len(ds) - 2 * (2 - 1)
+    assert len(set(seen)) == len(seen)
+    # identical batch composition to the thread loader (shared index logic)
+    tb = [sorted(b["segment_id"].tolist())
+          for b in BatchLoader(ds, batch_size=2, shuffle=True, seed=1).epoch(0)]
+    gb = [sorted(b["segment_id"].tolist()) for b in dl.epoch(0)]
+    assert gb == tb
+
+
 def test_grain_pipeline_trains(synth_root, tmp_path):
     import pytest
     pytest.importorskip("grain")

@@ -41,25 +41,41 @@ def test_context_no_valid_neighbors_gives_zero_loss():
 
 
 def test_context_mix_matches_reference_formulation():
-    """context_mix (per-offset fused path) == region_affinity_ext ->
-    context_mixed_regions, with and without a region mask, ragged fm."""
+    """context_mix (dense band-matrix and per-offset paths) ==
+    region_affinity_ext -> context_mixed_regions, with and without a region
+    mask, ragged fm, including a valid frame whose regions are ALL masked
+    (the uniform-softmax corner) — values and gradients."""
     rng = np.random.RandomState(3)
     B, T, R, E, w = 3, 7, 5, 16, 2
     v = G.l2_normalize(jnp.asarray(rng.randn(B, T, R, E).astype(np.float32)))
-    fm = jnp.asarray((rng.rand(B, T) > 0.3).astype(np.float32))
+    fm_np = (rng.rand(B, T) > 0.3).astype(np.float32)
+    fm_np[0, 0] = 1.0
+    fm = jnp.asarray(fm_np)
     v_ext = jnp.pad(v, ((0, 0), (w, w), (0, 0), (0, 0)))
     fm_ext = jnp.pad(fm, ((0, 0), (w, w)))
-    rm = jnp.asarray((rng.rand(B, T, R) > 0.4).astype(np.float32))
-    rm_ext = jnp.pad(rm, ((0, 0), (w, w), (0, 0)))
+    rm_np = (rng.rand(B, T, R) > 0.4).astype(np.float32)
+    rm_np[0, 0, :] = 0.0                 # valid frame, zero valid regions
+    rm_ext = jnp.pad(jnp.asarray(rm_np), ((0, 0), (w, w), (0, 0)))
     for rme in (None, rm_ext):
         alpha, nv_ref = G.region_affinity_ext(v_ext, fm_ext, w, 0.1,
                                               rm_ext=rme)
         u_ref = G.context_mixed_regions(v_ext, alpha, nv_ref)
-        u, nv = G.context_mix(v_ext, fm_ext, w, 0.1, rm_ext=rme)
-        np.testing.assert_allclose(np.asarray(nv), np.asarray(nv_ref),
-                                   rtol=0, atol=0)
-        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
-                                   rtol=1e-5, atol=1e-6)
+        for impl in ("dense", "offset"):
+            u, nv = G.context_mix(v_ext, fm_ext, w, 0.1, rm_ext=rme,
+                                  impl=impl)
+            np.testing.assert_allclose(np.asarray(nv), np.asarray(nv_ref),
+                                       rtol=0, atol=0, err_msg=impl)
+            np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                       rtol=1e-5, atol=1e-6, err_msg=impl)
+        loss_ref = jax.grad(lambda ve: jnp.sum(jnp.sin(
+            G.context_mixed_regions(
+                ve, *G.region_affinity_ext(ve, fm_ext, w, 0.1, rm_ext=rme)
+            ) * 1.3)))(v_ext)
+        loss_dense = jax.grad(lambda ve: jnp.sum(jnp.sin(
+            G.context_mix(ve, fm_ext, w, 0.1, rm_ext=rme)[0] * 1.3)))(v_ext)
+        np.testing.assert_allclose(np.asarray(loss_dense),
+                                   np.asarray(loss_ref),
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_kmeans_recovers_planted_clusters():
