@@ -47,20 +47,28 @@ class GrainLoader:
                       batch_fn=_stack_samples)
         return ds
 
-    def epoch(self, epoch: int = 0):
-        yield from self._pipeline(epoch)
+    def batches_per_epoch(self) -> int:
+        return len(self._pipeline(0))
+
+    def epoch(self, epoch: int = 0, skip: int = 0):
+        ds = self._pipeline(epoch)
+        # random access skips without building the dropped batches
+        for i in range(skip, len(ds)):
+            yield ds[i]
 
     def __iter__(self):
         return self.epoch(0)
 
-    def steps(self, num_steps: int, start_epoch: int = 0):
+    def steps(self, num_steps: int, start_epoch: int = 0, skip: int = 0):
+        """Same contract as BatchLoader.steps (incl. mid-epoch resume)."""
         done, epoch = 0, start_epoch
         while done < num_steps:
-            for batch in self.epoch(epoch):
+            for batch in self.epoch(epoch, skip=skip):
                 yield done, batch
                 done += 1
                 if done >= num_steps:
                     return
+            skip = 0
             epoch += 1
 
 

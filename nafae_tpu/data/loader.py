@@ -83,9 +83,15 @@ class BatchLoader:
         samples = [self.dataset[int(i)] for i in idxs]
         return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
-    def epoch(self, epoch: int = 0):
-        """Yield batches for one epoch, prefetched by a background thread."""
-        batch_idxs = self._epoch_batches(epoch)
+    def batches_per_epoch(self) -> int:
+        """Constant across epochs: shuffling permutes within fixed buckets."""
+        return len(self._epoch_batches(0))
+
+    def epoch(self, epoch: int = 0, skip: int = 0):
+        """Yield batches for one epoch, prefetched by a background thread.
+        `skip` drops the first batches cheaply (before building them) —
+        exact deterministic resume from a mid-epoch checkpoint position."""
+        batch_idxs = self._epoch_batches(epoch)[skip:]
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -127,13 +133,16 @@ class BatchLoader:
     def __iter__(self):
         return self.epoch(0)
 
-    def steps(self, num_steps: int, start_epoch: int = 0):
-        """Yield exactly num_steps batches, cycling epochs (resume-friendly)."""
+    def steps(self, num_steps: int, start_epoch: int = 0, skip: int = 0):
+        """Yield exactly num_steps batches, cycling epochs. `skip` resumes
+        mid-epoch: the first `skip` batches of `start_epoch` are skipped
+        without being built (deterministic dataloader-position resume)."""
         done, epoch = 0, start_epoch
         while done < num_steps:
-            for batch in self.epoch(epoch):
+            for batch in self.epoch(epoch, skip=skip):
                 yield done, batch
                 done += 1
                 if done >= num_steps:
                     return
+            skip = 0
             epoch += 1

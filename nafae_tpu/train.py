@@ -429,7 +429,13 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
     metrics = {}
     spc = cfg.train.steps_per_call
     pending: dict = {}
-    for step, batch in loader.steps(cfg.train.steps - start_step):
+    # resume the dataloader at its exact deterministic position (epoch +
+    # offset derived from the checkpointed step; SURVEY.md §6 checkpoint row)
+    eb = loader.batches_per_epoch()
+    start_epoch = start_step // eb if eb else 0
+    skip = start_step % eb if eb else 0
+    for step, batch in loader.steps(cfg.train.steps - start_step,
+                                    start_epoch=start_epoch, skip=skip):
         gstep = start_step + step
         if spc > 1:
             # group by frame-bucket shape so every stacked scan is homogeneous
@@ -471,6 +477,9 @@ def main(argv=None):
                    help="shard over all local devices (DP)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (debug config, SURVEY.md L275)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the whole run into "
+                        "DIR (TensorBoard/Perfetto readable; SURVEY.md L274)")
     args = p.parse_args(argv)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -495,7 +504,13 @@ def main(argv=None):
         print("eval " + " ".join(f"{k}={v}" for k, v in sorted(r.items())),
               flush=True)
 
-    fit(cfg, mesh, log_fn=log_fn, eval_fn=eval_fn)
+    if args.profile:
+        from nafae_tpu.utils.profiling import trace
+        with trace(args.profile):
+            fit(cfg, mesh, log_fn=log_fn, eval_fn=eval_fn)
+        print(f"profile trace written to {args.profile}", flush=True)
+    else:
+        fit(cfg, mesh, log_fn=log_fn, eval_fn=eval_fn)
 
 
 if __name__ == "__main__":

@@ -77,6 +77,30 @@ def test_grain_loader_matches_interface(synth_root):
     assert steps == list(range(5))
 
 
+def test_loader_mid_epoch_resume(synth_root):
+    """steps(start_epoch, skip) continues the exact deterministic sequence —
+    both loaders (SURVEY §6: checkpoint the dataloader position)."""
+    import pytest
+    ds = SegmentDataset(synth_root, "train", max_frames=8, num_regions=6,
+                        feat_dim=64, max_words=3)
+    loaders = [BatchLoader(ds, batch_size=4, shuffle=True, seed=3)]
+    try:
+        import grain  # noqa: F401
+        from nafae_tpu.data.grain_loader import GrainLoader
+        loaders.append(GrainLoader(ds, batch_size=4, shuffle=True, seed=3))
+    except ImportError:
+        pass
+    for dl in loaders:
+        eb = dl.batches_per_epoch()
+        pos = eb - 5                      # resume 5 batches before epoch end
+        full = [b["segment_id"].tolist() for _, b in dl.steps(eb + 3)]
+        resumed = [b["segment_id"].tolist()
+                   for _, b in dl.steps(len(full) - pos,
+                                        start_epoch=pos // eb,
+                                        skip=pos % eb)]
+        assert resumed == full[pos:]
+
+
 def test_grain_loader_frame_buckets(synth_root):
     """GrainLoader yields bucket-homogeneous batches, same order semantics as
     BatchLoader, no segment lost beyond per-bucket remainders."""
