@@ -322,13 +322,20 @@ def build_train_fn(cfg: Config, mesh=None, extractor=None, with_frames=False):
 # ---------------------------------------------------------------------------
 
 def fit_device_cached(cfg: Config, state, loader, ckpt, logger,
-                      log_fn=None, eval_fn=None):
+                      log_fn=None, eval_fn=None, mesh=None):
     """Training loop with the dataset resident in HBM (train.device_cache).
 
     The whole (padded) dataset uploads once; each call gathers its batches by
     index on device and scans steps_per_call optimizer steps — zero per-step
     host->device feature traffic. Requires a single frame bucket and the
     dataset fitting device memory (e.g. YouCook2 features in f16 ~8 GB).
+
+    With a mesh: the segment axis is replicated across the data axis and the
+    frame axis is sharded across the frame (SP) axis (so an sp-way mesh also
+    divides the cache's per-chip footprint by sp); the per-step index batch
+    is sharded over the data axis and each device gathers only its own rows
+    locally — the step math is the same exact DP/SP decomposition as the
+    streaming path (build_train_fn).
     """
     import numpy as np
 
@@ -337,18 +344,45 @@ def fit_device_cached(cfg: Config, state, loader, ckpt, logger,
     data = {k: jnp.asarray(np.stack([ds[i][k] for i in range(n)]))
             for k in ds[0]}
     tx = make_optimizer(cfg)
-    step = make_train_step(cfg, tx)
     spc = max(1, cfg.train.steps_per_call)
 
     # data must be a runtime ARGUMENT: closing over it would embed ~GBs of
     # constants in the jaxpr (the remote compile service rejects the payload)
-    @jax.jit
-    def multi(state, idxs, data):                            # idxs [spc, B]
-        def body(st, idx):
-            batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), data)
-            return step(st, batch)
-        state, ms = jax.lax.scan(body, state, idxs)
-        return state, jax.tree.map(lambda x: x[-1], ms)
+    if mesh is None:
+        step = make_train_step(cfg, tx)
+
+        @jax.jit
+        def multi(state, idxs, data):                        # idxs [spc, B]
+            def body(st, idx):
+                batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), data)
+                return step(st, batch)
+            state, ms = jax.lax.scan(body, state, idxs)
+            return state, jax.tree.map(lambda x: x[-1], ms)
+    else:
+        from jax.sharding import PartitionSpec as P
+        axis = cfg.mesh.data_axis_name
+        faxis = cfg.mesh.frame_axis_name
+        sp_on = mesh.shape.get(faxis, 1) > 1
+        fspec = faxis if sp_on else None
+        stepm = make_train_step(cfg, tx, data_axis=axis,
+                                frame_axis=faxis if sp_on else None)
+        # cache specs: segment axis replicated, frame axis SP-sharded
+        data_spec = {k: P() for k in data}
+        for k in ("feats", "boxes", "region_mask", "frame_mask"):
+            if k in data_spec:
+                data_spec[k] = P(None, fspec)
+
+        def multi_core(state, idxs, data):   # idxs local rows of [spc, B]
+            def body(st, idx):
+                batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), data)
+                return stepm(st, batch)
+            state, ms = jax.lax.scan(body, state, idxs)
+            return state, jax.tree.map(lambda x: x[-1], ms)
+
+        multi = jax.jit(jax.shard_map(
+            multi_core, mesh=mesh,
+            in_specs=(P(), P(None, axis), data_spec),
+            out_specs=(P(), P())))
 
     start_step = int(state.step)
     total = cfg.train.steps - start_step
@@ -413,14 +447,11 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
         state = restored
     logger = MetricsLogger(cfg.train.ckpt_dir)
     if cfg.train.device_cache:
-        if mesh is not None:
-            raise NotImplementedError("device_cache with a mesh: shard the "
-                                      "cache over the data axis (future work)")
         if len(ds.frame_buckets) > 1:
             raise ValueError("device_cache requires a single frame bucket")
         loader_like = type("L", (), {"dataset": ds})()
         return fit_device_cached(cfg, state, loader_like, ckpt, logger,
-                                 log_fn=log_fn, eval_fn=eval_fn)
+                                 log_fn=log_fn, eval_fn=eval_fn, mesh=mesh)
     train_fn = build_train_fn(cfg, mesh)
 
     start_step = int(state.step)

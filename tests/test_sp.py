@@ -101,6 +101,35 @@ def test_sp_train_step_matches_single_device(synth_root, mesh_shape, window):
                                atol=1e-5)
 
 
+def test_sp_train_step_ragged_region_mask(synth_root):
+    """DP×SP step == single-device with a RAGGED region mask (random holes):
+    the mask must survive the frame-axis sharding + ctx halo exchange."""
+    cfg = load_config(preset_name="config4",
+                      overrides=OV + [f"data.root={synth_root}",
+                                      "mesh.data_axis=2",
+                                      "mesh.frame_axis=2"])
+    ds = SegmentDataset(synth_root, "train", cfg.data.max_frames,
+                        cfg.data.num_regions, cfg.data.feat_dim,
+                        cfg.data.max_words)
+    batch = dict(next(iter(BatchLoader(ds, cfg.data.batch_size, shuffle=True,
+                                       seed=0))))
+    rng = np.random.RandomState(5)
+    holes = (rng.rand(*batch["region_mask"].shape) > 0.3).astype(np.float32)
+    holes[:, :, 0] = 1.0                       # keep >=1 region per frame
+    batch["region_mask"] = batch["region_mask"] * holes
+    s1, m1 = build_train_fn(cfg, None)(
+        TrainState.create(jax.random.PRNGKey(0), cfg), batch)
+    s2, m2 = build_train_fn(cfg, _frame_mesh(2, 2))(
+        TrainState.create(jax.random.PRNGKey(0), cfg), batch)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=3e-4, atol=1e-5, err_msg=k)
+    for k in s1.params:
+        np.testing.assert_allclose(np.asarray(s1.params[k]),
+                                   np.asarray(s2.params[k]), atol=2e-6,
+                                   err_msg=k)
+
+
 def test_sp_rejects_window_wider_than_shard():
     mesh = _frame_mesh(1, 8)
     x = jnp.zeros((2, 8, 3))

@@ -154,3 +154,26 @@ def test_device_cache_training(synth_root, tmp_path):
     state, metrics = fit(cfg)
     assert int(state.step) == 8
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_device_cache_mesh_matches_single_device(synth_root, tmp_path):
+    """device_cache under a DP×SP mesh == the single-device cached run
+    (same seed -> same on-device index sequence -> same updates)."""
+    from nafae_tpu.parallel import make_mesh
+    extra = ["train.steps=6", "train.device_cache=true",
+             "train.steps_per_call=3"]
+    cfg1 = _cfg(synth_root, extra=extra + [f"train.ckpt_dir={tmp_path}/dc1"])
+    s1, m1 = fit(cfg1)
+    cfg2 = _cfg(synth_root, extra=extra + [f"train.ckpt_dir={tmp_path}/dc2",
+                                           "mesh.data_axis=4",
+                                           "mesh.frame_axis=2"])
+    mesh = make_mesh(4, 2)
+    s2, m2 = fit(cfg2, mesh=mesh)
+    assert int(s2.step) == 6
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=3e-4, atol=1e-5, err_msg=k)
+    for k in s1.params:
+        np.testing.assert_allclose(np.asarray(s1.params[k]),
+                                   np.asarray(s2.params[k]), atol=2e-6,
+                                   err_msg=k)
