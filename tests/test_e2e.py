@@ -42,6 +42,19 @@ def test_inline_detector_train_step():
     changed = any(float(jnp.abs(new_state.params[k] - state.params[k]).max())
                   > 0 for k in state.params)
     assert changed
+    # the same inline step under a DP mesh matches the single-device run
+    from nafae_tpu.parallel import make_mesh
+    cfg.mesh.data_axis = 2
+    fn2 = build_train_fn(cfg, make_mesh(2, 1, devices=jax.devices()[:2]),
+                         extractor=extractor, with_frames=True)
+    mesh_state, mesh_metrics = fn2(state, batch)
+    for k in metrics:
+        np.testing.assert_allclose(float(metrics[k]), float(mesh_metrics[k]),
+                                   rtol=3e-4, atol=1e-5, err_msg=k)
+    for k in state.params:
+        np.testing.assert_allclose(np.asarray(new_state.params[k]),
+                                   np.asarray(mesh_state.params[k]),
+                                   atol=2e-6, err_msg=k)
 
 
 def test_robowatch_transfer_eval(synth_root, tmp_path):
