@@ -56,6 +56,10 @@ class DataConfig:
     pipeline: str = "thread"      # "thread" (BatchLoader+native) | "grain"
     transfer_dtype: str = "float32"  # feats host->device dtype ("float16"
                                      # halves transfer bytes; upcast on device)
+    from_videos: bool = False     # config-5 inline mode: batches carry raw
+                                  # frames decoded in loader workers; the
+                                  # frozen detector runs inside the train step
+    annotations: str = ""         # segments.jsonl for from_videos mode
 
 
 @dataclass
@@ -100,6 +104,8 @@ class DetectorConfig:
     anchor_scales: tuple = (32, 64, 128, 256, 512)
     anchor_ratios: tuple = (0.5, 1.0, 2.0)
     frame_rate: float = 1.0       # sampled frames / second of video
+    weights: str = ""             # optional torchvision resnet50 .pth to seed
+                                  # the backbone/head (utils/torch_convert)
 
 
 @dataclass

@@ -33,11 +33,16 @@ from nafae_tpu.data.vocab import Vocab
 
 
 def decode_segment(video_path: str, frame_rate: float, max_frames: int,
-                   image_size: int) -> np.ndarray:
-    """[n, S, S, 3] float32 RGB frames; native decoder with cv2 fallback."""
+                   image_size: int, start: float = 0.0,
+                   end: float = -1.0) -> np.ndarray:
+    """[n, S, S, 3] float32 RGB frames; native decoder with cv2 fallback.
+
+    start/end (seconds) trim to the annotated segment — YouCook2-style
+    videos hold many segments each (end <= 0 reads to EOF)."""
     try:
         from nafae_tpu.utils.native_io import decode_video
-        return decode_video(video_path, frame_rate, max_frames, image_size)
+        return decode_video(video_path, frame_rate, max_frames, image_size,
+                            start=start, end=end)
     except Exception:
         pass
     import cv2
@@ -45,9 +50,15 @@ def decode_segment(video_path: str, frame_rate: float, max_frames: int,
     if not cap.isOpened():
         raise IOError(f"cannot open {video_path}")
     fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    first = int(round(start * fps))
+    if first > 0:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, first)
+    last = int(round(end * fps)) if end > 0 else -1
     step = max(fps / max(frame_rate, 1e-6), 1e-6)
     frames, nxt, i = [], 0.0, 0
     while len(frames) < max_frames:
+        if last >= 0 and first + i > last:
+            break
         ok = cap.grab()
         if not ok:
             break
@@ -85,7 +96,9 @@ def extract_segments(cfg: Config, annotations: list[dict], out_dir: str,
     with open(index_path, "w") as idx:
         for ann in annotations:
             frames = decode_segment(ann["video"], dc.frame_rate,
-                                    cfg.data.max_frames, dc.image_size)
+                                    cfg.data.max_frames, dc.image_size,
+                                    start=float(ann.get("start", 0.0)),
+                                    end=float(ann.get("end", -1.0)))
             t = frames.shape[0]
             if t == 0:
                 continue

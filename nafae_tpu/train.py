@@ -425,11 +425,33 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
     from nafae_tpu.utils.checkpoint import CheckpointManager
     from nafae_tpu.utils.metrics_log import MetricsLogger
 
-    ds = SegmentDataset(cfg.data.root, cfg.data.split, cfg.data.max_frames,
-                        cfg.data.num_regions, cfg.data.feat_dim,
-                        cfg.data.max_words,
-                        frame_buckets=tuple(cfg.data.frame_buckets),
-                        transfer_dtype=cfg.data.transfer_dtype)
+    extractor = None
+    if cfg.data.from_videos:
+        # config-5 inline: decode in loader workers, frozen detector inside
+        # the train step — features never touch the host (SURVEY.md L205-214)
+        from nafae_tpu.data.video_dataset import VideoSegmentDataset
+        from nafae_tpu.models.detector.faster_rcnn import init_detector
+        if not cfg.data.annotations:
+            raise ValueError("data.from_videos needs data.annotations "
+                             "(segments.jsonl)")
+        ds = VideoSegmentDataset(cfg.data.annotations, cfg.data.max_frames,
+                                 cfg.detector.image_size, cfg.data.max_words,
+                                 frame_rate=cfg.detector.frame_rate)
+        det_model, det_params = init_detector(
+            jax.random.PRNGKey(cfg.train.seed), cfg.detector)
+        if cfg.detector.weights:
+            from nafae_tpu.utils.torch_convert import convert_detector_resnet50
+            import torch
+            sd = torch.load(cfg.detector.weights, map_location="cpu",
+                            weights_only=True)
+            det_params = convert_detector_resnet50(sd, det_params)
+        extractor = (det_model.apply, det_params)
+    else:
+        ds = SegmentDataset(cfg.data.root, cfg.data.split, cfg.data.max_frames,
+                            cfg.data.num_regions, cfg.data.feat_dim,
+                            cfg.data.max_words,
+                            frame_buckets=tuple(cfg.data.frame_buckets),
+                            transfer_dtype=cfg.data.transfer_dtype)
     from nafae_tpu.data.grain_loader import make_loader
     loader = make_loader(cfg.data, ds, seed=cfg.train.seed,
                          pipeline=cfg.data.pipeline)
@@ -447,12 +469,16 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
         state = restored
     logger = MetricsLogger(cfg.train.ckpt_dir)
     if cfg.train.device_cache:
+        if cfg.data.from_videos:
+            raise ValueError("device_cache caches features, not raw frames; "
+                             "extract first or disable one of the two")
         if len(ds.frame_buckets) > 1:
             raise ValueError("device_cache requires a single frame bucket")
         loader_like = type("L", (), {"dataset": ds})()
         return fit_device_cached(cfg, state, loader_like, ckpt, logger,
                                  log_fn=log_fn, eval_fn=eval_fn, mesh=mesh)
-    train_fn = build_train_fn(cfg, mesh)
+    train_fn = build_train_fn(cfg, mesh, extractor=extractor,
+                              with_frames=cfg.data.from_videos)
 
     start_step = int(state.step)
     frames_per_batch = cfg.data.batch_size * cfg.data.max_frames

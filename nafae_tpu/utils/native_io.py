@@ -36,6 +36,11 @@ def load_library() -> ctypes.CDLL:
     lib.decode_video.argtypes = [ctypes.c_char_p, ctypes.c_double,
                                  ctypes.c_int, ctypes.c_int,
                                  ctypes.POINTER(ctypes.c_float)]
+    lib.decode_video_seg.restype = ctypes.c_int
+    lib.decode_video_seg.argtypes = [ctypes.c_char_p, ctypes.c_double,
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_double, ctypes.c_double,
+                                     ctypes.POINTER(ctypes.c_float)]
     lib.packer_create.restype = ctypes.c_void_p
     lib.packer_create.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 6
     lib.packer_pack.restype = ctypes.c_int
@@ -57,13 +62,18 @@ def load_library() -> ctypes.CDLL:
 
 
 def decode_video(path: str, sample_fps: float, max_frames: int,
-                 size: int) -> np.ndarray:
-    """Decode + sample frames natively -> [n, size, size, 3] float32 RGB."""
+                 size: int, start: float = 0.0,
+                 end: float = -1.0) -> np.ndarray:
+    """Decode + sample frames natively -> [n, size, size, 3] float32 RGB.
+
+    start/end (seconds) trim to one annotated segment of a longer video
+    (end <= 0 reads to EOF) — YouCook2-style many-segments-per-video."""
     lib = load_library()
     out = np.zeros((max_frames, size, size, 3), np.float32)
-    n = lib.decode_video(path.encode(), float(sample_fps), int(max_frames),
-                         int(size),
-                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    n = lib.decode_video_seg(path.encode(), float(sample_fps),
+                             int(max_frames), int(size), float(start),
+                             float(end),
+                             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     if n < 0:
         raise IOError(f"decode failed: {path}")
     return out[:n]

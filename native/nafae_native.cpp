@@ -40,17 +40,24 @@ extern "C" {
 // Decode `path`, sampling `sample_fps` frames/sec, resized to size x size RGB
 // float32 in [0,1]. Writes at most max_frames frames into out
 // [max_frames, size, size, 3]; returns the number of frames written, or -1.
-int decode_video(const char* path, double sample_fps, int max_frames,
-                 int size, float* out) {
+// Segment-aware decode: sample between start_sec and end_sec (end_sec <= 0
+// means "to the end of the video"). Seeks to start_sec, then samples at
+// sample_fps like decode_video.
+int decode_video_seg(const char* path, double sample_fps, int max_frames,
+                     int size, double start_sec, double end_sec, float* out) {
   cv::VideoCapture cap(path);
   if (!cap.isOpened()) return -1;
   double fps = cap.get(cv::CAP_PROP_FPS);
   if (fps <= 1e-3) fps = 25.0;
   double step = fps / (sample_fps > 0 ? sample_fps : 1.0);
+  long first = static_cast<long>(start_sec * fps + 0.5);
+  if (first > 0) cap.set(cv::CAP_PROP_POS_FRAMES, static_cast<double>(first));
+  long last = end_sec > 0 ? static_cast<long>(end_sec * fps + 0.5) : -1;
   int written = 0;
   double next = 0.0;
   cv::Mat frame, resized, rgb;
   for (long i = 0; written < max_frames; ++i) {
+    if (last >= 0 && first + i > last) break;
     if (!cap.grab()) break;
     if (static_cast<double>(i) + 1e-9 < next) continue;
     next += step;
@@ -64,6 +71,11 @@ int decode_video(const char* path, double sample_fps, int max_frames,
     ++written;
   }
   return written;
+}
+
+int decode_video(const char* path, double sample_fps, int max_frames,
+                 int size, float* out) {
+  return decode_video_seg(path, sample_fps, max_frames, size, 0.0, -1.0, out);
 }
 
 // ---------------------------------------------------------------------------

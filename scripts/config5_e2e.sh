@@ -1,18 +1,21 @@
 #!/bin/sh
-# BASELINE config 5: end-to-end — decode videos, extract features inline,
-# train with all losses, transfer-eval on box annotations.
+# BASELINE config 5: end-to-end — decode videos and run the frozen detector
+# INLINE inside the train step (no feature files for training), then
+# transfer-eval on box annotations (eval still extracts the val split once,
+# because the metric needs the per-region boxes + merged GT on disk).
 #
 # Required env:
 #   TRAIN_ANNOTATIONS  segments.jsonl for training videos
 #   EVAL_ANNOTATIONS   segments.jsonl for eval videos
 #   EVAL_BB_JSON       YouCook2-BB-style box annotations for the eval split
-# Optional: DATA_ROOT (default data/robowatch)
+# Optional: DATA_ROOT (default data/robowatch), DETECTOR_WEIGHTS (.pth)
 set -e
 ROOT="${DATA_ROOT:-data/robowatch}"
-nafae-extract --annotations "${TRAIN_ANNOTATIONS:?set TRAIN_ANNOTATIONS}" \
-    --out "$ROOT/train"
 nafae-extract --annotations "${EVAL_ANNOTATIONS:?set EVAL_ANNOTATIONS}" \
     --yc2bb-json "${EVAL_BB_JSON:?set EVAL_BB_JSON (eval needs GT boxes)}" \
     --out "$ROOT/val"
-nafae-train --preset config5 --override data.root="$ROOT" "$@"
+nafae-train --preset config5 --override data.root="$ROOT" \
+    data.from_videos=true \
+    data.annotations="${TRAIN_ANNOTATIONS:?set TRAIN_ANNOTATIONS}" \
+    ${DETECTOR_WEIGHTS:+detector.weights="$DETECTOR_WEIGHTS"} "$@"
 nafae-eval --preset config5 --override data.root="$ROOT"

@@ -66,3 +66,40 @@ def test_extract_pipeline_roundtrip(video_dir, tmp_path):
     s = ds[0]
     assert s["feats"].shape == (4, 5, 2048)
     assert s["frame_mask"].sum() == 4
+
+
+def test_decode_segment_start_end(video_dir):
+    """start/end trim to the annotated window (YouCook2-style long videos)."""
+    from nafae_tpu.extract import decode_segment
+    whole = decode_segment(video_dir[0], 10.0, 40, 32)        # all 40 frames
+    mid = decode_segment(video_dir[0], 10.0, 40, 32, start=1.0, end=2.0)
+    assert whole.shape[0] == 40
+    assert 8 <= mid.shape[0] <= 12                            # ~1s at 10 fps
+    np.testing.assert_allclose(mid[0], whole[10], atol=1e-6)
+
+
+def test_inline_video_training(video_dir, tmp_path):
+    """config-5 inline fit: decode in loader workers -> frozen detector in
+    the train step -> all losses; no feature files on disk."""
+    from nafae_tpu.train import fit
+    anns_path = str(tmp_path / "segments.jsonl")
+    with open(anns_path, "w") as f:
+        for n, v in enumerate(video_dir):
+            f.write(json.dumps({
+                "id": f"seg{n}", "video": v,
+                "sentence": "heat the oil in a pan and add onions"}) + "\n")
+    cfg = load_config(preset_name="config5", overrides=[
+        "data.from_videos=true", f"data.annotations={anns_path}",
+        "data.batch_size=2", "data.max_frames=3", "data.max_words=3",
+        "data.num_regions=4", "model.feat_dim=2048", "model.embed_dim=32",
+        "detector.image_size=64", "detector.num_proposals=4",
+        "detector.rpn_pre_nms_topk=16", "loss.num_clusters=4",
+        "loss.ctx_window=2", "loss.kmeans_interval=2", "train.steps=2",
+        "train.warmup_steps=0", "train.log_every=1", "train.ckpt_every=100",
+        "train.eval_every=1000", "train.donate=false",
+        f"train.ckpt_dir={tmp_path}/ivt"])
+    cfg.detector.anchor_scales = (16, 32)
+    state, metrics = fit(cfg)
+    assert int(state.step) == 2
+    assert np.isfinite(float(metrics["loss"]))
+    assert {"l_rank", "l_ctx", "l_clu"} <= set(metrics)
