@@ -27,7 +27,41 @@ def test_native_packer_matches_python(synth_root):
     samples = [ds[i] for i in idxs]
     pb = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
     for key in ("feats", "boxes", "word_ids", "frame_mask", "word_mask",
-                "gt_boxes", "gt_mask"):
+                "region_mask", "gt_boxes", "gt_mask"):
+        np.testing.assert_array_equal(nb[key], pb[key], err_msg=key)
+
+
+def test_native_packer_ragged_region_mask_with_gt(tmp_path):
+    """v3 .nbin layout: ragged region_mask AND GT blocks in one file — the
+    packer's offset bookkeeping must match the Python loader bitwise."""
+    import json
+    from nafae_tpu.data import SegmentDataset
+    root = tmp_path / "rm" / "val"
+    root.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    idx_lines = []
+    for n, t in enumerate((5, 3, 8)):                  # ragged frame counts
+        r, d, k = 6, 16, 3
+        np.savez(root / f"s{n}.npz",
+                 feats=rng.randn(t, r, d).astype(np.float32),
+                 boxes=rng.rand(t, r, 4).astype(np.float32),
+                 word_ids=rng.randint(0, 67, (k,)).astype(np.int32),
+                 region_mask=(rng.rand(t, r) > 0.4).astype(np.float32),
+                 gt_boxes=rng.rand(k, t, 4).astype(np.float32),
+                 gt_mask=(rng.rand(k, t) > 0.5).astype(np.float32))
+        idx_lines.append({"id": f"s{n}", "file": f"s{n}.npz",
+                          "num_frames": t, "num_words": k})
+    with open(root / "index.jsonl", "w") as f:
+        f.write("\n".join(json.dumps(l) for l in idx_lines) + "\n")
+    ds = SegmentDataset(str(tmp_path / "rm"), "val", max_frames=8,
+                        num_regions=6, feat_dim=16, max_words=3, with_gt=True)
+    packer = native_io.NativePacker(ds)
+    idxs = [2, 0, 1]
+    nb = packer.pack(idxs)
+    samples = [ds[i] for i in idxs]
+    pb = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    for key in ("feats", "boxes", "word_ids", "frame_mask", "word_mask",
+                "region_mask", "gt_boxes", "gt_mask"):
         np.testing.assert_array_equal(nb[key], pb[key], err_msg=key)
 
 
