@@ -61,15 +61,8 @@ class GrainLoader:
 
     def steps(self, num_steps: int, start_epoch: int = 0, skip: int = 0):
         """Same contract as BatchLoader.steps (incl. mid-epoch resume)."""
-        done, epoch = 0, start_epoch
-        while done < num_steps:
-            for batch in self.epoch(epoch, skip=skip):
-                yield done, batch
-                done += 1
-                if done >= num_steps:
-                    return
-            skip = 0
-            epoch += 1
+        from nafae_tpu.data.loader import steps_over_epochs
+        return steps_over_epochs(self, num_steps, start_epoch, skip)
 
 
 def _stack_samples(samples):

@@ -20,6 +20,23 @@ import threading
 import numpy as np
 
 
+def steps_over_epochs(loader, num_steps: int, start_epoch: int = 0,
+                      skip: int = 0):
+    """Yield exactly num_steps (i, batch) pairs, cycling loader.epoch(n).
+    `skip` resumes mid-epoch: the first `skip` batches of `start_epoch` are
+    skipped without being built (deterministic dataloader-position resume).
+    Shared by BatchLoader and GrainLoader so resume semantics cannot drift."""
+    done, epoch = 0, start_epoch
+    while done < num_steps:
+        for batch in loader.epoch(epoch, skip=skip):
+            yield done, batch
+            done += 1
+            if done >= num_steps:
+                return
+        skip = 0
+        epoch += 1
+
+
 def epoch_batches(dataset, batch_size: int, shuffle: bool, seed: int,
                   drop_remainder: bool, epoch: int) -> list:
     """Batch index lists for one epoch; every batch is bucket-homogeneous
@@ -134,15 +151,5 @@ class BatchLoader:
         return self.epoch(0)
 
     def steps(self, num_steps: int, start_epoch: int = 0, skip: int = 0):
-        """Yield exactly num_steps batches, cycling epochs. `skip` resumes
-        mid-epoch: the first `skip` batches of `start_epoch` are skipped
-        without being built (deterministic dataloader-position resume)."""
-        done, epoch = 0, start_epoch
-        while done < num_steps:
-            for batch in self.epoch(epoch, skip=skip):
-                yield done, batch
-                done += 1
-                if done >= num_steps:
-                    return
-            skip = 0
-            epoch += 1
+        """See steps_over_epochs."""
+        return steps_over_epochs(self, num_steps, start_epoch, skip)

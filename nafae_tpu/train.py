@@ -389,7 +389,18 @@ def fit_device_cached(cfg: Config, state, loader, ckpt, logger,
     bsz = cfg.data.batch_size
     rng = np.random.RandomState(cfg.train.seed)
     frames_per_batch = bsz * cfg.data.max_frames
+    # resume: fast-forward the index stream past the already-consumed
+    # positions so a restarted run continues the exact same sequence
     order: list = []
+    consumed = start_step * bsz
+    while consumed > 0:
+        ep = np.arange(n)
+        rng.shuffle(ep)
+        if consumed >= n:
+            consumed -= n
+        else:
+            order = ep[consumed:].tolist()
+            consumed = 0
     done = 0
     t0 = time.perf_counter()
     metrics = {}
@@ -487,34 +498,48 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
     spc = cfg.train.steps_per_call
     pending: dict = {}
     # resume the dataloader at its exact deterministic position (epoch +
-    # offset derived from the checkpointed step; SURVEY.md §6 checkpoint row)
+    # offset derived from the checkpointed step; SURVEY.md §6 checkpoint row).
+    # Exact only when batches apply in yield order: spc==1 (immediate apply)
+    # or a single bucket (groups of spc flush in order, and checkpoints land
+    # on flush boundaries where applied == yielded). With multiple buckets
+    # AND spc>1 the per-bucket grouping reorders application, so resume
+    # restarts at the epoch boundary instead (never skips unapplied batches).
     eb = loader.batches_per_epoch()
+    multi_bucket = len(getattr(loader.dataset, "frame_buckets", ()) or ()) > 1
+    exact = spc == 1 or not multi_bucket
     start_epoch = start_step // eb if eb else 0
-    skip = start_step % eb if eb else 0
+    skip = (start_step % eb if eb else 0) if exact else 0
+    # fire-on-flush cadence: with spc>1 only every spc-th yielded batch
+    # applies an update, so "% every == 0" would need gstep+1 to be a common
+    # multiple of both — use the interval-window test instead (same as
+    # fit_device_cached)
+    due = lambda every: (gstep + 1) % max(every, spc) < spc
     for step, batch in loader.steps(cfg.train.steps - start_step,
                                     start_epoch=start_epoch, skip=skip):
         gstep = start_step + step
         if spc > 1:
             # group by frame-bucket shape so every stacked scan is homogeneous
-            key = batch["feats"].shape[1]
+            # (frame_mask exists in both the features and raw-frames layouts)
+            key = batch["frame_mask"].shape[1]
             pending.setdefault(key, []).append(batch)
             if len(pending[key]) < spc:
                 continue  # trailing partial groups are dropped (static scan len)
             state, metrics = train_fn(state, stack_batches(pending.pop(key)))
         else:
             state, metrics = train_fn(state, batch)
-        if (gstep + 1) % cfg.train.log_every == 0:
+        if due(cfg.train.log_every):
             m = {k: float(v) for k, v in metrics.items()}
             dt = time.perf_counter() - t0
-            m["frames_per_sec"] = frames_per_batch * cfg.train.log_every / dt
+            m["frames_per_sec"] = frames_per_batch * max(
+                cfg.train.log_every, spc) / dt
             m["step"] = gstep + 1
             logger.log(m)
             if log_fn:
                 log_fn(m)
             t0 = time.perf_counter()
-        if (gstep + 1) % cfg.train.ckpt_every == 0:
+        if due(cfg.train.ckpt_every):
             ckpt.save(state)
-        if eval_fn and (gstep + 1) % cfg.train.eval_every == 0:
+        if eval_fn and due(cfg.train.eval_every):
             eval_fn(state)
     ckpt.save(state, wait=True)  # block: async save must not outlive the process
     return state, metrics

@@ -95,6 +95,7 @@ def test_inline_video_training(video_dir, tmp_path):
         "detector.image_size=64", "detector.num_proposals=4",
         "detector.rpn_pre_nms_topk=16", "loss.num_clusters=4",
         "loss.ctx_window=2", "loss.kmeans_interval=2", "train.steps=2",
+        "train.steps_per_call=2",   # covers bucket-grouping on frames batches
         "train.warmup_steps=0", "train.log_every=1", "train.ckpt_every=100",
         "train.eval_every=1000", "train.donate=false",
         f"train.ckpt_dir={tmp_path}/ivt"])

@@ -67,15 +67,16 @@ def test_context_mix_matches_reference_formulation():
                                        rtol=0, atol=0, err_msg=impl)
             np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
                                        rtol=1e-5, atol=1e-6, err_msg=impl)
-        loss_ref = jax.grad(lambda ve: jnp.sum(jnp.sin(
+        g_ref = jax.grad(lambda ve: jnp.sum(jnp.sin(
             G.context_mixed_regions(
                 ve, *G.region_affinity_ext(ve, fm_ext, w, 0.1, rm_ext=rme)
             ) * 1.3)))(v_ext)
-        loss_dense = jax.grad(lambda ve: jnp.sum(jnp.sin(
-            G.context_mix(ve, fm_ext, w, 0.1, rm_ext=rme)[0] * 1.3)))(v_ext)
-        np.testing.assert_allclose(np.asarray(loss_dense),
-                                   np.asarray(loss_ref),
-                                   rtol=1e-4, atol=1e-5)
+        for impl in ("dense", "offset"):
+            g = jax.grad(lambda ve: jnp.sum(jnp.sin(
+                G.context_mix(ve, fm_ext, w, 0.1, rm_ext=rme,
+                              impl=impl)[0] * 1.3)))(v_ext)
+            np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                       rtol=1e-4, atol=1e-5, err_msg=impl)
 
 
 def test_kmeans_recovers_planted_clusters():

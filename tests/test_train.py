@@ -156,6 +156,27 @@ def test_device_cache_training(synth_root, tmp_path):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_device_cache_resume_continues_index_stream(synth_root, tmp_path):
+    """Interrupted device_cache run == uninterrupted run: the on-device
+    index stream fast-forwards past the checkpointed position on resume."""
+    base = ["train.device_cache=true", "train.steps_per_call=2",
+            "train.ckpt_every=4"]
+    cfg_full = _cfg(synth_root, extra=base + ["train.steps=8",
+                                              f"train.ckpt_dir={tmp_path}/f"])
+    s_full, _ = fit(cfg_full)
+    cfg_half = _cfg(synth_root, extra=base + ["train.steps=4",
+                                              f"train.ckpt_dir={tmp_path}/h"])
+    fit(cfg_half)
+    cfg_rest = _cfg(synth_root, extra=base + ["train.steps=8",
+                                              f"train.ckpt_dir={tmp_path}/h"])
+    s_rest, _ = fit(cfg_rest)
+    assert int(s_rest.step) == 8
+    for k in s_full.params:
+        np.testing.assert_allclose(np.asarray(s_rest.params[k]),
+                                   np.asarray(s_full.params[k]), atol=1e-6,
+                                   err_msg=k)
+
+
 def test_device_cache_mesh_matches_single_device(synth_root, tmp_path):
     """device_cache under a DP×SP mesh == the single-device cached run
     (same seed -> same on-device index sequence -> same updates)."""
