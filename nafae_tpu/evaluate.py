@@ -132,11 +132,23 @@ def main(argv=None):
     p.add_argument("--config", default=None)
     p.add_argument("--override", nargs="*", default=[])
     p.add_argument("--split", default="val")
+    p.add_argument("--checkpoint", default=None,
+                   help="explicit checkpoint (reference: test.py --checkpoint)"
+                        ": an orbax ckpt dir (latest step restored), or a "
+                        ".npz params file from utils/torch_convert — the "
+                        "reference-checkpoint parity flow")
     p.add_argument("--per-class", action="store_true",
                    help="include the per-class accuracy table (paper protocol)")
     args = p.parse_args(argv)
     cfg = load_config(args.config, args.preset, args.override)
-    result = evaluate_config(cfg, split=args.split)
+    params = None
+    if args.checkpoint and args.checkpoint.endswith(".npz"):
+        from nafae_tpu.utils.torch_convert import load_converted
+        params = {k: jax.numpy.asarray(v)
+                  for k, v in load_converted(args.checkpoint).items()}
+    elif args.checkpoint:
+        cfg.train.ckpt_dir = args.checkpoint
+    result = evaluate_config(cfg, params=params, split=args.split)
     if not args.per_class:
         result.pop("per_class_acc")
     print(json.dumps(result))
