@@ -123,11 +123,14 @@ def bench_jax_eval(s, iters=128, steps_per_call=64):
     acc = evals(params, feats)
     float(acc)
     ncalls = max(1, iters // steps_per_call)
-    t0 = time.perf_counter()
-    for _ in range(ncalls):
-        acc = evals(params, feats)
-    float(acc)
-    dt = (time.perf_counter() - t0) / (ncalls * steps_per_call)
+    best = float("inf")
+    for _ in range(4):          # best-of-k, same rationale as bench_jax
+        t0 = time.perf_counter()
+        for _ in range(ncalls):
+            acc = evals(params, feats)
+        float(acc)
+        best = min(best, time.perf_counter() - t0)
+    dt = best / (ncalls * steps_per_call)
     return s["B"] * s["T"] / dt, dt
 
 
