@@ -61,15 +61,25 @@ def gt_from_youcook2bb(bb_path: str, vocab: Vocab | None = None,
                        max_words: int = 8, max_frames: int = 20) -> dict:
     """YouCook2-BB annotations -> {segment_id: {gt_boxes, gt_mask, word_ids}}.
 
-    gt_boxes [K, T, 4] xyxy in the release's resized coordinates;
-    gt_mask [K, T] = 1 where the object is visible (not outside) and a box
-    exists; word_ids [K] from the 67-class vocab (unknown labels skipped).
+    gt_boxes [K, T, 4] xyxy NORMALIZED to [0,1] via the release's annotation
+    resolution (per-video rwidth/rheight) when present — predicted boxes live
+    in the detector's square image_size space, so the two coordinate systems
+    must be reconciled before IoU (merge_gt_into_features rescales by the
+    extraction image size). Without rwidth/rheight the raw coordinates are
+    kept and "normalized" is False. gt_mask [K, T] = 1 where the object is
+    visible (not outside) and a box exists; word_ids [K] from the 67-class
+    vocab (unknown labels skipped). Multiple instances of one class occupy
+    separate K slots (per-annotation-track protocol).
     """
     vocab = vocab or Vocab()
     with open(bb_path) as f:
         db = json.load(f)["database"]
     out = {}
     for vid, meta in sorted(db.items()):
+        rw = float(meta.get("rwidth", 0) or 0)
+        rh = float(meta.get("rheight", 0) or 0)
+        scale = (np.asarray([rw, rh, rw, rh], np.float32)
+                 if rw > 0 and rh > 0 else None)
         for seg_id, seg in sorted(meta.get("segments", {}).items()):
             gt_boxes = np.zeros((max_words, max_frames, 4), np.float32)
             gt_mask = np.zeros((max_words, max_frames), np.float32)
@@ -91,20 +101,28 @@ def gt_from_youcook2bb(bb_path: str, vocab: Vocab | None = None,
                     gt_boxes[k, t] = (x1, y1, x2, y2)
                     gt_mask[k, t] = 1.0
             if word_ids:
+                if scale is not None:
+                    gt_boxes = gt_boxes / scale
                 out[f"{vid}_{seg_id}"] = {
                     "gt_boxes": gt_boxes,
                     "gt_mask": gt_mask,
                     "word_ids": np.asarray(word_ids, np.int32),
+                    "normalized": scale is not None,
                 }
     return out
 
 
-def merge_gt_into_features(feature_dir: str, gt: dict) -> int:
+def merge_gt_into_features(feature_dir: str, gt: dict,
+                           image_size: int | None = None) -> int:
     """Write GT tensors into extracted .npz segment files (in place).
 
     Matches by segment id; also overwrites word_ids with the BB labels so
-    eval classes == annotation classes. Returns #segments updated. The
-    index.jsonl is untouched (same files, new keys)."""
+    eval classes == annotation classes. Normalized GT boxes (see
+    gt_from_youcook2bb) are rescaled into the extraction frame space:
+    by image_size when given, else by the max extent of the segment's own
+    predicted boxes (the detector clips to the frame, so that is the frame
+    size to within one box). Returns #segments updated. The index.jsonl is
+    untouched (same files, new keys)."""
     index_path = os.path.join(feature_dir, "index.jsonl")
     with open(index_path) as f:
         index = [json.loads(ln) for ln in f if ln.strip()]
@@ -118,9 +136,13 @@ def merge_gt_into_features(feature_dir: str, gt: dict) -> int:
             data = {k: z[k] for k in z.files}
         t = data["feats"].shape[0]
         k = len(g["word_ids"])
+        boxes = g["gt_boxes"][:k]
+        if g.get("normalized"):
+            s = float(image_size) if image_size else \
+                float(np.ceil(data["boxes"].max()))
+            boxes = boxes * s
         data["word_ids"] = g["word_ids"]
-        data["gt_boxes"] = np.transpose(
-            _fit(g["gt_boxes"][:k], (k, t, 4)), (0, 1, 2))
+        data["gt_boxes"] = _fit(boxes, (k, t, 4))
         data["gt_mask"] = _fit(g["gt_mask"][:k], (k, t))
         np.savez(path, **data)
         updated += 1

@@ -171,7 +171,8 @@ def main(argv=None):
         gt = gt_from_youcook2bb(args.yc2bb_json,
                                 max_words=cfg.data.max_words,
                                 max_frames=cfg.data.max_frames)
-        result["gt_merged"] = merge_gt_into_features(args.out, gt)
+        result["gt_merged"] = merge_gt_into_features(
+            args.out, gt, image_size=cfg.detector.image_size)
     print(json.dumps(result))
 
 

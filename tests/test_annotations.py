@@ -54,7 +54,11 @@ def test_gt_from_youcook2bb(tmp_path):
     g = gt["vidB_0"]
     v = Vocab()
     assert list(g["word_ids"]) == [v.word_to_id["tomato"]]
-    np.testing.assert_allclose(g["gt_boxes"][0, 0], [10, 20, 110, 120])
+    # boxes normalized by the annotation resolution (rwidth=720, rheight=405)
+    assert g["normalized"]
+    np.testing.assert_allclose(g["gt_boxes"][0, 0],
+                               [10 / 720, 20 / 405, 110 / 720, 120 / 405],
+                               rtol=1e-6)
     np.testing.assert_allclose(g["gt_mask"][0, :3], [1, 1, 0])  # frame 2 outside
 
 
@@ -72,11 +76,16 @@ def test_merge_gt_into_features(tmp_path):
     p = tmp_path / "bb.json"
     p.write_text(json.dumps(YC2BB))
     gt = gt_from_youcook2bb(str(p), max_words=4, max_frames=5)
-    n = merge_gt_into_features(str(d), gt)
+    n = merge_gt_into_features(str(d), gt, image_size=160)
     assert n == 1
     with np.load(d / "vidB_0.npz") as z:
         assert z["gt_boxes"].shape == (1, 3, 4)   # K x T(=3 frames) x 4
         assert z["gt_mask"].shape == (1, 3)
+        # normalized GT rescaled into the extraction frame space (160px)
+        np.testing.assert_allclose(
+            z["gt_boxes"][0, 0],
+            [10 / 720 * 160, 20 / 405 * 160, 110 / 720 * 160, 120 / 405 * 160],
+            rtol=1e-5)
         v = Vocab()
         assert list(z["word_ids"]) == [v.word_to_id["tomato"]]
     # merged file loads through the standard eval dataset
