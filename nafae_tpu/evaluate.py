@@ -23,9 +23,8 @@ from nafae_tpu.ops import grounding as G
 from nafae_tpu.ops.iou import grounding_hits
 
 
-@functools.partial(jax.jit, static_argnames=("temp", "iou_thresh"))
-def _eval_batch(params: dict, batch: dict, temp: float = 0.1,
-                iou_thresh: float = 0.5):
+@functools.partial(jax.jit, static_argnames=("iou_thresh",))
+def _eval_batch(params: dict, batch: dict, iou_thresh: float = 0.5):
     w_emb = G.embed_words(batch["word_ids"], params["word_emb"])
     v_emb = G.project_regions(batch["feats"], params["w_v"], params["b_v"])
     s = G.mask_regions(G.similarity_tensor(w_emb, v_emb),
@@ -37,7 +36,7 @@ def _eval_batch(params: dict, batch: dict, temp: float = 0.1,
 
 
 def evaluate(params: dict, dataset, batch_size: int, num_classes: int,
-             temp: float = 0.1, iou_thresh: float = 0.5, mesh=None) -> dict:
+             iou_thresh: float = 0.5, mesh=None) -> dict:
     """Run grounding eval over `dataset` (must have with_gt=True).
 
     mesh: optional jax Mesh — shards each eval batch over the first mesh axis
@@ -55,20 +54,18 @@ def evaluate(params: dict, dataset, batch_size: int, num_classes: int,
         shard = NamedSharding(mesh, P(axis))
         rep = NamedSharding(mesh, P())
 
-        def eval_fn(params, batch, temp, iou_thresh):   # noqa: F811
+        def eval_fn(params, batch, iou_thresh):   # noqa: F811
             batch = {k: jax.device_put(_pad_rows(v, batch_size), shard)
                      for k, v in batch.items()}
             params = jax.device_put(params, rep)
-            return _eval_batch(params, batch, temp=temp,
-                               iou_thresh=iou_thresh)
+            return _eval_batch(params, batch, iou_thresh=iou_thresh)
 
     loader = BatchLoader(dataset, batch_size, shuffle=False,
                          drop_remainder=False)
     per_class_correct = np.zeros(num_classes)
     per_class_total = np.zeros(num_classes)
     for batch in loader:
-        correct, gt_mask = eval_fn(params, batch, temp=temp,
-                                   iou_thresh=iou_thresh)
+        correct, gt_mask = eval_fn(params, batch, iou_thresh=iou_thresh)
         b_real = batch["word_ids"].shape[0]
         correct = np.asarray(correct)[:b_real]     # [B,K,T]
         gt_mask = np.asarray(gt_mask)[:b_real]
@@ -103,8 +100,13 @@ def _pad_rows(x, n):
 
 
 def evaluate_config(cfg: Config, params: dict | None = None,
-                    split: str = "val", mesh=None) -> dict:
-    """Config-driven eval: loads the dataset (+ checkpoint when params=None)."""
+                    split: str = "val", mesh=None,
+                    require_checkpoint: bool = False) -> dict:
+    """Config-driven eval: loads the dataset (+ checkpoint when params=None).
+
+    require_checkpoint: error instead of silently evaluating the random
+    init when no checkpoint exists in cfg.train.ckpt_dir (set when the user
+    explicitly asked for one)."""
     from nafae_tpu.data import SegmentDataset
 
     ds = SegmentDataset(cfg.data.root, split, cfg.data.max_frames,
@@ -117,9 +119,13 @@ def evaluate_config(cfg: Config, params: dict | None = None,
         restored = CheckpointManager(cfg.train.ckpt_dir).restore_latest(state)
         if restored is not None:
             state = restored
+        elif require_checkpoint:
+            raise FileNotFoundError(
+                f"no checkpoint found in {cfg.train.ckpt_dir!r} — refusing "
+                "to evaluate randomly initialized parameters")
         params = state.params
     return evaluate(params, ds, cfg.data.batch_size, cfg.model.vocab_size,
-                    temp=cfg.model.frame_attn_temp, mesh=mesh)
+                    mesh=mesh)
 
 
 def main(argv=None):
@@ -148,7 +154,8 @@ def main(argv=None):
                   for k, v in load_converted(args.checkpoint).items()}
     elif args.checkpoint:
         cfg.train.ckpt_dir = args.checkpoint
-    result = evaluate_config(cfg, params=params, split=args.split)
+    result = evaluate_config(cfg, params=params, split=args.split,
+                             require_checkpoint=args.checkpoint is not None)
     if not args.per_class:
         result.pop("per_class_acc")
     print(json.dumps(result))

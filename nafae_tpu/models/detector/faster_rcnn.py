@@ -14,7 +14,7 @@ the reference lineage (conv4 stride-16 features, conv5 RoI head -> 2048-d).
 from __future__ import annotations
 
 
-import numpy as np
+
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,7 @@ from flax import linen as nn
 from nafae_tpu.config import DetectorConfig
 from nafae_tpu.models.detector.anchors import generate_anchors
 from nafae_tpu.models.detector.resnet import ResNetC4, ResNetC5Head
-from nafae_tpu.models.detector.rpn import RPNHead, select_proposals
+from nafae_tpu.models.detector.rpn import RPNHead
 
 
 class FasterRCNNExtractor(nn.Module):

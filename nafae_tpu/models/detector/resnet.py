@@ -16,7 +16,16 @@ from flax import linen as nn
 
 
 class FrozenBN(nn.Module):
-    """Inference-style normalization: learned scale/bias, fixed running stats."""
+    """Inference-style normalization: learned scale/bias, fixed running stats.
+
+    DESIGN CONSTRAINT: mean/var live in the ordinary params collection (it
+    keeps the torchvision converter and checkpoints a single flat tree),
+    which is safe ONLY because the detector is a frozen feature extractor —
+    its params never enter the optimizer (train.py keeps them outside
+    TrainState and stop-gradients detector outputs). If the detector is
+    ever fine-tuned, move mean/var to a non-trainable collection first or
+    the optimizer will update running statistics as if they were weights.
+    """
     features: int
 
     @nn.compact

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from nafae_tpu.models.detector.anchors import decode_boxes
-from nafae_tpu.ops.nms import nms
+
 
 
 class RPNHead(nn.Module):
@@ -32,10 +32,12 @@ def select_proposals_batched(obj_logits: jax.Array, deltas: jax.Array,
                              pre_nms_topk: int, num_proposals: int,
                              nms_iou: float = 0.7,
                              nms_impl: str = "jnp"
-                             ) -> tuple[jax.Array, jax.Array]:
+                             ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched proposal selection: obj [B,N], deltas [B,N,4] ->
-    (boxes [B,R,4], scores [B,R]). nms_impl="pallas" uses the on-chip
-    suppression kernel (ops/pallas/nms.py)."""
+    (boxes [B,R,4], scores [B,R], keep_valid [B,R]). keep_valid marks the
+    NMS survivors — it becomes the batch's region_mask so downstream
+    max/softmax/losses can exclude dead proposal slots. nms_impl="pallas"
+    uses the on-chip suppression kernel (ops/pallas/nms.py)."""
     k = min(pre_nms_topk, obj_logits.shape[-1])
     scores, idx = jax.lax.top_k(obj_logits, k)                  # [B,k]
     boxes = jax.vmap(lambda i, d: decode_boxes(
@@ -57,16 +59,11 @@ def select_proposals_batched(obj_logits: jax.Array, deltas: jax.Array,
 def select_proposals(obj_logits: jax.Array, deltas: jax.Array,
                      anchors: jax.Array, image_size: int,
                      pre_nms_topk: int, num_proposals: int,
-                     nms_iou: float = 0.7) -> tuple[jax.Array, jax.Array]:
-    """Per-image proposal selection. obj [N], deltas [N,4], anchors [N,4]
-    -> (boxes [num_proposals,4], scores [num_proposals])."""
-    k = min(pre_nms_topk, obj_logits.shape[0])
-    scores, idx = jax.lax.top_k(obj_logits, k)
-    boxes = decode_boxes(jnp.take(anchors, idx, axis=0),
-                         jnp.take(deltas, idx, axis=0), image_size)
-    keep_idx, keep_valid = nms(boxes, scores, num_proposals, nms_iou)
-    out_boxes = jnp.take(boxes, keep_idx, axis=0)
-    out_scores = jnp.take(scores, keep_idx, axis=0) * keep_valid
-    # invalid slots: zero boxes so downstream RoIAlign reads a harmless corner
-    out_boxes = out_boxes * keep_valid[:, None]
-    return out_boxes, out_scores
+                     nms_iou: float = 0.7
+                     ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-image form of select_proposals_batched (same 3-tuple contract,
+    without the leading batch axis)."""
+    boxes, scores, keep_valid = select_proposals_batched(
+        obj_logits[None], deltas[None], anchors, image_size, pre_nms_topk,
+        num_proposals, nms_iou)
+    return boxes[0], scores[0], keep_valid[0]

@@ -28,19 +28,36 @@ def ranking_loss(score_mat: jax.Array, margin: float) -> jax.Array:
     return (jnp.sum(wrong_sent) + jnp.sum(wrong_vid)) / npairs
 
 
-def context_loss(s: jax.Array, shat: jax.Array, word_mask: jax.Array,
-                 frame_mask: jax.Array, nbr_valid: jax.Array) -> jax.Array:
-    """L_ctx = masked mean (s − sg[ŝ])² over (b,k,t,r).
-
-    Frames with no valid neighbor (sum_o nbr_valid == 0) contribute zero.
-    s, shat: [B,K,T,R]; word_mask [B,K]; frame_mask [B,T]; nbr_valid [B,T,O].
-    """
+def context_loss_terms(s: jax.Array, shat: jax.Array, word_mask: jax.Array,
+                       frame_mask: jax.Array, nbr_valid: jax.Array,
+                       region_mask: jax.Array | None = None
+                       ) -> tuple[jax.Array, jax.Array]:
+    """(numerator, denominator) of L_ctx — the mesh-able form: the train step
+    psums num/den across the data/frame axes before dividing (exact global
+    mean). region_mask [B,T,R] excludes invalid region slots; REQUIRED
+    whenever s was built through mask_regions (the NEG=-1e9 fills would
+    otherwise enter (s-ŝ)² and blow the loss up)."""
     has_ctx = (jnp.sum(nbr_valid, axis=-1) > 0).astype(s.dtype)    # [B,T]
     m = (word_mask[:, :, None] * frame_mask[:, None, :] * has_ctx[:, None, :])
     sq = (s - jax.lax.stop_gradient(shat)) ** 2                    # [B,K,T,R]
-    num = jnp.sum(sq * m[..., None])
-    den = jnp.maximum(jnp.sum(m) * s.shape[-1], 1.0)
-    return num / den
+    if region_mask is None:
+        return jnp.sum(sq * m[..., None]), jnp.sum(m) * s.shape[-1]
+    m4 = m[..., None] * region_mask[:, None, :, :]
+    return jnp.sum(sq * m4), jnp.sum(m4)
+
+
+def context_loss(s: jax.Array, shat: jax.Array, word_mask: jax.Array,
+                 frame_mask: jax.Array, nbr_valid: jax.Array,
+                 region_mask: jax.Array | None = None) -> jax.Array:
+    """L_ctx = masked mean (s − sg[ŝ])² over valid (b,k,t,r).
+
+    Frames with no valid neighbor (sum_o nbr_valid == 0) contribute zero.
+    s, shat: [B,K,T,R]; word_mask [B,K]; frame_mask [B,T]; nbr_valid [B,T,O];
+    region_mask [B,T,R] (pass it whenever s was region-masked).
+    """
+    num, den = context_loss_terms(s, shat, word_mask, frame_mask, nbr_valid,
+                                  region_mask)
+    return num / jnp.maximum(den, 1.0)
 
 
 def select_top_regions(s: jax.Array, v_emb: jax.Array, word_mask: jax.Array,

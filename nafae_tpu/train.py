@@ -152,7 +152,7 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
         shat = G.mask_regions(G.similarity_tensor(w_emb, u, dtype=cdt), rm)
         if lc.ctx_weight > 0:
             l_ctx = _global_mean(
-                *_context_loss_terms(s, shat, wm, fm, nbr_valid, rm),
+                *L.context_loss_terms(s, shat, wm, fm, nbr_valid, rm),
                 all_axes)
             total = total + lc.ctx_weight * l_ctx
             aux["l_ctx"] = l_ctx
@@ -176,16 +176,6 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
 def _assign(f, centers):
     from nafae_tpu.ops.kmeans import kmeans_assign
     return kmeans_assign(f, centers)
-
-
-def _context_loss_terms(s, shat, wm, fm, nbr_valid, rm=None):
-    has_ctx = (jnp.sum(nbr_valid, axis=-1) > 0).astype(s.dtype)
-    m = wm[:, :, None] * fm[:, None, :] * has_ctx[:, None, :]    # [B,K,T]
-    sq = (s - jax.lax.stop_gradient(shat)) ** 2
-    if rm is None:
-        return jnp.sum(sq * m[..., None]), jnp.sum(m) * s.shape[-1]
-    m4 = m[..., None] * rm[:, None, :, :]          # exclude invalid regions
-    return jnp.sum(sq * m4), jnp.sum(m4)
 
 
 def _global_mean(num, den, axes):
