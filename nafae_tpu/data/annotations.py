@@ -118,10 +118,9 @@ def merge_gt_into_features(feature_dir: str, gt: dict,
 
     Matches by segment id; also overwrites word_ids with the BB labels so
     eval classes == annotation classes. Normalized GT boxes (see
-    gt_from_youcook2bb) are rescaled into the extraction frame space:
-    by image_size when given, else by the max extent of the segment's own
-    predicted boxes (the detector clips to the frame, so that is the frame
-    size to within one box). Returns #segments updated. The index.jsonl is
+    gt_from_youcook2bb) require image_size — the extraction frame size — to
+    rescale into the prediction coordinate space (the extract CLI passes
+    cfg.detector.image_size). Returns #segments updated. The index.jsonl is
     untouched (same files, new keys)."""
     index_path = os.path.join(feature_dir, "index.jsonl")
     with open(index_path) as f:
@@ -138,9 +137,14 @@ def merge_gt_into_features(feature_dir: str, gt: dict,
         k = len(g["word_ids"])
         boxes = g["gt_boxes"][:k]
         if g.get("normalized"):
-            s = float(image_size) if image_size else \
-                float(np.ceil(data["boxes"].max()))
-            boxes = boxes * s
+            if not image_size:
+                # inferring the frame size from predicted-box extents is
+                # silently wrong (zero/under-reach collapses or shrinks GT)
+                raise ValueError(
+                    "merge_gt_into_features: GT boxes are normalized "
+                    "(annotation rwidth/rheight present) — pass image_size "
+                    "(the extraction detector.image_size)")
+            boxes = boxes * float(image_size)
         data["word_ids"] = g["word_ids"]
         data["gt_boxes"] = _fit(boxes, (k, t, 4))
         data["gt_mask"] = _fit(g["gt_mask"][:k], (k, t))

@@ -107,34 +107,39 @@ class BatchLoader:
     def epoch(self, epoch: int = 0, skip: int = 0):
         """Yield batches for one epoch, prefetched by a background thread.
         `skip` drops the first batches cheaply (before building them) —
-        exact deterministic resume from a mid-epoch checkpoint position."""
+        exact deterministic resume from a mid-epoch checkpoint position.
+        Worker exceptions re-raise in the consumer (a swallowed error would
+        look like a short/empty epoch and hang or corrupt training)."""
         batch_idxs = self._epoch_batches(epoch)[skip:]
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_polling(item) -> bool:
+            while not stop.is_set():  # poll stop: never block forever on a
+                try:                  # full queue after consumer abandoned us
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    pass
+            return False
+
         def worker():
+            sentinel = None           # normal end-of-epoch
             try:
                 for idxs in batch_idxs:
                     if stop.is_set():
                         return
-                    item = self._make_batch(idxs)
-                    while True:   # poll stop: never block forever on a full
-                        try:      # queue after the consumer abandoned us
-                            q.put(item, timeout=0.2)
-                            break
-                        except queue.Full:
-                            if stop.is_set():
-                                return
-            finally:
-                # the end-of-epoch sentinel must never be dropped (a Full
-                # queue here would leave the consumer blocked on q.get()
-                # forever) — keep trying until it lands or we're abandoned
-                while not stop.is_set():
                     try:
-                        q.put(None, timeout=0.2)
-                        break
-                    except queue.Full:
-                        pass
+                        item = self._make_batch(idxs)
+                    except BaseException as e:  # propagate to the consumer
+                        sentinel = e
+                        return
+                    if not put_polling(item):
+                        return
+            finally:
+                # the sentinel must never be dropped (a Full queue here
+                # would leave the consumer blocked on q.get() forever)
+                put_polling(sentinel)
 
         th = threading.Thread(target=worker, daemon=True)
         th.start()
@@ -143,6 +148,8 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

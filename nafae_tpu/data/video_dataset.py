@@ -54,9 +54,16 @@ class VideoSegmentDataset:
         ann = self.annotations[i]
         frames = decode_segment(ann["video"], self.frame_rate,
                                 self.max_frames, self.image_size,
-                                start=float(ann.get("start", 0.0)),
-                                end=float(ann.get("end", -1.0)))
+                                start=float(ann.get("start") or 0.0),
+                                end=float(ann.get("end") or -1.0))
         t = frames.shape[0]
+        if t == 0:
+            # the offline extract path drops such segments; training on an
+            # all-zero sample would inject junk ranking gradients silently
+            raise IOError(
+                f"segment {ann.get('id', i)!r} decoded 0 frames from "
+                f"{ann['video']!r} (start={ann.get('start')}, "
+                f"end={ann.get('end')}) — fix or drop the annotation")
         out = np.zeros((self.max_frames, self.image_size, self.image_size, 3),
                        np.float32)
         out[:t] = frames[:self.max_frames]

@@ -50,10 +50,13 @@ def decode_segment(video_path: str, frame_rate: float, max_frames: int,
     if not cap.isOpened():
         raise IOError(f"cannot open {video_path}")
     fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
-    first = int(round(start * fps))
+    # int(x + 0.5) matches the native decoder's static_cast<long>(x + 0.5)
+    # (Python round() is banker's rounding — would pick a different frame at
+    # exact .5 boundaries and break native/fallback reproducibility)
+    first = int(start * fps + 0.5)
     if first > 0:
         cap.set(cv2.CAP_PROP_POS_FRAMES, first)
-    last = int(round(end * fps)) if end > 0 else -1
+    last = int(end * fps + 0.5) if end > 0 else -1
     step = max(fps / max(frame_rate, 1e-6), 1e-6)
     frames, nxt, i = [], 0.0, 0
     while len(frames) < max_frames:
@@ -97,8 +100,8 @@ def extract_segments(cfg: Config, annotations: list[dict], out_dir: str,
         for ann in annotations:
             frames = decode_segment(ann["video"], dc.frame_rate,
                                     cfg.data.max_frames, dc.image_size,
-                                    start=float(ann.get("start", 0.0)),
-                                    end=float(ann.get("end", -1.0)))
+                                    start=float(ann.get("start") or 0.0),
+                                    end=float(ann.get("end") or -1.0))
             t = frames.shape[0]
             if t == 0:
                 continue

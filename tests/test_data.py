@@ -77,6 +77,28 @@ def test_grain_loader_matches_interface(synth_root):
     assert steps == list(range(5))
 
 
+def test_loader_propagates_worker_errors(synth_root):
+    """A failing sample must raise in the consumer, not silently end the
+    epoch (a swallowed error looks like a short epoch and hangs training)."""
+    import pytest
+    ds = SegmentDataset(synth_root, "train", max_frames=8, num_regions=6,
+                        feat_dim=64, max_words=3)
+
+    class Broken:
+        frame_buckets = (8,)
+        def __len__(self):
+            return len(ds)
+        def __getitem__(self, i):
+            if i == 5:
+                raise IOError("decode failed for segment 5")
+            return ds[i]
+
+    dl = BatchLoader(Broken(), batch_size=4, shuffle=False, use_native=False)
+    with pytest.raises(IOError, match="segment 5"):
+        for _ in dl.epoch(0):
+            pass
+
+
 def test_loader_mid_epoch_resume(synth_root):
     """steps(start_epoch, skip) continues the exact deterministic sequence —
     both loaders (SURVEY §6: checkpoint the dataloader position)."""
