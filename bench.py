@@ -106,9 +106,15 @@ def bench_jax_eval(s, iters=128, steps_per_call=64):
     @jax.jit
     def evals(params, feats):
         def body(acc, _):
+            # the body must DEPEND on the carry or XLA's loop-invariant code
+            # motion hoists the whole evaluation out of the scan and the
+            # timing measures one iteration instead of steps_per_call. The
+            # where() below is data-dependent on acc (never taken: acc >= 0)
+            # and costs one [B,K] select — unhoistable, unmeasurable.
+            wid = jnp.asarray(b["word_ids"])
+            wid = jnp.where(acc < -1.0, wid + 1, wid)
             with Gr.matmul_precision("default"):
-                w = Gr.embed_words(jnp.asarray(b["word_ids"]),
-                                   params["word_emb"])
+                w = Gr.embed_words(wid, params["word_emb"])
                 v = Gr.project_regions(feats, params["w_v"], params["b_v"],
                                        dtype=jnp.bfloat16)
                 sim = Gr.similarity_tensor(w, v, dtype=jnp.bfloat16)

@@ -401,10 +401,11 @@ def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
                            dtype=dtype, rm_ext=rm_ext)
     if impl == "pallas":
         from nafae_tpu.ops.pallas.fused_ground import cross_mil
-        a = cross_mil(w_emb, v_emb, frame_mask, region_mask)  # [I,J,K,T]
+        a = cross_mil(w_emb, v_emb, frame_mask, region_mask,
+                      dtype=dtype)                            # [I,J,K,T]
         frame_logits = None
         if ctx_pool:
-            ahat = cross_mil(w_emb, u, frame_mask, region_mask)
+            ahat = cross_mil(w_emb, u, frame_mask, region_mask, dtype=dtype)
             frame_logits = _masked_word_mean(ahat, wm)
         return video_scores(a, wm, fm, temp, pool, frame_logits=frame_logits)[0]
     we, ve = _cast2(w_emb, v_emb, dtype)

@@ -61,12 +61,17 @@ def context_loss(s: jax.Array, shat: jax.Array, word_mask: jax.Array,
 
 
 def select_top_regions(s: jax.Array, v_emb: jax.Array, word_mask: jax.Array,
-                       frame_mask: jax.Array) -> tuple[jax.Array, jax.Array]:
+                       frame_mask: jax.Array,
+                       region_mask: jax.Array | None = None
+                       ) -> tuple[jax.Array, jax.Array]:
     """Per-(word,frame) argmax region features (stop-grad selection).
 
     s [B,K,T,R], v_emb [B,T,R,E] -> f [B,K,T,E], valid [B,K,T].
     The argmax index is non-differentiable (stop-grad by construction); the
     gathered feature keeps its gradient, matching docs/MATH.md §Visual-clustering.
+    region_mask [B,T,R]: frames with zero valid regions are excluded from
+    `valid` — their argmax over all-NEG scores would gather a dead slot's
+    embedding into the cluster loss and the k-means refresh.
     """
     r_star = jnp.argmax(s, axis=-1)                                # [B,K,T]
     f = jnp.take_along_axis(
@@ -75,6 +80,9 @@ def select_top_regions(s: jax.Array, v_emb: jax.Array, word_mask: jax.Array,
         axis=-2,
     )[..., 0, :]                                                   # [B,K,T,E]
     valid = word_mask[:, :, None] * frame_mask[:, None, :]
+    if region_mask is not None:
+        any_region = (jnp.max(region_mask, axis=-1) > 0)           # [B,T]
+        valid = valid * any_region[:, None, :].astype(valid.dtype)
     return f, valid
 
 

@@ -35,6 +35,14 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _score_precision(dtype) -> jax.lax.Precision:
+    """HIGHEST for f32 operands (oracle parity); DEFAULT for bf16 — Mosaic
+    rejects fp32 contract precision on bf16 vectors ('Bad lhs type'), and a
+    single bf16 MXU pass with f32 accumulation is the intended fast mode."""
+    return (jax.lax.Precision.DEFAULT if jnp.dtype(dtype) == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+
+
 def _fwd_kernel(w_ref, v_ref, fm_ref, rm_ref, a_ref, idx_ref, *, T, R, R_pad):
     """Per-video tile: scores = w @ v_iᵀ on the MXU, then per-frame masked max.
 
@@ -57,7 +65,7 @@ def _fwd_kernel(w_ref, v_ref, fm_ref, rm_ref, a_ref, idx_ref, *, T, R, R_pad):
         scores = jax.lax.dot_general(
             w, v_g, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)           # [M, gcnt*R_pad]
+            precision=_score_precision(w.dtype))           # [M, gcnt*R_pad]
         lane_r = jax.lax.broadcasted_iota(
             jnp.int32, (m, gcnt * R_pad), 1) % R_pad
         scores = jnp.where(lane_r < R, scores, NEG)
@@ -84,7 +92,7 @@ def _rollmax_kernel(w_ref, v_ref, fm_ref, rm_ref, sel_ref, a_ref, idx_ref,
     scores = jax.lax.dot_general(
         w_ref[:], v_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)               # [M, N]
+        precision=_score_precision(w_ref.dtype))           # [M, N]
     m = scores.shape[0]
     lane_r = jax.lax.broadcasted_iota(jnp.int32, (m, N), 1) % R_pad
     v = jnp.where(lane_r < R, scores, NEG)
@@ -111,17 +119,27 @@ def _rollmax_kernel(w_ref, v_ref, fm_ref, rm_ref, sel_ref, a_ref, idx_ref,
     idx_ref[0] = idx.astype(jnp.int32)
 
 
-def _cross_mil_fwd_rollmax(w_flat, v, fm, rm):
+_ROLLMAX_ELEM_BUDGET = 256 * 640  # max M_pad*N elements per live VMEM buffer
+
+
+def _rollmax_lanes(m_pad: int, t: int, r_pad: int, i: int) -> int:
+    """Videos per tile such that the roll pipeline's ~8 live [M_pad, N]
+    f32/i32 buffers fit the 16MB scoped VMEM even inside a large jitted
+    train step. Budget measured at M_pad=256, N=640 (in-context OK; 2x
+    either dimension OOMs — e.g. B=128 gives M=1024 and 31MB>16MB).
+    Returns 0 when even one video exceeds the budget (caller must use the
+    lane-grouped kernel instead)."""
+    n_max = _ROLLMAX_ELEM_BUDGET // max(m_pad, 1)
+    return min(i, n_max // (t * r_pad))
+
+
+def _cross_mil_fwd_rollmax(w_flat, v, fm, rm, dtype=None):
     """Tiled roll-max forward (requires R <= 32). Shapes as in _fwd_impl."""
     m, e = w_flat.shape
     i, t, r, _ = v.shape
     r_pad = 32
     m_pad = _round_up(m, 8)
-    # tile budget: the roll pipeline keeps ~8 [M, N]-sized f32/i32 buffers
-    # live in VMEM; cap N = IT*T*R_pad at ~640 lanes so the kernel fits the
-    # 16MB scoped vmem even when embedded in a large jitted train step
-    # (1280 lanes passes standalone but OOMs in-context)
-    it = max(1, min(i, 640 // (t * r_pad) or 1))           # videos per tile
+    it = _rollmax_lanes(m_pad, t, r_pad, i)                # videos per tile
     i_pad = _round_up(i, it)
     if r_pad != r:
         v = jnp.pad(v, ((0, 0), (0, 0), (0, r_pad - r), (0, 0)))
@@ -180,8 +198,11 @@ def _cross_mil_fwd_impl(w_flat: jax.Array, v: jax.Array, fm: jax.Array,
     """w_flat [M,E], v [I,T,R,E], fm [I,T], rm [I,T,R] -> a/idx [I,M,T]."""
     m, e = w_flat.shape
     i, t, r, _ = v.shape
-    if r <= 32:
+    if r <= 32 and _rollmax_lanes(_round_up(m, 8), t, 32, i) >= 1:
         return _cross_mil_fwd_rollmax(w_flat, v, fm, rm)
+    # lane-grouped fallback: one video per grid step, frames in 128-lane
+    # groups — VMEM-light, used for R > 32 or when M*T*R_pad exceeds the
+    # rollmax budget (e.g. very large batches or long clips)
     r_pad = _round_up(r, 32)
     m_pad = _round_up(m, 8)
     if r_pad != r:
@@ -253,25 +274,34 @@ def _cross_mil_bwd(res, da):
                           precision=jax.lax.Precision.HIGHEST)
         return dw_acc + dw_i, dv_i
 
-    dw, dv = jax.lax.scan(body, jnp.zeros_like(w_flat), (v, fm, rm, idx, da))
-    return dw, dv, None, None
+    dw, dv = jax.lax.scan(body,
+                          jnp.zeros(w_flat.shape, jnp.float32),
+                          (v, fm, rm, idx, da))
+    # cotangents must match the primal dtypes (bf16 when the wrapper cast)
+    return dw.astype(w_flat.dtype), dv.astype(v.dtype), None, None
 
 
 _cross_mil.defvjp(_cross_mil_fwd, _cross_mil_bwd)
 
 
 def cross_mil(w_emb: jax.Array, v_emb: jax.Array, frame_mask: jax.Array,
-              region_mask: jax.Array | None = None) -> jax.Array:
+              region_mask: jax.Array | None = None,
+              dtype=None) -> jax.Array:
     """Fused a[i,j,k,t] = masked max_r ŵ[j,k]·v̂[i,t,r].
 
     w_emb [J,K,E], v_emb [I,T,R,E], frame_mask [I,T], region_mask [I,T,R]
     (optional, data-dependent validity, e.g. NMS survivors) -> [I,J,K,T].
     Matches frame_mil_max(mask_regions(einsum('jke,itre->ijktr'), rm), fm)
-    exactly, including gradients.
+    exactly, including gradients. dtype=bfloat16 casts the matmul operands
+    (accumulation stays f32 in-kernel) — same contract as the jnp path's
+    compute dtype; gradients flow back through the casts.
     """
     j, k, e = w_emb.shape
     i, t, r, _ = v_emb.shape
+    if dtype is not None:
+        w_emb = w_emb.astype(dtype)
+        v_emb = v_emb.astype(dtype)
     if region_mask is None:
-        region_mask = jnp.ones((i, t, r), v_emb.dtype)
+        region_mask = jnp.ones((i, t, r), jnp.float32)
     a = _cross_mil(w_emb.reshape(j * k, e), v_emb, frame_mask, region_mask)
     return a.reshape(i, j, k, t)

@@ -10,6 +10,7 @@ CLI: python -m nafae_tpu.train --preset config2 --override train.steps=500 ...
 
 from __future__ import annotations
 
+import functools
 import time
 
 import jax
@@ -158,7 +159,7 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
             aux["l_ctx"] = l_ctx
 
     # --- visual clustering loss ----------------------------------------------
-    f, valid = L.select_top_regions(s, v_emb, wm, fm)
+    f, valid = L.select_top_regions(s, v_emb, wm, fm, region_mask=rm)
     aux["sel_feats"] = jax.lax.stop_gradient(f)
     aux["sel_valid"] = valid
     if lc.cluster_weight > 0:
@@ -331,17 +332,21 @@ def fit_device_cached(cfg: Config, state, loader, ckpt, logger,
 
     ds = loader.dataset
     n = len(ds)
-    data = {k: jnp.asarray(np.stack([ds[i][k] for i in range(n)]))
-            for k in ds[0]}
+    # boxes are eval-only (the train step never reads them) — keep them out
+    # of the cache, they would pin N*T*R*4 floats of HBM for nothing
+    data = {k: np.stack([ds[i][k] for i in range(n)])
+            for k in ds[0] if k != "boxes"}
     tx = make_optimizer(cfg)
     spc = max(1, cfg.train.steps_per_call)
+    donate = (0,) if cfg.train.donate else ()   # donate the OLD TrainState
 
     # data must be a runtime ARGUMENT: closing over it would embed ~GBs of
     # constants in the jaxpr (the remote compile service rejects the payload)
     if mesh is None:
         step = make_train_step(cfg, tx)
+        data = {k: jnp.asarray(v) for k, v in data.items()}
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=donate)
         def multi(state, idxs, data):                        # idxs [spc, B]
             def body(st, idx):
                 batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), data)
@@ -349,6 +354,7 @@ def fit_device_cached(cfg: Config, state, loader, ckpt, logger,
             state, ms = jax.lax.scan(body, state, idxs)
             return state, jax.tree.map(lambda x: x[-1], ms)
     else:
+        from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
         axis = cfg.mesh.data_axis_name
         faxis = cfg.mesh.frame_axis_name
@@ -356,11 +362,15 @@ def fit_device_cached(cfg: Config, state, loader, ckpt, logger,
         fspec = faxis if sp_on else None
         stepm = make_train_step(cfg, tx, data_axis=axis,
                                 frame_axis=faxis if sp_on else None)
-        # cache specs: segment axis replicated, frame axis SP-sharded
+        # cache specs: segment axis replicated, frame axis SP-sharded.
+        # Upload ONCE with the target sharding — without this the cache
+        # lives whole on device 0 and every call re-shards GBs.
         data_spec = {k: P() for k in data}
-        for k in ("feats", "boxes", "region_mask", "frame_mask"):
+        for k in ("feats", "region_mask", "frame_mask"):
             if k in data_spec:
                 data_spec[k] = P(None, fspec)
+        data = {k: jax.device_put(v, NamedSharding(mesh, data_spec[k]))
+                for k, v in data.items()}
 
         def multi_core(state, idxs, data):   # idxs local rows of [spc, B]
             def body(st, idx):
@@ -372,7 +382,7 @@ def fit_device_cached(cfg: Config, state, loader, ckpt, logger,
         multi = jax.jit(jax.shard_map(
             multi_core, mesh=mesh,
             in_specs=(P(), P(None, axis), data_spec),
-            out_specs=(P(), P())))
+            out_specs=(P(), P())), donate_argnums=donate)
 
     start_step = int(state.step)
     total = cfg.train.steps - start_step
@@ -404,7 +414,8 @@ def fit_device_cached(cfg: Config, state, loader, ckpt, logger,
         state, metrics = multi(state, idxs, data)
         done += spc
         gstep = start_step + done
-        if gstep % max(cfg.train.log_every, spc) < spc:
+        due = lambda every: every > 0 and gstep % max(every, spc) < spc
+        if due(cfg.train.log_every):
             m = {k: float(v) for k, v in metrics.items()}
             dt = time.perf_counter() - t0
             m["frames_per_sec"] = frames_per_batch * done / dt
@@ -412,9 +423,9 @@ def fit_device_cached(cfg: Config, state, loader, ckpt, logger,
             logger.log(m)
             if log_fn:
                 log_fn(m)
-        if eval_fn and gstep % cfg.train.eval_every < spc:
+        if eval_fn and due(cfg.train.eval_every):
             eval_fn(state)
-        if gstep % cfg.train.ckpt_every < spc:
+        if due(cfg.train.ckpt_every):
             ckpt.save(state)
     ckpt.save(state, wait=True)
     return state, metrics
@@ -499,30 +510,21 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
     exact = spc == 1 or not multi_bucket
     start_epoch = start_step // eb if eb else 0
     skip = (start_step % eb if eb else 0) if exact else 0
-    # fire-on-flush cadence: with spc>1 only every spc-th yielded batch
-    # applies an update, so "% every == 0" would need gstep+1 to be a common
-    # multiple of both — use the interval-window test instead (same as
-    # fit_device_cached)
-    due = lambda every: (gstep + 1) % max(every, spc) < spc
-    for step, batch in loader.steps(cfg.train.steps - start_step,
-                                    start_epoch=start_epoch, skip=skip):
-        gstep = start_step + step
-        if spc > 1:
-            # group by frame-bucket shape so every stacked scan is homogeneous
-            # (frame_mask exists in both the features and raw-frames layouts)
-            key = batch["frame_mask"].shape[1]
-            pending.setdefault(key, []).append(batch)
-            if len(pending[key]) < spc:
-                continue  # trailing partial groups are dropped (static scan len)
-            state, metrics = train_fn(state, stack_batches(pending.pop(key)))
-        else:
-            state, metrics = train_fn(state, batch)
+    # fire-on-flush cadence: with spc>1 only every spc-th batch applies an
+    # update, so "% every == 0" would need a common multiple of both — use
+    # the interval-window test instead (same as fit_device_cached)
+    target = cfg.train.steps
+    applied = start_step                     # optimizer steps applied so far
+    due = lambda every: every > 0 and applied % max(every, spc) < spc
+
+    def emit(state, metrics):
+        nonlocal t0
         if due(cfg.train.log_every):
             m = {k: float(v) for k, v in metrics.items()}
             dt = time.perf_counter() - t0
             m["frames_per_sec"] = frames_per_batch * max(
                 cfg.train.log_every, spc) / dt
-            m["step"] = gstep + 1
+            m["step"] = applied
             logger.log(m)
             if log_fn:
                 log_fn(m)
@@ -531,6 +533,50 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
             ckpt.save(state)
         if eval_fn and due(cfg.train.eval_every):
             eval_fn(state)
+
+    # yield budget: generous enough to cover per-bucket remainder drops; the
+    # loop exits on `applied >= target`, never on the budget in normal runs
+    budget = (target - applied) * 2 + spc * 16
+    for _, batch in loader.steps(budget, start_epoch=start_epoch, skip=skip):
+        if spc > 1:
+            # group by frame-bucket shape so every stacked scan is homogeneous
+            # (frame_mask exists in both the features and raw-frames layouts)
+            key = batch["frame_mask"].shape[1]
+            pending.setdefault(key, []).append(batch)
+            if target - applied < spc:
+                # fewer steps left than one scan: stop collecting once the
+                # tail has enough batches (applied one-by-one below — a full
+                # flush here would overshoot cfg.train.steps)
+                if sum(len(g) for g in pending.values()) >= target - applied:
+                    break
+                continue
+            if len(pending[key]) < spc:
+                continue
+            state, metrics = train_fn(state, stack_batches(pending.pop(key)))
+            applied += spc
+        else:
+            state, metrics = train_fn(state, batch)
+            applied += 1
+        emit(state, metrics)
+        if applied >= target:
+            break
+    if applied < target and any(pending.values()):
+        # tail: (target - applied) < spc remaining, or a tiny dataset never
+        # filled a group — apply the pending yielded batches one-by-one via
+        # a second spc=1 program (compiles once) so every run/resume reaches
+        # exactly cfg.train.steps instead of spinning at a partial group
+        import copy
+        cfg1 = copy.deepcopy(cfg)
+        cfg1.train.steps_per_call = 1
+        tail_fn = build_train_fn(cfg1, mesh, extractor=extractor,
+                                 with_frames=cfg.data.from_videos)
+        leftovers = [b for grp in pending.values() for b in grp]
+        for batch in leftovers:
+            if applied >= target:
+                break
+            state, metrics = tail_fn(state, batch)
+            applied += 1
+            emit(state, metrics)
     ckpt.save(state, wait=True)  # block: async save must not outlive the process
     return state, metrics
 

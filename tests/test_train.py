@@ -156,6 +156,20 @@ def test_device_cache_training(synth_root, tmp_path):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_fit_reaches_exact_target_with_partial_group(synth_root, tmp_path):
+    """steps not a multiple of steps_per_call: the tail applies the leftover
+    yielded batches one-by-one so fit() reaches exactly cfg.train.steps —
+    and a resume from the flush boundary makes progress instead of spinning."""
+    cfg = _cfg(synth_root, extra=["train.steps=10", "train.steps_per_call=4",
+                                  f"train.ckpt_dir={tmp_path}/pt"])
+    state, _ = fit(cfg)
+    assert int(state.step) == 10
+    cfg2 = _cfg(synth_root, extra=["train.steps=13", "train.steps_per_call=4",
+                                   f"train.ckpt_dir={tmp_path}/pt"])
+    state2, _ = fit(cfg2)     # resumes from 10, must reach 13 (not spin at 10)
+    assert int(state2.step) == 13
+
+
 def test_device_cache_resume_continues_index_stream(synth_root, tmp_path):
     """Interrupted device_cache run == uninterrupted run: the on-device
     index stream fast-forwards past the checkpointed position on resume."""
