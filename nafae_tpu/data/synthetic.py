@@ -59,7 +59,8 @@ def generate_synthetic_dataset(
     with open(index_path, "w") as idx:
         for n in range(num_segments):
             t = int(rng.randint(min_frames, max_frames + 1))
-            k = int(rng.randint(1, max_words + 1))
+            # cannot draw more distinct classes than the pool holds
+            k = int(rng.randint(1, min(max_words, pool) + 1))
             words = rng.choice(pool, size=k, replace=False).astype(np.int32)
             feats = rng.randn(t, num_regions, feat_dim).astype(np.float32) * noise
             boxes = _random_boxes(rng, (t, num_regions), image_size)

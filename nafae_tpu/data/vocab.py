@@ -35,20 +35,25 @@ class Vocab:
     def __init__(self, classes: list[str] | None = None):
         self.classes = list(classes) if classes is not None else list(DEFAULT_CLASSES)
         self.word_to_id = {w: i for i, w in enumerate(self.classes)}
-        # simple plural handling: "onions" -> "onion"
+        # regular English plural aliases: "onions"->"onion", "dishes"->"dish",
+        # "berries"->"berry", "tomatoes"->"tomato"
         self._alias = {}
         for w, i in self.word_to_id.items():
             self._alias[w + "s"] = i
-            if w.endswith("o"):
+            if w.endswith(("s", "sh", "ch", "x", "z", "o")):
                 self._alias[w + "es"] = i
+            if w.endswith("y") and len(w) > 1 and w[-2] not in "aeiou":
+                self._alias[w[:-1] + "ies"] = i
 
     def __len__(self) -> int:
         return len(self.classes)
 
     @classmethod
     def from_file(cls, path: str) -> "Vocab":
+        # lowercase: lookup() lowercases tokens, so a capitalized class-file
+        # entry would otherwise never match anything
         with open(path) as f:
-            classes = [ln.strip() for ln in f if ln.strip()]
+            classes = [ln.strip().lower() for ln in f if ln.strip()]
         return cls(classes)
 
     def lookup(self, token: str) -> int | None:

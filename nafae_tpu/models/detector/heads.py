@@ -42,8 +42,8 @@ def decode_detections(boxes: jax.Array, logits: jax.Array, deltas: jax.Array,
     fg = probs[:, 1:]                                              # [N, C]
     best = jnp.argmax(fg, axis=-1)                                 # [N]
     scores = jnp.take_along_axis(fg, best[:, None], axis=1)[:, 0]
-    d = jnp.take_along_axis(deltas, (best + 1)[:, None, None]
-                            .repeat(4, axis=-1), axis=1)[:, 0]
+    # take_along_axis broadcasts the non-axis dims of the [N,1,1] index
+    d = jnp.take_along_axis(deltas, (best + 1)[:, None, None], axis=1)[:, 0]
     refined = decode_boxes(boxes, d, image_size)
     cls = jnp.where(scores >= score_thresh, best + 1, 0)
     return {"boxes": refined, "scores": scores, "classes": cls}

@@ -99,13 +99,16 @@ def roi_align_matmul(feat: jax.Array, boxes: jax.Array, out_size: int = 7,
     the production TPU formulation (the CUDA kernel the reference lineage uses
     is gather-based; gathers are the wrong primitive on TPU). Matches
     `roi_align` to float tolerance (tested)."""
+    from nafae_tpu.ops import grounding as _G
     h, w, c = feat.shape
     b = boxes * spatial_scale
     wy = bilinear_weights(b[:, (1, 3)], h, out_size, sampling_ratio)  # [N,P,H]
     wx = bilinear_weights(b[:, (0, 2)], w, out_size, sampling_ratio)  # [N,P,W]
+    # late-bound precision: matmul_precision("default") must reach the
+    # detector's hot einsums too (see ops/grounding.PRECISION contract)
     mid = jnp.einsum("nph,hwc->npwc", wy, feat,
                      preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=_G.PRECISION)
     return jnp.einsum("nqw,npwc->npqc", wx, mid,
                       preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=_G.PRECISION)

@@ -14,6 +14,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -141,8 +142,17 @@ class NativePacker:
         if not self.handle:
             raise RuntimeError("packer_create failed")
         self._lib = lib
+        # the C++ Packer keeps per-call output pointers + a pending counter
+        # on the shared handle: two concurrent pack() calls (e.g. an
+        # abandoned epoch's prefetch worker overlapping a new epoch's) would
+        # corrupt each other's buffers — serialize them
+        self._pack_lock = threading.Lock()
 
     def pack(self, idxs) -> dict[str, np.ndarray]:
+        with self._pack_lock:
+            return self._pack_locked(idxs)
+
+    def _pack_locked(self, idxs) -> dict[str, np.ndarray]:
         ds = self.ds
         n = len(idxs)
         t, r, d, k = ds.max_frames, ds.num_regions, ds.feat_dim, ds.max_words

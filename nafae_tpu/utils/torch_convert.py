@@ -25,15 +25,18 @@ DEFAULT_MAP = {
 }
 
 
+def _to_numpy_dict(state_dict: dict) -> dict:
+    """torch tensors (or arrays) -> host numpy arrays, one place to extend."""
+    return {k: np.asarray(v.detach().cpu().numpy()
+                          if hasattr(v, "detach") else v)
+            for k, v in state_dict.items()}
+
+
 def convert_state_dict(state_dict: dict, key_map: dict | None = None,
                        expect: dict | None = None) -> dict:
     """torch state_dict (tensors or arrays) -> {word_emb, w_v, b_v} numpy."""
     key_map = key_map or DEFAULT_MAP
-    flat = {}
-    for k, v in state_dict.items():
-        arr = np.asarray(v.detach().cpu().numpy()
-                         if hasattr(v, "detach") else v)
-        flat[k] = arr
+    flat = _to_numpy_dict(state_dict)
     out = {}
     for ours, candidates in key_map.items():
         found = None
@@ -89,13 +92,7 @@ def convert_detector_resnet50(state_dict: dict, params: dict) -> dict:
     [out,in,kh,kw] -> [kh,kw,in,out]; BN maps weight/bias/running_mean/
     running_var -> scale/bias/mean/var (FrozenBN). Returns a NEW params tree.
     """
-    import copy
-
-    flat = {}
-    for k, v in state_dict.items():
-        arr = np.asarray(v.detach().cpu().numpy()
-                         if hasattr(v, "detach") else v)
-        flat[k] = arr
+    flat = _to_numpy_dict(state_dict)
 
     def conv(name):
         return np.transpose(flat[name + ".weight"], (2, 3, 1, 0))
@@ -106,7 +103,7 @@ def convert_detector_resnet50(state_dict: dict, params: dict) -> dict:
         dst["mean"] = flat[name + ".running_mean"].astype(np.float32)
         dst["var"] = flat[name + ".running_var"].astype(np.float32)
 
-    out = copy.deepcopy(jax.tree.map(np.asarray, params))
+    out = jax.tree.map(np.array, params)   # np.array copies: a fresh tree
     bb = out["params"]["backbone"]
     bb["Conv_0"]["kernel"] = conv("conv1")
     bn(bb["FrozenBN_0"], "bn1")
