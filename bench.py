@@ -224,9 +224,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--iters", type=int, default=32)
-    p.add_argument("--pallas", action="store_true",
-                   help="route similarity+MIL through the fused Pallas kernel "
-                        "(XLA batched einsums are faster at bench shapes)")
+    p.add_argument("--no-pallas", action="store_true",
+                   help="disable the fused Pallas kernels (similarity+MIL "
+                        "cross_mil + ctx fused_ctx); with them the full step "
+                        "measures ~equal to +14%% faster at config4 shapes")
     p.add_argument("--remeasure-baseline", action="store_true")
     p.add_argument("--mode", choices=("train", "eval"), default="train")
     args = p.parse_args()
@@ -242,7 +243,8 @@ def main():
         }))
         return
 
-    fps, dt, loss = bench_jax(s, iters=args.iters, use_pallas=args.pallas)
+    fps, dt, loss = bench_jax(s, iters=args.iters,
+                              use_pallas=not args.no_pallas)
     base = get_baseline(s, remeasure=args.remeasure_baseline)
     print(json.dumps({
         "metric": "grounding_train_frames_per_sec_per_chip",

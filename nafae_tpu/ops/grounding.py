@@ -264,13 +264,20 @@ def context_mix(v_ext: jax.Array, fm_ext: jax.Array, window: int,
     [B,T,O,S,E] neighbor stack or [B,T,R,O,S] alpha tensor in HBM (~78 MB
     at production shapes in the naive formulation).
 
+    impl="pallas": the fused VMEM-resident kernel (ops/pallas/fused_ctx.py)
+    — one big MXU matmul for all logits + selector-matmul group softmax +
+    one mix matmul, recompute-in-backward. Measured ~26% faster fwd+bwd
+    than "offset" at production shapes on a v5e chip.
+
     impl="dense": ONE [T·R, E]x[E, T_ext·R] batched matmul per video
     computes all offset logits at once, per-(row, neighbor-frame) softmax
     via a reshape group-sum, then one [T·R, T_ext·R]x[T_ext·R, E] matmul
     mixes. Measured at parity with "offset" at production shapes (XLA
-    already batches the small per-offset matmuls well); expected to win at
-    larger T·R where the dense matmul shape dominates.
+    already batches the small per-offset matmuls well).
     """
+    if impl == "pallas":
+        from nafae_tpu.ops.pallas.fused_ctx import ctx_mix_pallas
+        return ctx_mix_pallas(v_ext, fm_ext, window, temp, dtype, rm_ext)
     if impl == "dense":
         return _context_mix_dense(v_ext, fm_ext, window, temp, dtype, rm_ext)
     w = window
@@ -398,7 +405,8 @@ def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
         rm_ext = (jnp.pad(region_mask, ((0, 0), (w_, w_), (0, 0)))
                   if region_mask is not None else None)
         u, _ = context_mix(v_ext, fm_ext, w_, ctx_temp,
-                           dtype=dtype, rm_ext=rm_ext)
+                           dtype=dtype, rm_ext=rm_ext,
+                           impl="pallas" if impl == "pallas" else "offset")
     if impl == "pallas":
         from nafae_tpu.ops.pallas.fused_ground import cross_mil
         a = cross_mil(w_emb, v_emb, frame_mask, region_mask,

@@ -149,7 +149,9 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
             rm_ext = (jnp.pad(rm, ((0, 0), (w_, w_), (0, 0)))
                       if rm is not None else None)
         u, nbr_valid = G.context_mix(v_ext, fm_ext, w_, lc.ctx_temp,
-                                     dtype=cdt, rm_ext=rm_ext)
+                                     dtype=cdt, rm_ext=rm_ext,
+                                     impl="pallas" if use_pallas
+                                     else "offset")
         shat = G.mask_regions(G.similarity_tensor(w_emb, u, dtype=cdt), rm)
         if lc.ctx_weight > 0:
             l_ctx = _global_mean(

@@ -103,6 +103,54 @@ def test_cross_scores_pallas_impl_matches():
                                        rtol=1e-5, atol=1e-6)
 
 
+def test_ctx_mix_pallas_matches_context_mix():
+    """Fused ctx kernel == context_mix: values and gradients, with and
+    without region masks, ragged frames, incl. the uniform-softmax corner
+    (valid frame, zero valid regions)."""
+    from nafae_tpu.ops.pallas.fused_ctx import ctx_mix_pallas
+    rng = np.random.RandomState(3)
+    B, T, R, E, w = 3, 7, 5, 16, 2
+    v = G.l2_normalize(jnp.asarray(rng.randn(B, T, R, E).astype(np.float32)))
+    fm_np = (rng.rand(B, T) > 0.3).astype(np.float32)
+    fm_np[0, 0] = 1.0
+    fm = jnp.asarray(fm_np)
+    v_ext = jnp.pad(v, ((0, 0), (w, w), (0, 0), (0, 0)))
+    fm_ext = jnp.pad(fm, ((0, 0), (w, w)))
+    rm_np = (rng.rand(B, T, R) > 0.4).astype(np.float32)
+    rm_np[0, 0, :] = 0.0
+    rm_ext = jnp.pad(jnp.asarray(rm_np), ((0, 0), (w, w), (0, 0)))
+    for rme in (None, rm_ext):
+        u_ref, nv_ref = G.context_mix(v_ext, fm_ext, w, 0.1, rm_ext=rme)
+        u, nv = ctx_mix_pallas(v_ext, fm_ext, w, 0.1, rm_ext=rme)
+        np.testing.assert_array_equal(np.asarray(nv), np.asarray(nv_ref))
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   rtol=1e-5, atol=1e-6)
+        g_ref = jax.grad(lambda ve: jnp.sum(jnp.sin(
+            G.context_mix(ve, fm_ext, w, 0.1, rm_ext=rme)[0] * 1.3)))(v_ext)
+        g = jax.grad(lambda ve: jnp.sum(jnp.sin(
+            ctx_mix_pallas(ve, fm_ext, w, 0.1, rm_ext=rme)[0] * 1.3)))(v_ext)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_cross_scores_pallas_ctx_pool_uses_kernel():
+    """cross_scores(impl='pallas', pool='context') routes the ctx path
+    through the fused kernel and still matches the jnp path."""
+    rng = np.random.RandomState(2)
+    B, K, T, R, E = 4, 3, 6, 5, 16
+    w = G.l2_normalize(jnp.asarray(rng.randn(B, K, E).astype(np.float32)))
+    v = G.l2_normalize(jnp.asarray(rng.randn(B, T, R, E).astype(np.float32)))
+    fm = jnp.asarray((rng.rand(B, T) > 0.2).astype(np.float32))
+    wm = jnp.asarray((rng.rand(B, K) > 0.2).astype(np.float32))
+    rm = jnp.asarray((rng.rand(B, T, R) > 0.3).astype(np.float32))
+    sj = G.cross_scores(w, wm, v, fm, 0.1, "context", ctx_window=2,
+                        impl="jnp", region_mask=rm)
+    sp = G.cross_scores(w, wm, v, fm, 0.1, "context", ctx_window=2,
+                        impl="pallas", region_mask=rm)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(sj),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_roi_align_pallas_matches_reference():
     from nafae_tpu.ops.roi_align import roi_align, roi_align_matmul
     from nafae_tpu.ops.pallas.roi_align import roi_align_pallas
