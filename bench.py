@@ -19,6 +19,12 @@ import time
 
 import numpy as np
 
+# the axon TPU plugin registers its backend under the canonical name "tpu";
+# JAX_PLATFORMS=axon (seen in some shells) makes jax abort at init. Clear it
+# before any jax import so the bench always reaches the chip.
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "axon":
+    os.environ["JAX_PLATFORMS"] = ""
+
 SHAPES = dict(B=32, T=20, R=20, D=2048, E=256, K=8, V=67, KC=67, W=3)
 QUICK = dict(B=8, T=8, R=8, D=256, E=64, K=4, V=67, KC=16, W=2)
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),

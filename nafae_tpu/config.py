@@ -83,6 +83,7 @@ class TrainConfig:
     device_cache: bool = False    # upload the WHOLE dataset to HBM once and
                                   # gather batches on device (no per-step host
                                   # transfer; requires a single frame bucket)
+    tensorboard_dir: str = ""     # also mirror metrics to TB event files
 
 
 @dataclass

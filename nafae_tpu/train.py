@@ -481,7 +481,8 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
     restored = ckpt.restore_latest(state)
     if restored is not None:
         state = restored
-    logger = MetricsLogger(cfg.train.ckpt_dir)
+    logger = MetricsLogger(cfg.train.ckpt_dir,
+                           tensorboard_dir=cfg.train.tensorboard_dir)
     if cfg.train.device_cache:
         if cfg.data.from_videos:
             raise ValueError("device_cache caches features, not raw frames; "

@@ -1,5 +1,7 @@
 """Utils tests: torch converter roundtrip, metrics logger, throughput tracker."""
 
+import os
+
 import numpy as np
 
 
@@ -57,6 +59,18 @@ def test_metrics_logger(tmp_path):
     rows = lg.read()
     assert [r["step"] for r in rows] == [1, 2]
     assert all("ts" in r for r in rows)
+
+
+def test_metrics_logger_tensorboard(tmp_path):
+    """Optional TB sink writes event files; non-numeric fields stay JSONL-only."""
+    from nafae_tpu.utils.metrics_log import MetricsLogger
+    tb = str(tmp_path / "tb")
+    lg = MetricsLogger(str(tmp_path), tensorboard_dir=tb)
+    lg.log({"step": 1, "loss": 0.5, "note": "not-a-number"})
+    assert lg.read()[0]["note"] == "not-a-number"
+    events = [f for f in os.listdir(tb) if "tfevents" in f]
+    assert events, "no TensorBoard event file written"
+    assert os.path.getsize(os.path.join(tb, events[0])) > 0
 
 
 def test_throughput_tracker():
