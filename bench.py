@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -24,6 +25,30 @@ import numpy as np
 # before any jax import so the bench always reaches the chip.
 if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "axon":
     os.environ["JAX_PLATFORMS"] = ""
+
+
+def _require_tpu():
+    """The tunneled chip can refuse acquisition for minutes after its last
+    release ("No hardware is found" → silent CPU fallback, which would make
+    the bench report CPU numbers as chip throughput). A failed init is
+    cached in-process, so retry by re-exec'ing this script, bounded.
+    CPU runs must be explicit: NAFAE_BENCH_ALLOW_CPU=1."""
+    import jax
+    if jax.default_backend() == "tpu":
+        return
+    if os.environ.get("NAFAE_BENCH_ALLOW_CPU") == "1":
+        print("bench: WARNING measuring on CPU backend", file=sys.stderr)
+        return
+    tries = int(os.environ.get("_NAFAE_BENCH_TRIES", "0"))
+    if tries >= 25:
+        print("bench: TPU unavailable after retries; pass "
+              "NAFAE_BENCH_ALLOW_CPU=1 to measure on CPU", file=sys.stderr)
+        sys.exit(1)
+    print(f"bench: TPU not acquired (attempt {tries + 1}/25); "
+          "retrying in 75 s", file=sys.stderr)
+    time.sleep(75)
+    os.environ["_NAFAE_BENCH_TRIES"] = str(tries + 1)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 
 SHAPES = dict(B=32, T=20, R=20, D=2048, E=256, K=8, V=67, KC=67, W=3)
 QUICK = dict(B=8, T=8, R=8, D=256, E=64, K=4, V=67, KC=16, W=2)
@@ -44,7 +69,7 @@ def make_batch(s, seed=0):
     }
 
 
-def bench_jax(s, iters=32, warmup=1, use_pallas=True, dtype="bfloat16",
+def bench_jax(s, iters=32, warmup=1, kernels="auto", dtype="bfloat16",
               steps_per_call=16, repeats=4):
     import jax
 
@@ -55,7 +80,7 @@ def bench_jax(s, iters=32, warmup=1, use_pallas=True, dtype="bfloat16",
         f"model.feat_dim={s['D']}", f"model.embed_dim={s['E']}",
         f"data.batch_size={s['B']}", f"loss.num_clusters={s['KC']}",
         f"loss.ctx_window={s['W']}", "loss.kmeans_interval=100",
-        f"train.use_pallas={'true' if use_pallas else 'false'}",
+        f"train.kernels={kernels}",
         f"model.dtype={dtype}", "model.matmul_precision=default",
     ])
     batch = {k: jax.device_put(v) for k, v in make_batch(s).items()}
@@ -230,14 +255,18 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--iters", type=int, default=32)
+    p.add_argument("--kernels", choices=("auto", "pallas", "jnp"),
+                   default="auto",
+                   help="kernel routing: auto = XLA cross path + Pallas "
+                        "banded ctx (measured-best mix); pallas = both "
+                        "fused kernels; jnp = pure-XLA")
     p.add_argument("--no-pallas", action="store_true",
-                   help="disable the fused Pallas kernels (similarity+MIL "
-                        "cross_mil + ctx fused_ctx); with them the full step "
-                        "measures ~equal to +14%% faster at config4 shapes")
+                   help="alias for --kernels jnp")
     p.add_argument("--remeasure-baseline", action="store_true")
     p.add_argument("--mode", choices=("train", "eval"), default="train")
     args = p.parse_args()
     s = QUICK if args.quick else SHAPES
+    _require_tpu()
 
     if args.mode == "eval":
         fps, dt = bench_jax_eval(s)
@@ -250,7 +279,8 @@ def main():
         return
 
     fps, dt, loss = bench_jax(s, iters=args.iters,
-                              use_pallas=not args.no_pallas)
+                              kernels="jnp" if args.no_pallas
+                              else args.kernels)
     base = get_baseline(s, remeasure=args.remeasure_baseline)
     print(json.dumps({
         "metric": "grounding_train_frames_per_sec_per_chip",

@@ -76,7 +76,11 @@ class TrainConfig:
     keep_ckpts: int = 3
     log_every: int = 50
     eval_every: int = 1000
-    use_pallas: bool = False      # fused Pallas grounding kernel vs pure-jnp path
+    use_pallas: bool = False      # legacy: True == kernels="pallas"
+    kernels: str = ""             # "" (derive from use_pallas) | "jnp" |
+                                  # "pallas" (fused cross_mil + ctx kernels) |
+                                  # "auto" (XLA cross path + Pallas ctx — the
+                                  # measured-best mix, see docs/PERF.md)
     donate: bool = True
     steps_per_call: int = 1       # lax.scan this many steps inside ONE XLA call
                                   # (amortizes dispatch; batches stack on a lead axis)

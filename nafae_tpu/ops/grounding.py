@@ -384,13 +384,17 @@ def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
                  temp: float, pool: str,
                  ctx_window: int = 0, ctx_temp: float = 0.1,
                  impl: str = "jnp", dtype=None,
-                 region_mask: jax.Array | None = None) -> jax.Array:
+                 region_mask: jax.Array | None = None,
+                 ctx_impl: str | None = None) -> jax.Array:
     """Full B×B score matrix S[i,j] = score(video i, sentence j) for ranking.
 
     The reference scores positives/negatives with per-sample loops (SURVEY.md
     L179-183); here the whole matrix is a handful of einsums on the MXU.
     impl="pallas" routes the similarity+MIL-max through the fused kernel
     (ops/pallas/fused_ground.py), which never materializes [I,J,K,T,R] in HBM.
+    ctx_impl overrides the context_mix implementation independently (the
+    "auto" kernel mode pairs impl="jnp" with ctx_impl="pallas"); default:
+    follow impl.
     """
     fm = frame_mask[:, None, :]                               # video i frames [I,1,T]
     wm = word_mask[None, :, :]                                # sentence j words [1,J,K]
@@ -404,9 +408,10 @@ def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
         fm_ext = jnp.pad(frame_mask, ((0, 0), (w_, w_)))
         rm_ext = (jnp.pad(region_mask, ((0, 0), (w_, w_), (0, 0)))
                   if region_mask is not None else None)
+        if ctx_impl is None:
+            ctx_impl = "pallas" if impl == "pallas" else "offset"
         u, _ = context_mix(v_ext, fm_ext, w_, ctx_temp,
-                           dtype=dtype, rm_ext=rm_ext,
-                           impl="pallas" if impl == "pallas" else "offset")
+                           dtype=dtype, rm_ext=rm_ext, impl=ctx_impl)
     if impl == "pallas":
         from nafae_tpu.ops.pallas.fused_ground import cross_mil
         a = cross_mil(w_emb, v_emb, frame_mask, region_mask,

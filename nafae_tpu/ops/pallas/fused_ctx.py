@@ -1,21 +1,31 @@
 """Fused context-mixing Pallas kernel (custom VJP, recompute-in-backward).
 
 Computes the context-mixed region embeddings u (same math as
-ops/grounding.context_mix) for one video per grid step, entirely in VMEM:
+ops/grounding.context_mix) for one video per grid step, entirely in VMEM.
+The kernel is *frame-banded*: the affinity band 1 <= |frame(n) - frame(m)|
+<= w only ever touches columns within w frames of a row's frame, so the
+score matrix is computed per frame-tile of G center frames against its
+(G + 2w)-frame column slab — (G+2w)/(T+2w) of the full [T·R_pad, T_ext·R_pad]
+matrix's FLOPs (and of its exp/mask VPU work). tile=T degenerates to the
+original single-matmul form, used when T is small.
 
-    S[m, n]  = v_c[m]·v_f[n] / temp          ONE [T·R_pad, E]x[E, N_ext]
+Per tile (all slices static — the frame loop is unrolled at trace time):
+
+    S[m, n]  = v_c[m]·v_f[n] / temp          ONE [G·R_pad, E]x[E, (G+2w)·R_pad]
                                              MXU matmul (the jnp offset loop
                                              runs 2·O tiny [R,E]x[E,S] ones
                                              at 20x20-output tiles = <3%
                                              systolic-array utilization)
     alpha    = per-(row, neighbor-frame) softmax over the band
                1 <= |frame(n) - frame(m)| <= w, masked by frame/region
-               validity; group sums via two selector-matrix matmuls —
+               validity; group sums via two selector-matrix matmuls, the
+               selectors built in-kernel from int iota —
                no lane-dim reshapes (Mosaic-safe)
-    u_num[m] = sum_n alpha[m, n] · v_f[n]    ONE [T·R_pad, N_ext]x[N_ext, E]
+    u_num[m] = sum_n alpha[m, n] · v_f[n]    ONE [G·R_pad, N_t]x[N_t, E]
 
 The backward recomputes S/alpha from the saved inputs (no big residuals in
-HBM) and applies the group-softmax Jacobian with the same selector trick;
+HBM), applies the group-softmax Jacobian with the same selector trick, and
+accumulates the overlapping column-slab gradients across tiles in VMEM;
 the center-row addition of the query-side gradient happens on host.
 
 Numerical notes:
@@ -41,7 +51,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nafae_tpu.ops.pallas.fused_ground import _interpret, _round_up
+from nafae_tpu.ops.pallas.fused_ground import (_interpret, _round_up, _sds,
+                                               _vma_needs_fallback, _vma_of)
 
 
 def _prec(dtype):
@@ -49,92 +60,124 @@ def _prec(dtype):
             else jax.lax.Precision.HIGHEST)
 
 
-def _band(m_rows, n_ext, r_pad, r, w):
-    """Static [M,N] band+structural mask from 2-D iota (Mosaic-safe)."""
-    row_f = jax.lax.broadcasted_iota(jnp.int32, (m_rows, n_ext), 0) // r_pad + w
-    col_f = jax.lax.broadcasted_iota(jnp.int32, (m_rows, n_ext), 1) // r_pad
-    lane_r = jax.lax.broadcasted_iota(jnp.int32, (m_rows, n_ext), 1) % r_pad
+def _band(m_rows, n_t, r_pad, r, w):
+    """Static [M,N] band+structural mask from 2-D iota (Mosaic-safe).
+
+    Row m is center frame m//r_pad (+w in extended coords); column n is
+    extended frame n//r_pad. Both are tile-local, so the same mask serves
+    every tile: the tile's row/column frame origins cancel in the offset.
+    """
+    row_f = jax.lax.broadcasted_iota(jnp.int32, (m_rows, n_t), 0) // r_pad + w
+    col_f = jax.lax.broadcasted_iota(jnp.int32, (m_rows, n_t), 1) // r_pad
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, (m_rows, n_t), 1) % r_pad
     off = col_f - row_f
     return (off != 0) & (off >= -w) & (off <= w) & (lane_r < r)
 
 
-def _recompute_alpha(vf, colv, fml, sel1, sel2, *, T, w, r, r_pad,
-                     inv_temp, precision):
-    """Shared fwd/bwd body: (alpha [M,N_ext] f32, bs, vc)."""
-    n_ext = vf.shape[0]
-    m_rows = T * r_pad
-    vc = vf[w * r_pad:w * r_pad + m_rows, :]
-    s = jax.lax.dot_general(vc, vf, (((1,), (1,)), ((), ())),
+def _selectors(n_t, gf, r_pad):
+    """In-kernel one-hot frame-group selectors: sel1 [n_t, gf] (column ->
+    its frame group), sel2 [gf, n_t] (group -> its columns). Built from int
+    iota comparisons — no transposes, no host inputs."""
+    s1 = (jax.lax.broadcasted_iota(jnp.int32, (n_t, gf), 0) // r_pad
+          == jax.lax.broadcasted_iota(jnp.int32, (n_t, gf), 1))
+    s2 = (jax.lax.broadcasted_iota(jnp.int32, (gf, n_t), 1) // r_pad
+          == jax.lax.broadcasted_iota(jnp.int32, (gf, n_t), 0))
+    return s1.astype(jnp.float32), s2.astype(jnp.float32)
+
+
+def _tile_alpha(vf, colv, fml, t0, gt, *, w, r, r_pad, inv_temp, precision):
+    """Alpha for one frame tile: center frames [t0, t0+gt), column slab =
+    extended frames [t0, t0+gt+2w). Returns (alpha [M_t,N_t] f32, bs, vc,
+    cols, sel1, sel2); everything static-sliced."""
+    m_t = gt * r_pad
+    n_t = (gt + 2 * w) * r_pad
+    c0 = t0 * r_pad
+    vc = vf[(w + t0) * r_pad:(w + t0) * r_pad + m_t, :]
+    cols = vf[c0:c0 + n_t, :]
+    s = jax.lax.dot_general(vc, cols, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=precision) * inv_temp
-    band = _band(m_rows, n_ext, r_pad, r, w)
-    live = band & (colv > 0)
+    band = _band(m_t, n_t, r_pad, r, w)
+    live = band & (colv[:, c0:c0 + n_t] > 0)
     ex = jnp.where(live, jnp.exp(s), 0.0)
+    sel1, sel2 = _selectors(n_t, gt + 2 * w, r_pad)
     hp = jax.lax.Precision.HIGHEST
     dn = (((1,), (0,)), ((), ()))
     gs = jax.lax.dot_general(ex, sel1, dn,
                              preferred_element_type=jnp.float32, precision=hp)
     bs = jax.lax.dot_general(gs, sel2, dn,
                              preferred_element_type=jnp.float32, precision=hp)
-    frame_band = band & (fml > 0)
+    frame_band = band & (fml[:, c0:c0 + n_t] > 0)
     alpha = jnp.where(bs > 0, ex / jnp.maximum(bs, 1e-30),
                       jnp.where(frame_band, 1.0 / r, 0.0))
-    return alpha, bs, vc
+    return alpha, bs, vc, cols, sel1, sel2
 
 
-def _fwd_kernel(vf_ref, colv_ref, fml_ref, sel1_ref, sel2_ref, u_ref,
-                *, T, w, r, r_pad, inv_temp, precision):
+def _fwd_kernel(vf_ref, colv_ref, fml_ref, u_ref,
+                *, T, w, r, r_pad, inv_temp, precision, tile):
     vf = vf_ref[0]
-    alpha, _, _ = _recompute_alpha(vf, colv_ref[0], fml_ref[0],
-                                   sel1_ref[:], sel2_ref[:], T=T, w=w, r=r,
-                                   r_pad=r_pad, inv_temp=inv_temp,
-                                   precision=precision)
-    u_ref[0] = jax.lax.dot_general(
-        alpha.astype(vf.dtype), vf, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
+    colv = colv_ref[0]
+    fml = fml_ref[0]
+    for t0 in range(0, T, tile):
+        gt = min(tile, T - t0)
+        alpha, _, _, cols, _, _ = _tile_alpha(
+            vf, colv, fml, t0, gt, w=w, r=r, r_pad=r_pad,
+            inv_temp=inv_temp, precision=precision)
+        u_ref[0, t0 * r_pad:(t0 + gt) * r_pad, :] = jax.lax.dot_general(
+            alpha.astype(vf.dtype), cols, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
 
 
-def _bwd_kernel(vf_ref, colv_ref, fml_ref, sel1_ref, sel2_ref, du_ref,
-                dvf_ref, dvc_ref, *, T, w, r, r_pad, inv_temp, precision):
-    """dvf: mixing + neighbor-side logits grads (all N_ext rows);
+def _bwd_kernel(vf_ref, colv_ref, fml_ref, du_ref, dvf_ref, dvc_ref,
+                *, T, w, r, r_pad, inv_temp, precision, tile):
+    """dvf: mixing + neighbor-side logits grads (all N_ext rows, the
+    overlapping per-tile column slabs accumulated in VMEM);
     dvc: query-side logits grads (center rows; host adds them into dvf)."""
     vf = vf_ref[0]
-    alpha, bs, vc = _recompute_alpha(vf, colv_ref[0], fml_ref[0],
-                                     sel1_ref[:], sel2_ref[:], T=T, w=w, r=r,
-                                     r_pad=r_pad, inv_temp=inv_temp,
-                                     precision=precision)
+    colv = colv_ref[0]
+    fml = fml_ref[0]
     du = du_ref[0]                                          # [M, E] f32
     hp = jax.lax.Precision.HIGHEST
     dn = (((1,), (0,)), ((), ()))
     dn_t = (((1,), (1,)), ((), ()))
     dn_c = (((0,), (0,)), ((), ()))
-    dalpha = jax.lax.dot_general(du.astype(vf.dtype), vf, dn_t,
-                                 preferred_element_type=jnp.float32,
-                                 precision=precision)       # [M, N_ext]
-    ad = alpha * dalpha
-    gs2 = jax.lax.dot_general(ad, sel1_ref[:], dn,
-                              preferred_element_type=jnp.float32,
-                              precision=hp)
-    bs2 = jax.lax.dot_general(gs2, sel2_ref[:], dn,
-                              preferred_element_type=jnp.float32,
-                              precision=hp)
-    # softmax Jacobian per group; uniform-fallback groups (bs==0) have
-    # constant alpha => zero gradient
-    ds = jnp.where(bs > 0, (ad - alpha * bs2) * inv_temp, 0.0)
-    dsf = ds.astype(vf.dtype)
-    dvf = jax.lax.dot_general(alpha.astype(vf.dtype), du.astype(vf.dtype),
-                              dn_c, preferred_element_type=jnp.float32,
-                              precision=precision)          # [N_ext, E]
-    dvf = dvf + jax.lax.dot_general(dsf, vc, dn_c,
-                                    preferred_element_type=jnp.float32,
-                                    precision=precision)
-    dvf_ref[0] = dvf
-    dvc_ref[0] = jax.lax.dot_general(dsf, vf, dn,
+    dvf_ref[0] = jnp.zeros(dvf_ref.shape[1:], jnp.float32)
+    for t0 in range(0, T, tile):
+        gt = min(tile, T - t0)
+        m_t = gt * r_pad
+        n_t = (gt + 2 * w) * r_pad
+        c0 = t0 * r_pad
+        alpha, bs, vc, cols, sel1, sel2 = _tile_alpha(
+            vf, colv, fml, t0, gt, w=w, r=r, r_pad=r_pad,
+            inv_temp=inv_temp, precision=precision)
+        du_t = du[t0 * r_pad:t0 * r_pad + m_t, :]
+        dalpha = jax.lax.dot_general(du_t.astype(vf.dtype), cols, dn_t,
                                      preferred_element_type=jnp.float32,
-                                     precision=precision)   # [M, E]
+                                     precision=precision)   # [M_t, N_t]
+        ad = alpha * dalpha
+        gs2 = jax.lax.dot_general(ad, sel1, dn,
+                                  preferred_element_type=jnp.float32,
+                                  precision=hp)
+        bs2 = jax.lax.dot_general(gs2, sel2, dn,
+                                  preferred_element_type=jnp.float32,
+                                  precision=hp)
+        # softmax Jacobian per group; uniform-fallback groups (bs==0) have
+        # constant alpha => zero gradient
+        ds = jnp.where(bs > 0, (ad - alpha * bs2) * inv_temp, 0.0)
+        dsf = ds.astype(vf.dtype)
+        contrib = jax.lax.dot_general(
+            alpha.astype(vf.dtype), du_t.astype(vf.dtype), dn_c,
+            preferred_element_type=jnp.float32, precision=precision)
+        contrib = contrib + jax.lax.dot_general(
+            dsf, vc, dn_c, preferred_element_type=jnp.float32,
+            precision=precision)                            # [N_t, E]
+        dvf_ref[0, c0:c0 + n_t, :] = dvf_ref[0, c0:c0 + n_t, :] + contrib
+        dvc_ref[0, t0 * r_pad:t0 * r_pad + m_t, :] = jax.lax.dot_general(
+            dsf, cols, dn, preferred_element_type=jnp.float32,
+            precision=precision)                            # [M_t, E]
 
 
-def _specs(b, n_ext, m_rows, t_ext, e, out):
+def _specs(n_ext, e, out):
     ins = [
         pl.BlockSpec((1, n_ext, e), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -142,76 +185,95 @@ def _specs(b, n_ext, m_rows, t_ext, e, out):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, n_ext), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_ext, t_ext), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((t_ext, n_ext), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
     ]
     outs = [pl.BlockSpec((1, s1, s2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM) for s1, s2 in out]
     return ins, outs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _ctx_core(vf, colv, fml, sel1, sel2, window, temp, t, r, r_pad):
-    u, _ = _ctx_core_fwd(vf, colv, fml, sel1, sel2, window, temp, t, r, r_pad)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _ctx_core(vf, colv, fml, window, temp, t, r, r_pad, tile):
+    u, _ = _ctx_core_fwd(vf, colv, fml, window, temp, t, r, r_pad, tile)
     return u
 
 
-def _ctx_core_fwd(vf, colv, fml, sel1, sel2, window, temp, t, r, r_pad):
+def _ctx_core_fwd(vf, colv, fml, window, temp, t, r, r_pad, tile):
     b, n_ext, e = vf.shape
-    t_ext = t + 2 * window
     m_rows = t * r_pad
     kern = functools.partial(_fwd_kernel, T=t, w=window, r=r, r_pad=r_pad,
-                             inv_temp=1.0 / temp, precision=_prec(vf.dtype))
-    ins, outs = _specs(b, n_ext, m_rows, t_ext, e, [(m_rows, e)])
+                             inv_temp=1.0 / temp, precision=_prec(vf.dtype),
+                             tile=tile)
+    ins, outs = _specs(n_ext, e, [(m_rows, e)])
     u = pl.pallas_call(
         kern, grid=(b,), in_specs=ins, out_specs=outs[0],
-        out_shape=jax.ShapeDtypeStruct((b, m_rows, e), jnp.float32),
+        out_shape=_sds((b, m_rows, e), jnp.float32, _vma_of(vf, colv, fml)),
         interpret=_interpret(),
-    )(vf, colv, fml, sel1, sel2)
-    return u, (vf, colv, fml, sel1, sel2)
+    )(vf, colv, fml)
+    return u, (vf, colv, fml)
 
 
-def _ctx_core_bwd(window, temp, t, r, r_pad, res, du):
-    vf, colv, fml, sel1, sel2 = res
+def _ctx_core_bwd(window, temp, t, r, r_pad, tile, res, du):
+    vf, colv, fml = res
     b, n_ext, e = vf.shape
-    t_ext = t + 2 * window
     m_rows = t * r_pad
     kern = functools.partial(_bwd_kernel, T=t, w=window, r=r, r_pad=r_pad,
-                             inv_temp=1.0 / temp, precision=_prec(vf.dtype))
-    ins, outs = _specs(b, n_ext, m_rows, t_ext, e,
-                       [(n_ext, e), (m_rows, e)])
+                             inv_temp=1.0 / temp, precision=_prec(vf.dtype),
+                             tile=tile)
+    ins, outs = _specs(n_ext, e, [(n_ext, e), (m_rows, e)])
     ins.append(pl.BlockSpec((1, m_rows, e), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM))
+    vma = _vma_of(vf, colv, fml, du)
     dvf, dvc = pl.pallas_call(
         kern, grid=(b,), in_specs=ins, out_specs=outs,
-        out_shape=[jax.ShapeDtypeStruct((b, n_ext, e), jnp.float32),
-                   jax.ShapeDtypeStruct((b, m_rows, e), jnp.float32)],
+        out_shape=[_sds((b, n_ext, e), jnp.float32, vma),
+                   _sds((b, m_rows, e), jnp.float32, vma)],
         interpret=_interpret(),
-    )(vf, colv, fml, sel1, sel2, du.astype(jnp.float32))
+    )(vf, colv, fml, du.astype(jnp.float32))
     # query-side grads belong to the center rows of vf
     dvf = dvf.at[:, window * r_pad:window * r_pad + m_rows, :].add(dvc)
-    return dvf.astype(vf.dtype), None, None, None, None
+    return dvf.astype(vf.dtype), None, None
 
 
 _ctx_core.defvjp(_ctx_core_fwd, _ctx_core_bwd)
 
 
+def _pick_tile(t: int, w: int) -> int:
+    """Frame-tile size: banded tiles pay off once the band is a small
+    fraction of the full [T·R, T_ext·R] matrix; below that the single big
+    matmul (tile=T) wins on MXU utilization. Measured on v5e at production
+    shapes (T=20, w=3): tile=4 is the sweet spot (see docs/PERF.md)."""
+    for g in (4, 5, 3, 6):
+        if t >= 2 * g and (g + 2 * w) * 2 <= (t + 2 * w):
+            return g
+    return t
+
+
 def ctx_mix_pallas(v_ext: jax.Array, fm_ext: jax.Array, window: int,
                    temp: float, dtype=None,
-                   rm_ext: jax.Array | None = None
+                   rm_ext: jax.Array | None = None,
+                   tile: int | None = None
                    ) -> tuple[jax.Array, jax.Array]:
     """Drop-in fused replacement for ops/grounding.context_mix.
 
     v_ext [B, w+T+w, R, E] (halo form), fm_ext [B, w+T+w],
     rm_ext [B, w+T+w, R] optional -> (u [B,T,R,E], nbr_valid [B,T,O]).
+    tile: center frames per kernel tile (None = auto; T = unbanded).
     """
     assert temp >= 0.02, "ctx kernel takes exp() without max-subtraction; " \
         "|logits|<=1/temp must stay in f32 range (temp>=0.02)"
+    if _vma_needs_fallback(v_ext, fm_ext, rm_ext if rm_ext is not None
+                           else fm_ext):
+        # interpret-mode pallas cannot run under shard_map(check_vma=True);
+        # the offset form is the tested-identical jnp math
+        from nafae_tpu.ops.grounding import context_mix
+        return context_mix(v_ext, fm_ext, window, temp, dtype=dtype,
+                           rm_ext=rm_ext, impl="offset")
     b, t_ext, r, e = v_ext.shape
     t = t_ext - 2 * window
     r_pad = _round_up(r, 8)
+    if tile is None:
+        tile = _pick_tile(t, window)
+    tile = max(1, min(tile, t))
     if dtype is not None:
         v_ext = v_ext.astype(dtype)
     vp = jnp.pad(v_ext, ((0, 0), (0, 0), (0, r_pad - r), (0, 0))) \
@@ -224,10 +286,8 @@ def ctx_mix_pallas(v_ext: jax.Array, fm_ext: jax.Array, window: int,
         rm = jnp.pad(rm_ext, ((0, 0), (0, 0), (0, r_pad - r))) \
             if r_pad != r else rm_ext
         colv = colv * rm.reshape(b, 1, n_ext)
-    lane_f = jnp.arange(n_ext) // r_pad
-    sel1 = (lane_f[:, None] == jnp.arange(t_ext)[None, :]).astype(jnp.float32)
-    u_num = _ctx_core(vf, colv, fml, sel1, sel1.T,
-                      window, float(temp), t, r, r_pad)     # [B, T*r_pad, E]
+    u_num = _ctx_core(vf, colv, fml, window, float(temp), t, r, r_pad,
+                      tile)                                 # [B, T*r_pad, E]
     u_num = u_num.reshape(b, t, r_pad, e)[:, :, :r, :]
     center = jnp.arange(t) + window
     fm_c = fm_ext[:, window:window + t]

@@ -35,6 +35,42 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _vma_of(*xs) -> frozenset:
+    """Union of the inputs' varying-mesh-axes. Nonempty only inside a
+    shard_map(check_vma=True) trace, where pallas outputs must declare how
+    they vary across mesh axes (vma-annotated ShapeDtypeStruct)."""
+    vma = frozenset()
+    for x in xs:
+        vma |= frozenset(getattr(jax.typeof(x), "vma", ()) or ())
+    return vma
+
+
+def _sds(shape, dtype, vma):
+    """ShapeDtypeStruct carrying the callers' vma (required under
+    shard_map(check_vma=True); plain struct otherwise)."""
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _match_vma(x, *like):
+    """Broadcast x's varying-mesh-axes to the union of `like`'s (no-op
+    outside shard_map). Needed where literal-initialized values (e.g. scan
+    carries) must type-match vma-carrying values."""
+    missing = _vma_of(*like) - _vma_of(x)
+    if missing:
+        x = jax.lax.pvary(x, tuple(missing))
+    return x
+
+
+def _vma_needs_fallback(*xs) -> bool:
+    """True when the kernel cannot run: interpret-mode pallas evaluates the
+    kernel jaxpr under the vma trace, where block values (varying) cannot
+    mix with kernel literals (unvarying). On real TPU the body is lowered
+    by Mosaic outside the vma system, so only out_shape needs annotating."""
+    return _interpret() and bool(_vma_of(*xs))
+
+
 def _score_precision(dtype) -> jax.lax.Precision:
     """HIGHEST for f32 operands (oracle parity); DEFAULT for bf16 — Mosaic
     rejects fp32 contract precision on bf16 vectors ('Bad lhs type'), and a
@@ -181,8 +217,10 @@ def _cross_mil_fwd_rollmax(w_flat, v, fm, rm, dtype=None):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb, m_pad, it * t), jnp.float32),
-            jax.ShapeDtypeStruct((nb, m_pad, it * t), jnp.int32),
+            _sds((nb, m_pad, it * t), jnp.float32,
+                 _vma_of(w_flat, v2, fm2, rm2)),
+            _sds((nb, m_pad, it * t), jnp.int32,
+                 _vma_of(w_flat, v2, fm2, rm2)),
         ],
         interpret=_interpret(),
     )(w_flat, v2, fm2, rm2, sel)
@@ -198,6 +236,16 @@ def _cross_mil_fwd_impl(w_flat: jax.Array, v: jax.Array, fm: jax.Array,
     """w_flat [M,E], v [I,T,R,E], fm [I,T], rm [I,T,R] -> a/idx [I,M,T]."""
     m, e = w_flat.shape
     i, t, r, _ = v.shape
+    if _vma_needs_fallback(w_flat, v, fm, rm):
+        # identical math in jnp (same masked-max + argmax contract, so the
+        # shared idx-based custom VJP applies unchanged)
+        prec = _score_precision(v.dtype)
+        s = jnp.einsum("me,itre->imtr", w_flat, v,
+                       preferred_element_type=jnp.float32, precision=prec)
+        s = jnp.where(rm[:, None] > 0, s, NEG)
+        a = jnp.max(s, axis=-1)
+        a = jnp.where(fm[:, None, :] > 0, a, 0.0)
+        return a, jnp.argmax(s, axis=-1).astype(jnp.int32)
     if r <= 32 and _rollmax_lanes(_round_up(m, 8), t, 32, i) >= 1:
         return _cross_mil_fwd_rollmax(w_flat, v, fm, rm)
     # lane-grouped fallback: one video per grid step, frames in 128-lane
@@ -234,8 +282,8 @@ def _cross_mil_fwd_impl(w_flat: jax.Array, v: jax.Array, fm: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((i, m_pad, t), jnp.float32),
-            jax.ShapeDtypeStruct((i, m_pad, t), jnp.int32),
+            _sds((i, m_pad, t), jnp.float32, _vma_of(w_flat, v2, fm, rm2)),
+            _sds((i, m_pad, t), jnp.int32, _vma_of(w_flat, v2, fm, rm2)),
         ],
         interpret=_interpret(),
     )(w_flat, v2, fm[:, None, :], rm2)
@@ -275,7 +323,8 @@ def _cross_mil_bwd(res, da):
         return dw_acc + dw_i, dv_i
 
     dw, dv = jax.lax.scan(body,
-                          jnp.zeros(w_flat.shape, jnp.float32),
+                          _match_vma(jnp.zeros(w_flat.shape, jnp.float32),
+                                     v, da),
                           (v, fm, rm, idx, da))
     # cotangents must match the primal dtypes (bf16 when the wrapper cast)
     return dw.astype(w_flat.dtype), dv.astype(v.dtype), None, None

@@ -87,8 +87,8 @@ def sp_cross_scores(w_emb: jax.Array, word_mask: jax.Array,
                     v_emb: jax.Array, frame_mask: jax.Array,
                     temp: float, pool: str, frame_axis: str,
                     ctx_window: int = 0, ctx_temp: float = 0.1,
-                    dtype=None, region_mask: jax.Array | None = None
-                    ) -> jax.Array:
+                    dtype=None, region_mask: jax.Array | None = None,
+                    ctx_impl: str = "offset") -> jax.Array:
     """Frame-sharded cross_scores. v_emb [I,Tl,R,E] local frames; w_emb/
     word_mask are the (data-axis-gathered) global sentences. Returns
     rows [I_loc, J_glob], identical across frame shards."""
@@ -107,7 +107,7 @@ def sp_cross_scores(w_emb: jax.Array, word_mask: jax.Array,
         rm_ext = (halo_exchange(region_mask, ctx_window, frame_axis)
                   if region_mask is not None else None)
         u, _ = G.context_mix(v_ext, fm_ext, ctx_window, ctx_temp,
-                             dtype=dtype, rm_ext=rm_ext)
+                             dtype=dtype, rm_ext=rm_ext, impl=ctx_impl)
         ue, we2 = G._cast2(u, w_emb, dtype)
         shat = jnp.einsum("jke,itre->ijktr", we2, ue,
                           preferred_element_type=jnp.float32,

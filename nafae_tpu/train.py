@@ -59,7 +59,7 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
                    row_offset, data_axis: str | None = None,
-                   use_pallas: bool = False,
+                   kernels: str = "jnp",
                    frame_axis: str | None = None,
                    extractor=None) -> tuple[jax.Array, dict]:
     """Total loss + aux for one (local) batch shard. Exact under DP and SP:
@@ -73,12 +73,18 @@ def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,
     round-trip (BASELINE config 5; SURVEY.md L205-213)."""
     with G.matmul_precision(cfg.model.matmul_precision):
         return _compute_losses_inner(params, centers, batch, cfg, row_offset,
-                                     data_axis, use_pallas, frame_axis,
+                                     data_axis, kernels, frame_axis,
                                      extractor)
 
 
 def _compute_losses_inner(params, centers, batch, cfg, row_offset,
-                          data_axis, use_pallas, frame_axis, extractor):
+                          data_axis, kernels, frame_axis, extractor):
+    # kernel routing (cfg.train.kernels): "jnp" = pure-XLA everywhere;
+    # "pallas" = fused cross_mil + fused ctx kernels; "auto" = the measured
+    # best mix — XLA's batched einsum+reduce for the cross/MIL path, the
+    # frame-banded Pallas kernel for the ctx path (see docs/PERF.md)
+    pallas_mil = kernels == "pallas"
+    pallas_ctx = kernels in ("pallas", "auto")
     lc, mc = cfg.loss, cfg.model
     all_axes = tuple(a for a in (data_axis, frame_axis) if a)
     if extractor is not None and "frames" in batch:
@@ -114,12 +120,15 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
         from nafae_tpu.parallel import sp
         rows = sp.sp_cross_scores(gw, gwm, v_emb, fm, mc.frame_attn_temp,
                                   mc.frame_pool, frame_axis, ctx_window,
-                                  lc.ctx_temp, dtype=cdt, region_mask=rm)
+                                  lc.ctx_temp, dtype=cdt, region_mask=rm,
+                                  ctx_impl="pallas" if pallas_ctx
+                                  else "offset")
     else:
         rows = G.cross_scores(gw, gwm, v_emb, fm, mc.frame_attn_temp,
                               mc.frame_pool, ctx_window, lc.ctx_temp,
-                              impl="pallas" if use_pallas else "jnp", dtype=cdt,
-                              region_mask=rm)
+                              impl="pallas" if pallas_mil else "jnp", dtype=cdt,
+                              region_mask=rm, ctx_impl="pallas" if pallas_ctx
+                              else "offset")
     b_loc, b_glob = rows.shape
     gidx = row_offset + jnp.arange(b_loc)
     diag_local = jnp.sum(rows * (jnp.arange(b_glob)[None, :] == gidx[:, None]),
@@ -150,7 +159,7 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
                       if rm is not None else None)
         u, nbr_valid = G.context_mix(v_ext, fm_ext, w_, lc.ctx_temp,
                                      dtype=cdt, rm_ext=rm_ext,
-                                     impl="pallas" if use_pallas
+                                     impl="pallas" if pallas_ctx
                                      else "offset")
         shat = G.mask_regions(G.similarity_tensor(w_emb, u, dtype=cdt), rm)
         if lc.ctx_weight > 0:
@@ -203,9 +212,11 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
                           * batch["word_ids"].shape[0])
         else:
             row_offset = 0
+        kernels = cfg.train.kernels or (
+            "pallas" if cfg.train.use_pallas else "jnp")
         grad_fn = jax.value_and_grad(compute_losses, has_aux=True)
         (_, aux), grads = grad_fn(state.params, state.centers, batch, cfg,
-                                  row_offset, data_axis, cfg.train.use_pallas,
+                                  row_offset, data_axis, kernels,
                                   frame_axis, extractor)
         # NOTE: no explicit psum of grads — shard_map transposes replicated
         # (P()) inputs with a built-in psum, so the per-device grads are
@@ -299,9 +310,13 @@ def build_train_fn(cfg: Config, mesh=None, extractor=None, with_frames=False):
         batch_spec["feats"] = P(*lead, axis, fspec)
         batch_spec["boxes"] = P(*lead, axis, fspec)
         batch_spec["region_mask"] = P(*lead, axis, fspec)
-    # NOTE: default check_vma must stay ON — it is what makes the transpose of
-    # replicated (P()) inputs insert the cross-device psum, so per-device grads
-    # equal the exact global gradient (verified against the single-device run).
+    # NOTE: default check_vma must stay ON — with it OFF the transpose of
+    # the in-loss psums reverts to old-style psum-of-cotangents and the
+    # gradients stop matching the single-device run (measured: grad_norm
+    # off by ~2.6x on an 8-device mesh). Pallas kernels cooperate with the
+    # vma system via their wrappers (vma-annotated out_shapes on TPU; jnp
+    # fallback in interpret mode, where the kernel-body jaxpr eval cannot
+    # mix vma-carrying blocks with literals).
     sharded = jax.shard_map(
         step, mesh=mesh,
         in_specs=(P(), batch_spec),

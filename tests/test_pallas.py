@@ -119,18 +119,48 @@ def test_ctx_mix_pallas_matches_context_mix():
     rm_np = (rng.rand(B, T, R) > 0.4).astype(np.float32)
     rm_np[0, 0, :] = 0.0
     rm_ext = jnp.pad(jnp.asarray(rm_np), ((0, 0), (w, w), (0, 0)))
+    # tile sweep covers the frame-banded kernel (uneven last tile at 2, 3)
+    # and the unbanded degenerate case (tile=T=7); None = auto heuristic
     for rme in (None, rm_ext):
         u_ref, nv_ref = G.context_mix(v_ext, fm_ext, w, 0.1, rm_ext=rme)
-        u, nv = ctx_mix_pallas(v_ext, fm_ext, w, 0.1, rm_ext=rme)
-        np.testing.assert_array_equal(np.asarray(nv), np.asarray(nv_ref))
-        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
-                                   rtol=1e-5, atol=1e-6)
         g_ref = jax.grad(lambda ve: jnp.sum(jnp.sin(
             G.context_mix(ve, fm_ext, w, 0.1, rm_ext=rme)[0] * 1.3)))(v_ext)
-        g = jax.grad(lambda ve: jnp.sum(jnp.sin(
-            ctx_mix_pallas(ve, fm_ext, w, 0.1, rm_ext=rme)[0] * 1.3)))(v_ext)
+        for tile in (None, 2, 3, 7):
+            u, nv = ctx_mix_pallas(v_ext, fm_ext, w, 0.1, rm_ext=rme,
+                                   tile=tile)
+            np.testing.assert_array_equal(np.asarray(nv), np.asarray(nv_ref))
+            np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                       rtol=1e-5, atol=1e-6)
+            g = jax.grad(lambda ve: jnp.sum(jnp.sin(
+                ctx_mix_pallas(ve, fm_ext, w, 0.1, rm_ext=rme,
+                               tile=tile)[0] * 1.3)))(v_ext)
+            np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_ctx_mix_pallas_bf16_close_to_f32():
+    """bf16 compute mode (the bench/production dtype) stays within bf16
+    rounding of the f32 reference for values and grads, banded and not."""
+    from nafae_tpu.ops.pallas.fused_ctx import ctx_mix_pallas
+    rng = np.random.RandomState(7)
+    B, T, R, E, w = 2, 9, 6, 32, 2
+    v = G.l2_normalize(jnp.asarray(rng.randn(B, T, R, E).astype(np.float32)))
+    fm = jnp.asarray((rng.rand(B, T) > 0.2).astype(np.float32))
+    v_ext = jnp.pad(v, ((0, 0), (w, w), (0, 0), (0, 0)))
+    fm_ext = jnp.pad(fm, ((0, 0), (w, w)))
+    u_ref, _ = G.context_mix(v_ext, fm_ext, w, 0.1)
+    g_ref = jax.grad(lambda ve: jnp.sum(
+        G.context_mix(ve, fm_ext, w, 0.1)[0] ** 2))(v_ext)
+    for tile in (3, T):
+        u, _ = ctx_mix_pallas(v_ext.astype(jnp.bfloat16), fm_ext, w, 0.1,
+                              dtype=jnp.bfloat16, tile=tile)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   rtol=2e-2, atol=2e-2)
+        g = jax.grad(lambda ve: jnp.sum(ctx_mix_pallas(
+            ve, fm_ext, w, 0.1, dtype=jnp.bfloat16,
+            tile=tile)[0].astype(jnp.float32) ** 2))(v_ext)
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=5e-2, atol=5e-2)
 
 
 def test_cross_scores_pallas_ctx_pool_uses_kernel():

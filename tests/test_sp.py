@@ -130,6 +130,37 @@ def test_sp_train_step_ragged_region_mask(synth_root):
                                    err_msg=k)
 
 
+@pytest.mark.parametrize("mesh_shape", [(4, 1), (2, 2)])
+def test_mesh_train_step_with_pallas_kernels(synth_root, mesh_shape):
+    """Meshed step with use_pallas=true == single-device jnp step: the fused
+    cross_mil kernel under a DP shard_map (4,1) and the fused ctx kernel
+    through sp_cross_scores' ctx_impl plumbing under DP×SP (2,2)."""
+    data, frame = mesh_shape
+    cfg_jnp = load_config(preset_name="config4",
+                          overrides=OV + [f"data.root={synth_root}"])
+    cfg_pal = load_config(preset_name="config4",
+                          overrides=OV + [f"data.root={synth_root}",
+                                          f"mesh.data_axis={data}",
+                                          f"mesh.frame_axis={frame}",
+                                          "train.use_pallas=true"])
+    ds = SegmentDataset(synth_root, "train", cfg_jnp.data.max_frames,
+                        cfg_jnp.data.num_regions, cfg_jnp.data.feat_dim,
+                        cfg_jnp.data.max_words)
+    batch = next(iter(BatchLoader(ds, cfg_jnp.data.batch_size, shuffle=True,
+                                  seed=0)))
+    s1, m1 = build_train_fn(cfg_jnp, None)(
+        TrainState.create(jax.random.PRNGKey(0), cfg_jnp), batch)
+    s2, m2 = build_train_fn(cfg_pal, _frame_mesh(data, frame))(
+        TrainState.create(jax.random.PRNGKey(0), cfg_pal), batch)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=3e-4, atol=1e-5, err_msg=k)
+    for k in s1.params:
+        np.testing.assert_allclose(np.asarray(s1.params[k]),
+                                   np.asarray(s2.params[k]), atol=5e-6,
+                                   err_msg=k)
+
+
 def test_sp_rejects_window_wider_than_shard():
     mesh = _frame_mesh(1, 8)
     x = jnp.zeros((2, 8, 3))
