@@ -69,8 +69,8 @@ def make_batch(s, seed=0):
     }
 
 
-def bench_jax(s, iters=32, warmup=1, kernels="auto", dtype="bfloat16",
-              steps_per_call=16, repeats=4):
+def bench_jax(s, iters=256, warmup=1, kernels="auto", dtype="bfloat16",
+              steps_per_call=256, repeats=4):
     import jax
 
     from nafae_tpu.config import load_config
@@ -87,9 +87,14 @@ def bench_jax(s, iters=32, warmup=1, kernels="auto", dtype="bfloat16",
     step = make_train_step(cfg, make_optimizer(cfg))
 
     # Timing protocol: scan steps_per_call optimizer steps inside ONE XLA
-    # execution (this host's per-dispatch overhead is 3-12 ms — per-call
-    # python-loop timing measures the tunnel, not the chip), then force a
-    # host fetch of the updated params to bound the computation.
+    # execution (per-call overhead on this host is a fixed ~30 ms tunnel
+    # round-trip — per-call python-loop timing measures the tunnel, not the
+    # chip; 256 steps/call amortizes it to <0.2 ms/step), then bound the
+    # computation with a real device->host fetch of a value that depends on
+    # the LAST step's optimizer update (b_v, 1 KB — jax.block_until_ready
+    # does NOT block on the axon backend, and fetching the full 2 MB w_v
+    # costs ~70 ms over the tunnel). Within-process device-busy tracing
+    # agrees with this protocol to ~8% (docs/PERF.md).
     @jax.jit
     def multi(state, batch):
         def body(st, _):
@@ -110,13 +115,13 @@ def bench_jax(s, iters=32, warmup=1, kernels="auto", dtype="bfloat16",
         t0 = time.perf_counter()
         for _ in range(ncalls):
             state, losses = multi(state, batch)
-        float(np.asarray(state.params["w_v"])[0, 0])
+        float(np.asarray(state.params["b_v"])[0])
         best = min(best, time.perf_counter() - t0)
     dt = best / (ncalls * steps_per_call)
     return s["B"] * s["T"] / dt, dt, loss
 
 
-def bench_jax_eval(s, iters=128, steps_per_call=64):
+def bench_jax_eval(s, iters=256, steps_per_call=256):
     """Grounding inference throughput: similarity + argmax + IoU hits."""
     import jax
     import jax.numpy as jnp
@@ -254,7 +259,7 @@ def get_baseline(s, remeasure=False):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
-    p.add_argument("--iters", type=int, default=32)
+    p.add_argument("--iters", type=int, default=256)
     p.add_argument("--kernels", choices=("auto", "pallas", "jnp"),
                    default="auto",
                    help="kernel routing: auto = XLA cross path + Pallas "
