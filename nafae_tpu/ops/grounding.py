@@ -385,7 +385,8 @@ def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
                  ctx_window: int = 0, ctx_temp: float = 0.1,
                  impl: str = "jnp", dtype=None,
                  region_mask: jax.Array | None = None,
-                 ctx_impl: str | None = None) -> jax.Array:
+                 ctx_impl: str | None = None,
+                 u: jax.Array | None = None) -> jax.Array:
     """Full B×B score matrix S[i,j] = score(video i, sentence j) for ranking.
 
     The reference scores positives/negatives with per-sample loops (SURVEY.md
@@ -394,13 +395,14 @@ def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
     (ops/pallas/fused_ground.py), which never materializes [I,J,K,T,R] in HBM.
     ctx_impl overrides the context_mix implementation independently (the
     "auto" kernel mode pairs impl="jnp" with ctx_impl="pallas"); default:
-    follow impl.
+    follow impl. u: precomputed context-mixed embeddings (context_mix on the
+    same v_emb/masks) — the train step passes its copy so the kernel runs
+    once per step (XLA cannot CSE the two custom-calls itself).
     """
     fm = frame_mask[:, None, :]                               # video i frames [I,1,T]
     wm = word_mask[None, :, :]                                # sentence j words [1,J,K]
     ctx_pool = pool == "context" and ctx_window > 0
-    u = None
-    if ctx_pool:
+    if ctx_pool and u is None:
         # context pooling: ŝ factors through the (sentence-independent)
         # context-mixed region embeddings u — one extra cross einsum total
         w_ = ctx_window

@@ -88,10 +88,12 @@ def sp_cross_scores(w_emb: jax.Array, word_mask: jax.Array,
                     temp: float, pool: str, frame_axis: str,
                     ctx_window: int = 0, ctx_temp: float = 0.1,
                     dtype=None, region_mask: jax.Array | None = None,
-                    ctx_impl: str = "offset") -> jax.Array:
+                    ctx_impl: str = "offset",
+                    u: jax.Array | None = None) -> jax.Array:
     """Frame-sharded cross_scores. v_emb [I,Tl,R,E] local frames; w_emb/
     word_mask are the (data-axis-gathered) global sentences. Returns
-    rows [I_loc, J_glob], identical across frame shards."""
+    rows [I_loc, J_glob], identical across frame shards. u: precomputed
+    context-mixed embeddings (skips the internal halo + context_mix)."""
     fm = frame_mask[:, None, :]
     wm = word_mask[None, :, :]
     we, ve = G._cast2(w_emb, v_emb, dtype)
@@ -102,12 +104,13 @@ def sp_cross_scores(w_emb: jax.Array, word_mask: jax.Array,
     a = G.frame_mil_max(s, fm)
     frame_logits = None
     if pool == "context" and ctx_window > 0:
-        v_ext = halo_exchange(v_emb, ctx_window, frame_axis)
-        fm_ext = halo_exchange(frame_mask, ctx_window, frame_axis)
-        rm_ext = (halo_exchange(region_mask, ctx_window, frame_axis)
-                  if region_mask is not None else None)
-        u, _ = G.context_mix(v_ext, fm_ext, ctx_window, ctx_temp,
-                             dtype=dtype, rm_ext=rm_ext, impl=ctx_impl)
+        if u is None:
+            v_ext = halo_exchange(v_emb, ctx_window, frame_axis)
+            fm_ext = halo_exchange(frame_mask, ctx_window, frame_axis)
+            rm_ext = (halo_exchange(region_mask, ctx_window, frame_axis)
+                      if region_mask is not None else None)
+            u, _ = G.context_mix(v_ext, fm_ext, ctx_window, ctx_temp,
+                                 dtype=dtype, rm_ext=rm_ext, impl=ctx_impl)
         ue, we2 = G._cast2(u, w_emb, dtype)
         shat = jnp.einsum("jke,itre->ijktr", we2, ue,
                           preferred_element_type=jnp.float32,

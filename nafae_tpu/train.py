@@ -111,39 +111,9 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
                               dtype=jnp.dtype(mc.dtype))
     s = G.mask_regions(G.similarity_tensor(w_emb, v_emb, dtype=cdt), rm)
 
-    # --- ranking over the global batch (row-shard decomposition) -------------
-    if data_axis is not None:
-        gw, gwm = S.gather_words(w_emb, wm, data_axis)
-    else:
-        gw, gwm = w_emb, wm
-    if frame_axis is not None:
-        from nafae_tpu.parallel import sp
-        rows = sp.sp_cross_scores(gw, gwm, v_emb, fm, mc.frame_attn_temp,
-                                  mc.frame_pool, frame_axis, ctx_window,
-                                  lc.ctx_temp, dtype=cdt, region_mask=rm,
-                                  ctx_impl="pallas" if pallas_ctx
-                                  else "offset")
-    else:
-        rows = G.cross_scores(gw, gwm, v_emb, fm, mc.frame_attn_temp,
-                              mc.frame_pool, ctx_window, lc.ctx_temp,
-                              impl="pallas" if pallas_mil else "jnp", dtype=cdt,
-                              region_mask=rm, ctx_impl="pallas" if pallas_ctx
-                              else "offset")
-    b_loc, b_glob = rows.shape
-    gidx = row_offset + jnp.arange(b_loc)
-    diag_local = jnp.sum(rows * (jnp.arange(b_glob)[None, :] == gidx[:, None]),
-                         axis=1)
-    diag_global = (S.gather_diag(diag_local, data_axis)
-                   if data_axis is not None else diag_local)
-    l_rank = S.ranking_loss_rows(rows, diag_global, row_offset, lc.margin,
-                                 data_axis)
-    total = l_rank
-    score_pos = _global_mean(jnp.sum(diag_local),
-                             jnp.asarray(diag_local.shape[0], jnp.float32),
-                             data_axis)
-    aux = {"l_rank": l_rank, "score_pos": score_pos}
-
-    # --- contextual similarity loss ------------------------------------------
+    # --- context mixing (shared by context pooling and the ctx loss: the
+    # fused kernel is a custom-call XLA cannot CSE, so run it ONCE here) ------
+    u = nbr_valid = None
     if ctx_on:
         w_ = lc.ctx_window
         if frame_axis is not None:
@@ -161,6 +131,41 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
                                      dtype=cdt, rm_ext=rm_ext,
                                      impl="pallas" if pallas_ctx
                                      else "offset")
+
+    # --- ranking over the global batch (row-shard decomposition) -------------
+    if data_axis is not None:
+        gw, gwm = S.gather_words(w_emb, wm, data_axis)
+    else:
+        gw, gwm = w_emb, wm
+    if frame_axis is not None:
+        from nafae_tpu.parallel import sp
+        rows = sp.sp_cross_scores(gw, gwm, v_emb, fm, mc.frame_attn_temp,
+                                  mc.frame_pool, frame_axis, ctx_window,
+                                  lc.ctx_temp, dtype=cdt, region_mask=rm,
+                                  ctx_impl="pallas" if pallas_ctx
+                                  else "offset", u=u)
+    else:
+        rows = G.cross_scores(gw, gwm, v_emb, fm, mc.frame_attn_temp,
+                              mc.frame_pool, ctx_window, lc.ctx_temp,
+                              impl="pallas" if pallas_mil else "jnp", dtype=cdt,
+                              region_mask=rm, ctx_impl="pallas" if pallas_ctx
+                              else "offset", u=u)
+    b_loc, b_glob = rows.shape
+    gidx = row_offset + jnp.arange(b_loc)
+    diag_local = jnp.sum(rows * (jnp.arange(b_glob)[None, :] == gidx[:, None]),
+                         axis=1)
+    diag_global = (S.gather_diag(diag_local, data_axis)
+                   if data_axis is not None else diag_local)
+    l_rank = S.ranking_loss_rows(rows, diag_global, row_offset, lc.margin,
+                                 data_axis)
+    total = l_rank
+    score_pos = _global_mean(jnp.sum(diag_local),
+                             jnp.asarray(diag_local.shape[0], jnp.float32),
+                             data_axis)
+    aux = {"l_rank": l_rank, "score_pos": score_pos}
+
+    # --- contextual similarity loss (u computed above) -----------------------
+    if ctx_on:
         shat = G.mask_regions(G.similarity_tensor(w_emb, u, dtype=cdt), rm)
         if lc.ctx_weight > 0:
             l_ctx = _global_mean(
