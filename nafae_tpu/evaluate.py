@@ -113,17 +113,20 @@ def evaluate_config(cfg: Config, params: dict | None = None,
                         cfg.data.num_regions, cfg.data.feat_dim,
                         cfg.data.max_words, with_gt=True)
     if params is None:
-        from nafae_tpu.train import TrainState
         from nafae_tpu.utils.checkpoint import CheckpointManager
-        state = TrainState.create(jax.random.PRNGKey(0), cfg)
-        restored = CheckpointManager(cfg.train.ckpt_dir).restore_latest(state)
+        # params-only restore with shapes from the checkpoint itself: a
+        # config4-trained ckpt must be evaluable under the config1 preset
+        # without replaying trainer hyperparams (cluster count, optimizer)
+        restored = CheckpointManager(cfg.train.ckpt_dir).restore_params_latest()
         if restored is not None:
-            state = restored
+            params = restored[0]
         elif require_checkpoint:
             raise FileNotFoundError(
                 f"no checkpoint found in {cfg.train.ckpt_dir!r} — refusing "
                 "to evaluate randomly initialized parameters")
-        params = state.params
+        else:
+            from nafae_tpu.train import TrainState
+            params = TrainState.create(jax.random.PRNGKey(0), cfg).params
     return evaluate(params, ds, cfg.data.batch_size, cfg.model.vocab_size,
                     mesh=mesh)
 

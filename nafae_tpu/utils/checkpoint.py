@@ -40,6 +40,27 @@ class CheckpointManager:
         target = jax.tree.map(lambda x: x, template)
         return self.mgr.restore(step, args=ocp.args.StandardRestore(target))
 
+    def restore_params_latest(self):
+        """Restore only the model params (+ step) of the newest checkpoint,
+        with shapes taken from the checkpoint itself.
+
+        Eval must not need trainer-side hyperparams (optimizer layout,
+        k-means cluster count, ...) to load a checkpoint — the reference's
+        torch.load had the same property. Returns (params, step) or None.
+        """
+        step = self.mgr.latest_step()
+        if step is None:
+            return None
+        with ocp.StandardCheckpointer() as cp:
+            meta = cp.metadata(os.path.join(self.dir, str(step), "default"))
+        shard = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        tmpl = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=shard),
+            meta.item_metadata.tree if hasattr(meta.item_metadata, "tree")
+            else meta.item_metadata)
+        restored = self.mgr.restore(step, args=ocp.args.StandardRestore(tmpl))
+        return restored["params"], int(restored["step"])
+
     def close(self):
         self.mgr.wait_until_finished()
         self.mgr.close()

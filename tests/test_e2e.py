@@ -140,3 +140,28 @@ def test_mesh_eval_matches_single_device(synth_root):
     r1 = evaluate_config(cfg, params=state.params)
     r8 = evaluate_config(cfg, params=state.params, mesh=make_mesh())
     assert r1 == r8
+
+
+def test_eval_restores_params_only(synth_root, tmp_path):
+    """A config4-trained checkpoint evaluates under the config1 preset:
+    eval restores params with shapes from the checkpoint itself and must not
+    need trainer hyperparams (cluster count, optimizer layout) to match
+    (reference: test.py --checkpoint loads any train.py state dict)."""
+    from nafae_tpu.evaluate import evaluate_config
+    from nafae_tpu.train import fit
+    cfg = load_config(preset_name="config4", overrides=[
+        "data.feat_dim=64", "model.feat_dim=64", "model.embed_dim=32",
+        "data.batch_size=8", "data.max_frames=8", "data.num_regions=6",
+        "data.max_words=3", "loss.num_clusters=8", "train.steps=2",
+        "train.warmup_steps=1", "train.log_every=100",
+        "train.ckpt_every=2", "train.eval_every=100000",
+        f"train.ckpt_dir={tmp_path}/ckpt", f"data.root={synth_root}"])
+    state, _ = fit(cfg)
+    eval_cfg = load_config(preset_name="config1", overrides=[
+        "data.feat_dim=64", "model.feat_dim=64", "model.embed_dim=32",
+        f"data.root={synth_root}", f"train.ckpt_dir={tmp_path}/ckpt"])
+    r = evaluate_config(eval_cfg, require_checkpoint=True)
+    assert r["num_annotations"] > 0
+    # same params through the direct path -> identical numbers
+    r2 = evaluate_config(eval_cfg, params=state.params)
+    assert r["box_acc_micro"] == r2["box_acc_micro"]
