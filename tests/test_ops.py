@@ -149,3 +149,34 @@ def test_select_top_regions_gathers_argmax():
             for t in range(4):
                 np.testing.assert_allclose(np.asarray(f)[b, k, t],
                                            np.asarray(v)[b, t, r_star[b, k, t]])
+
+
+def test_cross_scores_accepts_precomputed_u():
+    """cross_scores(u=...) (the train step's shared context mixing) equals
+    the internal computation, values and gradients, for both MIL impls."""
+    rng = np.random.RandomState(5)
+    B, T, R, E, K, w = 3, 7, 5, 16, 4, 2
+    w_emb = G.l2_normalize(jnp.asarray(rng.randn(B, K, E).astype(np.float32)))
+    v = G.l2_normalize(jnp.asarray(rng.randn(B, T, R, E).astype(np.float32)))
+    fm = jnp.asarray((rng.rand(B, T) > 0.3).astype(np.float32))
+    wm = jnp.asarray((rng.rand(B, K) > 0.2).astype(np.float32))
+    rm = jnp.asarray((rng.rand(B, T, R) > 0.4).astype(np.float32))
+
+    def rows(ve, u=None):
+        return G.cross_scores(w_emb, wm, ve, fm, 0.1, "context",
+                              ctx_window=w, ctx_temp=0.1, region_mask=rm, u=u)
+
+    def make_u(ve):
+        v_ext = jnp.pad(ve, ((0, 0), (w, w), (0, 0), (0, 0)))
+        fm_ext = jnp.pad(fm, ((0, 0), (w, w)))
+        rm_ext = jnp.pad(rm, ((0, 0), (w, w), (0, 0)))
+        return G.context_mix(v_ext, fm_ext, w, 0.1, rm_ext=rm_ext)[0]
+
+    ref = rows(v)
+    got = rows(v, u=make_u(v))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-7)
+    g_ref = jax.grad(lambda ve: jnp.sum(jnp.cos(rows(ve))))(v)
+    g_got = jax.grad(lambda ve: jnp.sum(jnp.cos(rows(ve, u=make_u(ve)))))(v)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
