@@ -85,6 +85,9 @@ def bench_jax(s, iters=256, warmup=1, kernels="auto", dtype="bfloat16",
     ])
     batch = {k: jax.device_put(v) for k, v in make_batch(s).items()}
     step = make_train_step(cfg, make_optimizer(cfg))
+    # --iters below steps_per_call means "run fewer steps", not "floor to
+    # 256 anyway": shrink the per-call scan so short runs stay short
+    steps_per_call = max(1, min(steps_per_call, iters))
 
     # Timing protocol: scan steps_per_call optimizer steps inside ONE XLA
     # execution (per-call overhead on this host is a fixed ~30 ms tunnel

@@ -120,6 +120,20 @@ def evaluate_config(cfg: Config, params: dict | None = None,
         restored = CheckpointManager(cfg.train.ckpt_dir).restore_params_latest()
         if restored is not None:
             params = restored[0]
+            # ... but the MODEL shapes must match the eval config, loudly:
+            # embed_words clamps out-of-range ids and evaluate() sizes the
+            # per-class table from cfg, so a drifted vocab/dim would
+            # otherwise produce plausible-looking wrong numbers
+            from nafae_tpu.models.grounding import init_params
+            expect = init_params(jax.random.PRNGKey(0), cfg.model)
+            for k, v in expect.items():
+                got = tuple(params[k].shape) if k in params else None
+                if got != tuple(v.shape):
+                    raise ValueError(
+                        f"checkpoint param {k!r} has shape {got}, but the "
+                        f"eval config expects {tuple(v.shape)} — override "
+                        "model.vocab_size / model.feat_dim / "
+                        "model.embed_dim to match the training run")
         elif require_checkpoint:
             raise FileNotFoundError(
                 f"no checkpoint found in {cfg.train.ckpt_dir!r} — refusing "
@@ -149,6 +163,8 @@ def main(argv=None):
     p.add_argument("--per-class", action="store_true",
                    help="include the per-class accuracy table (paper protocol)")
     args = p.parse_args(argv)
+    from nafae_tpu.utils import maybe_require_tpu
+    maybe_require_tpu()
     cfg = load_config(args.config, args.preset, args.override)
     params = None
     if args.checkpoint and args.checkpoint.endswith(".npz"):

@@ -156,6 +156,8 @@ def main(argv=None):
                         "after extraction (enables eval)")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
+    from nafae_tpu.utils import maybe_require_tpu
+    maybe_require_tpu()
     cfg = load_config(args.config, args.preset, args.override)
     if args.youcook2_json:
         from nafae_tpu.data.annotations import segments_from_youcook2

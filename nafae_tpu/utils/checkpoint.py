@@ -46,19 +46,34 @@ class CheckpointManager:
 
         Eval must not need trainer-side hyperparams (optimizer layout,
         k-means cluster count, ...) to load a checkpoint — the reference's
-        torch.load had the same property. Returns (params, step) or None.
+        torch.load had the same property. Trainer-side subtrees are never
+        read from disk (PLACEHOLDER leaves — adamw state alone is 2x the
+        params bytes). Returns (params, step) or None.
         """
+        import jax.tree_util as jtu
         step = self.mgr.latest_step()
         if step is None:
             return None
-        with ocp.StandardCheckpointer() as cp:
-            meta = cp.metadata(os.path.join(self.dir, str(step), "default"))
-        shard = jax.sharding.SingleDeviceSharding(jax.devices()[0])
-        tmpl = jax.tree.map(
-            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=shard),
-            meta.item_metadata.tree if hasattr(meta.item_metadata, "tree")
-            else meta.item_metadata)
-        restored = self.mgr.restore(step, args=ocp.args.StandardRestore(tmpl))
+        # a read-only manager with a PyTree handler: item_metadata needs a
+        # registered handler, and PyTreeRestore is the partial-restore API
+        with ocp.CheckpointManager(
+                self.dir, item_handlers=ocp.PyTreeCheckpointHandler()) as ro:
+            meta = ro.item_metadata(step)
+            shard = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+            def wanted(path):
+                return getattr(path[0], "key", None) in ("params", "step")
+
+            tmpl = jtu.tree_map_with_path(
+                lambda p, m: (jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                                   sharding=shard)
+                              if wanted(p) else ocp.PLACEHOLDER), meta)
+            rargs = jtu.tree_map_with_path(
+                lambda p, m: (ocp.ArrayRestoreArgs(sharding=shard)
+                              if wanted(p) else ocp.RestoreArgs()), meta)
+            restored = ro.restore(
+                step, args=ocp.args.PyTreeRestore(item=tmpl,
+                                                  restore_args=rargs))
         return restored["params"], int(restored["step"])
 
     def close(self):

@@ -13,6 +13,10 @@
 set -u
 ATTEMPTS="${TPU_RUN_ATTEMPTS:-40}"
 SLEEP="${TPU_RUN_SLEEP:-75}"
+# repo CLIs (train/eval/extract) honor this by exiting 3 on a non-TPU
+# backend (nafae_tpu.utils.maybe_require_tpu); ad-hoc scripts check
+# jax.default_backend() themselves. bench.py keeps its own retry loop.
+export NAFAE_REQUIRE_TPU=1
 for i in $(seq 1 "$ATTEMPTS"); do
   echo "[tpu_run] attempt $i/$ATTEMPTS $(date +%T)" >&2
   JAX_PLATFORMS='' python -u "$@"
