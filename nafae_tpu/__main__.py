@@ -9,6 +9,7 @@ def main():
         "eval": "nafae_tpu.evaluate",
         "extract": "nafae_tpu.extract",
         "convert": "nafae_tpu.utils.torch_convert",
+        "visualize": "nafae_tpu.visualize",
     }
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(f"usage: python -m nafae_tpu {{{','.join(cmds)}}} [args...]",
