@@ -85,6 +85,27 @@ def _selectors(n_t, gf, r_pad):
     return s1.astype(jnp.float32), s2.astype(jnp.float32)
 
 
+def _alpha_from_scores(s, colv_slab, fml_slab, *, gt, w, r, r_pad):
+    """Masked band softmax from raw scores s [M_t,N_t] (already /temp):
+    returns (alpha, bs, sel1, sel2). Shared by fwd and bwd tiles so the
+    semantics (uniform-fallback groups included) cannot drift."""
+    m_t, n_t = s.shape
+    band = _band(m_t, n_t, r_pad, r, w)
+    live = band & (colv_slab > 0)
+    ex = jnp.where(live, jnp.exp(s), 0.0)
+    sel1, sel2 = _selectors(n_t, gt + 2 * w, r_pad)
+    hp = jax.lax.Precision.HIGHEST
+    dn = (((1,), (0,)), ((), ()))
+    gs = jax.lax.dot_general(ex, sel1, dn,
+                             preferred_element_type=jnp.float32, precision=hp)
+    bs = jax.lax.dot_general(gs, sel2, dn,
+                             preferred_element_type=jnp.float32, precision=hp)
+    frame_band = band & (fml_slab > 0)
+    alpha = jnp.where(bs > 0, ex / jnp.maximum(bs, 1e-30),
+                      jnp.where(frame_band, 1.0 / r, 0.0))
+    return alpha, bs, sel1, sel2
+
+
 def _tile_alpha(vf, colv, fml, t0, gt, *, w, r, r_pad, inv_temp, precision):
     """Alpha for one frame tile: center frames [t0, t0+gt), column slab =
     extended frames [t0, t0+gt+2w). Returns (alpha [M_t,N_t] f32, bs, vc,
@@ -97,19 +118,9 @@ def _tile_alpha(vf, colv, fml, t0, gt, *, w, r, r_pad, inv_temp, precision):
     s = jax.lax.dot_general(vc, cols, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=precision) * inv_temp
-    band = _band(m_t, n_t, r_pad, r, w)
-    live = band & (colv[:, c0:c0 + n_t] > 0)
-    ex = jnp.where(live, jnp.exp(s), 0.0)
-    sel1, sel2 = _selectors(n_t, gt + 2 * w, r_pad)
-    hp = jax.lax.Precision.HIGHEST
-    dn = (((1,), (0,)), ((), ()))
-    gs = jax.lax.dot_general(ex, sel1, dn,
-                             preferred_element_type=jnp.float32, precision=hp)
-    bs = jax.lax.dot_general(gs, sel2, dn,
-                             preferred_element_type=jnp.float32, precision=hp)
-    frame_band = band & (fml[:, c0:c0 + n_t] > 0)
-    alpha = jnp.where(bs > 0, ex / jnp.maximum(bs, 1e-30),
-                      jnp.where(frame_band, 1.0 / r, 0.0))
+    alpha, bs, sel1, sel2 = _alpha_from_scores(
+        s, colv[:, c0:c0 + n_t], fml[:, c0:c0 + n_t],
+        gt=gt, w=w, r=r, r_pad=r_pad)
     return alpha, bs, vc, cols, sel1, sel2
 
 
@@ -147,13 +158,19 @@ def _bwd_kernel(vf_ref, colv_ref, fml_ref, du_ref, dvf_ref, dvc_ref,
         m_t = gt * r_pad
         n_t = (gt + 2 * w) * r_pad
         c0 = t0 * r_pad
-        alpha, bs, vc, cols, sel1, sel2 = _tile_alpha(
-            vf, colv, fml, t0, gt, w=w, r=r, r_pad=r_pad,
-            inv_temp=inv_temp, precision=precision)
-        du_t = du[t0 * r_pad:t0 * r_pad + m_t, :]
-        dalpha = jax.lax.dot_general(du_t.astype(vf.dtype), cols, dn_t,
-                                     preferred_element_type=jnp.float32,
-                                     precision=precision)   # [M_t, N_t]
+        vc = vf[(w + t0) * r_pad:(w + t0) * r_pad + m_t, :]
+        cols = vf[c0:c0 + n_t, :]
+        du_t = du[t0 * r_pad:t0 * r_pad + m_t, :].astype(vf.dtype)
+        # merged [2M_t, E]x[E, N_t]: rows 0..M_t give the logits S (the
+        # recompute), rows M_t.. give dalpha — one MXU pass at double M,
+        # where M_t alone (tile*r_pad ~ 96) underfills the 128-row array
+        sd = jax.lax.dot_general(jnp.concatenate([vc, du_t], axis=0), cols,
+                                 dn_t, preferred_element_type=jnp.float32,
+                                 precision=precision)       # [2M_t, N_t]
+        alpha, bs, sel1, sel2 = _alpha_from_scores(
+            sd[:m_t] * inv_temp, colv[:, c0:c0 + n_t], fml[:, c0:c0 + n_t],
+            gt=gt, w=w, r=r, r_pad=r_pad)
+        dalpha = sd[m_t:]
         ad = alpha * dalpha
         gs2 = jax.lax.dot_general(ad, sel1, dn,
                                   preferred_element_type=jnp.float32,
@@ -165,12 +182,12 @@ def _bwd_kernel(vf_ref, colv_ref, fml_ref, du_ref, dvf_ref, dvc_ref,
         # constant alpha => zero gradient
         ds = jnp.where(bs > 0, (ad - alpha * bs2) * inv_temp, 0.0)
         dsf = ds.astype(vf.dtype)
+        # merged [N_t, 2M_t]x[2M_t, E]: alpha^T du_t + dsf^T vc in ONE
+        # contraction over the stacked M axis
         contrib = jax.lax.dot_general(
-            alpha.astype(vf.dtype), du_t.astype(vf.dtype), dn_c,
+            jnp.concatenate([alpha.astype(vf.dtype), dsf], axis=0),
+            jnp.concatenate([du_t, vc], axis=0), dn_c,
             preferred_element_type=jnp.float32, precision=precision)
-        contrib = contrib + jax.lax.dot_general(
-            dsf, vc, dn_c, preferred_element_type=jnp.float32,
-            precision=precision)                            # [N_t, E]
         dvf_ref[0, c0:c0 + n_t, :] = dvf_ref[0, c0:c0 + n_t, :] + contrib
         dvc_ref[0, t0 * r_pad:t0 * r_pad + m_t, :] = jax.lax.dot_general(
             dsf, cols, dn, preferred_element_type=jnp.float32,
