@@ -275,6 +275,8 @@ def main():
     args = p.parse_args()
     s = QUICK if args.quick else SHAPES
     _require_tpu()
+    from nafae_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
 
     if args.mode == "eval":
         fps, dt = bench_jax_eval(s)
@@ -300,3 +302,10 @@ def main():
 
 if __name__ == "__main__":
     main()
+    # the axon client's interpreter-exit teardown can hang after the chip
+    # was used (observed: JSON printed, process alive minutes later). The
+    # bench holds no state worth cleaning up — exit hard once the result
+    # is out.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

@@ -163,8 +163,10 @@ def main(argv=None):
     p.add_argument("--per-class", action="store_true",
                    help="include the per-class accuracy table (paper protocol)")
     args = p.parse_args(argv)
-    from nafae_tpu.utils import maybe_require_tpu
+    from nafae_tpu.utils import (enable_compilation_cache,
+                                 maybe_require_tpu)
     maybe_require_tpu()
+    enable_compilation_cache()
     cfg = load_config(args.config, args.preset, args.override)
     params = None
     if args.checkpoint and args.checkpoint.endswith(".npz"):

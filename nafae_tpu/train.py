@@ -424,7 +424,8 @@ def fit_device_cached(cfg: Config, state, loader, ckpt, logger,
             order = ep[consumed:].tolist()
             consumed = 0
     done = 0
-    t0 = time.perf_counter()
+    done_logged = 0
+    t0 = t_start = time.perf_counter()
     metrics = {}
     while done < total:
         while len(order) < spc * bsz:
@@ -439,8 +440,14 @@ def fit_device_cached(cfg: Config, state, loader, ckpt, logger,
         due = lambda every: every > 0 and gstep % max(every, spc) < spc
         if due(cfg.train.log_every):
             m = {k: float(v) for k, v in metrics.items()}
-            dt = time.perf_counter() - t0
-            m["frames_per_sec"] = frames_per_batch * done / dt
+            now = time.perf_counter()
+            # windowed rate (since last log) — the cumulative average is
+            # dragged down by compile + cache upload for the whole run
+            m["frames_per_sec"] = (frames_per_batch * (done - done_logged)
+                                   / max(now - t0, 1e-9))
+            m["frames_per_sec_avg"] = (frames_per_batch * done
+                                       / max(now - t_start, 1e-9))
+            t0, done_logged = now, done
             m["step"] = gstep
             logger.log(m)
             if log_fn:
@@ -622,8 +629,10 @@ def main(argv=None):
                    help="capture a jax.profiler trace of the whole run into "
                         "DIR (TensorBoard/Perfetto readable; SURVEY.md L274)")
     args = p.parse_args(argv)
-    from nafae_tpu.utils import maybe_require_tpu
+    from nafae_tpu.utils import (enable_compilation_cache,
+                                 maybe_require_tpu)
     maybe_require_tpu()
+    enable_compilation_cache()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     cfg = load_config(args.config, args.preset, args.override)

@@ -19,3 +19,25 @@ def maybe_require_tpu() -> None:
                   f"{jax.default_backend()!r}; exiting 3 for the "
                   "tpu_run.sh retry loop", file=sys.stderr)
             sys.exit(3)
+
+
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache, shared across processes.
+
+    Compiles on this host go through a remote-compile service and cost
+    minutes even for small programs; every fresh process pays them again.
+    The cache stores serialized executables under NAFAE_JAX_CACHE (default
+    ~/.cache/nafae_jax_cache) so the second process with the same program
+    skips the service entirely. Set NAFAE_JAX_CACHE=0 to disable.
+    """
+    path = os.environ.get("NAFAE_JAX_CACHE",
+                          os.path.expanduser("~/.cache/nafae_jax_cache"))
+    if path == "0":
+        return
+    import jax
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:      # cache is an optimization, never a blocker
+        print(f"compilation cache disabled: {e}", file=sys.stderr)

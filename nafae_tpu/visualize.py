@@ -207,6 +207,10 @@ def main(argv=None):
     p.add_argument("--no-render", action="store_true",
                    help="predictions.jsonl only, no images")
     args = p.parse_args(argv)
+    from nafae_tpu.utils import (enable_compilation_cache,
+                                 maybe_require_tpu)
+    maybe_require_tpu()
+    enable_compilation_cache()
     cfg = load_config(args.config, args.preset, args.override)
     path = visualize_config(cfg, args.out, _load_params(cfg, args.checkpoint),
                             split=args.split,

@@ -5,6 +5,9 @@
 # nafae_tpu/data/synthetic.py and tests/test_e2e.py golden numbers).
 #
 # Usage: scripts/quickstart_synthetic.sh [workdir]
+#
+# Uses `python -m nafae_tpu.*` so it works without installing the package
+# (the nafae-train/eval console scripts need `pip install -e .`).
 set -e
 ROOT="${1:-/tmp/nafae_quickstart}"
 python - "$ROOT" <<'EOF'
@@ -22,6 +25,6 @@ EOF
 OV="data.root=$ROOT data.feat_dim=128 model.feat_dim=128 data.batch_size=16 \
 data.max_frames=10 data.num_regions=8 data.max_words=4 loss.num_clusters=12 \
 train.ckpt_dir=$ROOT/ckpt"
-nafae-train --preset config4 --override $OV train.steps=600 \
+python -m nafae_tpu.train --preset config4 --override $OV train.steps=600 \
     train.steps_per_call=10 train.log_every=100
-nafae-eval --preset config1 --per-class --override $OV
+python -m nafae_tpu.evaluate --preset config1 --per-class --override $OV
