@@ -129,6 +129,8 @@ def bench_jax_eval(s, iters=256, steps_per_call=256):
     import jax
     import jax.numpy as jnp
 
+    steps_per_call = max(1, min(steps_per_call, iters))  # same floor as bench_jax
+
     from nafae_tpu.config import load_config
     from nafae_tpu.models.grounding import init_params
     from nafae_tpu.ops import grounding as Gr

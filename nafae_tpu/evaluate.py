@@ -113,32 +113,16 @@ def evaluate_config(cfg: Config, params: dict | None = None,
                         cfg.data.num_regions, cfg.data.feat_dim,
                         cfg.data.max_words, with_gt=True)
     if params is None:
-        from nafae_tpu.utils.checkpoint import CheckpointManager
         # params-only restore with shapes from the checkpoint itself: a
         # config4-trained ckpt must be evaluable under the config1 preset
         # without replaying trainer hyperparams (cluster count, optimizer)
-        restored = CheckpointManager(cfg.train.ckpt_dir).restore_params_latest()
-        if restored is not None:
-            params = restored[0]
-            # ... but the MODEL shapes must match the eval config, loudly:
-            # embed_words clamps out-of-range ids and evaluate() sizes the
-            # per-class table from cfg, so a drifted vocab/dim would
-            # otherwise produce plausible-looking wrong numbers
-            from nafae_tpu.models.grounding import init_params
-            expect = init_params(jax.random.PRNGKey(0), cfg.model)
-            for k, v in expect.items():
-                got = tuple(params[k].shape) if k in params else None
-                if got != tuple(v.shape):
-                    raise ValueError(
-                        f"checkpoint param {k!r} has shape {got}, but the "
-                        f"eval config expects {tuple(v.shape)} — override "
-                        "model.vocab_size / model.feat_dim / "
-                        "model.embed_dim to match the training run")
-        elif require_checkpoint:
-            raise FileNotFoundError(
-                f"no checkpoint found in {cfg.train.ckpt_dir!r} — refusing "
-                "to evaluate randomly initialized parameters")
-        else:
+        from nafae_tpu.utils.checkpoint import load_eval_params
+        params = load_eval_params(cfg)
+        if params is None:
+            if require_checkpoint:
+                raise FileNotFoundError(
+                    f"no checkpoint found in {cfg.train.ckpt_dir!r} — "
+                    "refusing to evaluate randomly initialized parameters")
             from nafae_tpu.train import TrainState
             params = TrainState.create(jax.random.PRNGKey(0), cfg).params
     return evaluate(params, ds, cfg.data.batch_size, cfg.model.vocab_size,
@@ -163,16 +147,13 @@ def main(argv=None):
     p.add_argument("--per-class", action="store_true",
                    help="include the per-class accuracy table (paper protocol)")
     args = p.parse_args(argv)
-    from nafae_tpu.utils import (enable_compilation_cache,
-                                 maybe_require_tpu)
-    maybe_require_tpu()
-    enable_compilation_cache()
+    from nafae_tpu.utils import cli_startup
+    cli_startup()
     cfg = load_config(args.config, args.preset, args.override)
     params = None
     if args.checkpoint and args.checkpoint.endswith(".npz"):
-        from nafae_tpu.utils.torch_convert import load_converted
-        params = {k: jax.numpy.asarray(v)
-                  for k, v in load_converted(args.checkpoint).items()}
+        from nafae_tpu.utils.checkpoint import load_eval_params
+        params = load_eval_params(cfg, args.checkpoint)
     elif args.checkpoint:
         cfg.train.ckpt_dir = args.checkpoint
     result = evaluate_config(cfg, params=params, split=args.split,

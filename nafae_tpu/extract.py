@@ -156,10 +156,8 @@ def main(argv=None):
                         "after extraction (enables eval)")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
-    from nafae_tpu.utils import (enable_compilation_cache,
-                                 maybe_require_tpu)
-    maybe_require_tpu()
-    enable_compilation_cache()
+    from nafae_tpu.utils import cli_startup
+    cli_startup()
     cfg = load_config(args.config, args.preset, args.override)
     if args.youcook2_json:
         from nafae_tpu.data.annotations import segments_from_youcook2

@@ -629,10 +629,8 @@ def main(argv=None):
                    help="capture a jax.profiler trace of the whole run into "
                         "DIR (TensorBoard/Perfetto readable; SURVEY.md L274)")
     args = p.parse_args(argv)
-    from nafae_tpu.utils import (enable_compilation_cache,
-                                 maybe_require_tpu)
-    maybe_require_tpu()
-    enable_compilation_cache()
+    from nafae_tpu.utils import cli_startup
+    cli_startup()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     cfg = load_config(args.config, args.preset, args.override)

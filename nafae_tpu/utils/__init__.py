@@ -41,3 +41,10 @@ def enable_compilation_cache() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception as e:      # cache is an optimization, never a blocker
         print(f"compilation cache disabled: {e}", file=sys.stderr)
+
+
+def cli_startup() -> None:
+    """Common CLI preamble: honor the tpu_run.sh exit-3 contract, then turn
+    on the persistent compilation cache. Call first thing in every main()."""
+    maybe_require_tpu()
+    enable_compilation_cache()

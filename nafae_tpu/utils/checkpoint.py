@@ -79,3 +79,39 @@ class CheckpointManager:
     def close(self):
         self.mgr.wait_until_finished()
         self.mgr.close()
+
+
+def load_eval_params(cfg, checkpoint: str | None = None):
+    """Shared inference-side param loading (evaluate + visualize CLIs).
+
+    checkpoint: a converted .npz (utils/torch_convert), an orbax ckpt dir,
+    or None (= cfg.train.ckpt_dir). Returns params or None when no orbax
+    checkpoint exists. Restored shapes are validated against the eval
+    config's model — embed_words clamps out-of-range word ids and the
+    per-class table is sized from cfg, so a drifted vocab/dim would
+    otherwise produce plausible-looking wrong numbers silently.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if checkpoint and checkpoint.endswith(".npz"):
+        from nafae_tpu.utils.torch_convert import load_converted
+        params = {k: jnp.asarray(v)
+                  for k, v in load_converted(checkpoint).items()}
+    else:
+        restored = CheckpointManager(
+            checkpoint or cfg.train.ckpt_dir).restore_params_latest()
+        if restored is None:
+            return None
+        params = restored[0]
+    from nafae_tpu.models.grounding import init_params
+    expect = init_params(jax.random.PRNGKey(0), cfg.model)
+    for k, v in expect.items():
+        got = tuple(params[k].shape) if k in params else None
+        if got != tuple(v.shape):
+            raise ValueError(
+                f"checkpoint param {k!r} has shape {got}, but the eval "
+                f"config expects {tuple(v.shape)} — override "
+                "model.vocab_size / model.feat_dim / model.embed_dim to "
+                "match the training run")
+    return params

@@ -51,7 +51,7 @@ def predict_segment(params: dict, sample: dict) -> dict:
     return {"r_star": np.asarray(r_star), "score": np.asarray(score)}
 
 
-def segment_records(sample: dict, pred: dict, vocab,
+def segment_records(sample: dict, pred: dict, vocab, seg_id: str,
                     iou_thresh: float = 0.5) -> list[dict]:
     """Flatten one segment's predictions into JSONL records."""
     recs = []
@@ -68,7 +68,7 @@ def segment_records(sample: dict, pred: dict, vocab,
                 continue
             r = int(pred["r_star"][k, t])
             rec = {
-                "segment": int(sample.get("segment_id", -1)),
+                "segment": seg_id,
                 "word": vocab.classes[int(wid)],
                 "frame": t,
                 "region": r,
@@ -140,9 +140,8 @@ def visualize_config(cfg: Config, out_dir: str, params: dict,
             sample = ds[i]
             seg_id = str(ds.index[i].get("id", i))
             recs = segment_records(sample, predict_segment(params, sample),
-                                   vocab, iou_thresh)
+                                   vocab, seg_id, iou_thresh)
             for r in recs:
-                r["segment"] = seg_id
                 out.write(json.dumps(r) + "\n")
             if not render or not recs:
                 continue
@@ -155,10 +154,10 @@ def visualize_config(cfg: Config, out_dir: str, params: dict,
                     cfg.data.max_frames, cfg.detector.image_size,
                     start=float(ann.get("start") or 0.0),
                     end=float(ann.get("end") or -1.0))
+            import cv2
             size = _canvas_size(recs, cfg.detector.image_size)
             seg_dir = os.path.join(out_dir, seg_id)
             os.makedirs(seg_dir, exist_ok=True)
-            import cv2
             for t in sorted({r["frame"] for r in recs}):
                 if frames is not None and t < len(frames):
                     canvas = cv2.cvtColor(
@@ -173,16 +172,12 @@ def visualize_config(cfg: Config, out_dir: str, params: dict,
 
 
 def _load_params(cfg: Config, checkpoint: str | None):
-    if checkpoint and checkpoint.endswith(".npz"):
-        from nafae_tpu.utils.torch_convert import load_converted
-        return {k: jnp.asarray(v)
-                for k, v in load_converted(checkpoint).items()}
-    from nafae_tpu.utils.checkpoint import CheckpointManager
-    ckpt_dir = checkpoint or cfg.train.ckpt_dir
-    restored = CheckpointManager(ckpt_dir).restore_params_latest()
-    if restored is None:
-        raise FileNotFoundError(f"no checkpoint found in {ckpt_dir!r}")
-    return restored[0]
+    from nafae_tpu.utils.checkpoint import load_eval_params
+    params = load_eval_params(cfg, checkpoint)
+    if params is None:
+        raise FileNotFoundError(
+            f"no checkpoint found in {checkpoint or cfg.train.ckpt_dir!r}")
+    return params
 
 
 def main(argv=None):
@@ -207,10 +202,8 @@ def main(argv=None):
     p.add_argument("--no-render", action="store_true",
                    help="predictions.jsonl only, no images")
     args = p.parse_args(argv)
-    from nafae_tpu.utils import (enable_compilation_cache,
-                                 maybe_require_tpu)
-    maybe_require_tpu()
-    enable_compilation_cache()
+    from nafae_tpu.utils import cli_startup
+    cli_startup()
     cfg = load_config(args.config, args.preset, args.override)
     path = visualize_config(cfg, args.out, _load_params(cfg, args.checkpoint),
                             split=args.split,
