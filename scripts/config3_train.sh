@@ -1,3 +1,3 @@
 #!/bin/sh
 # BASELINE config 3: + contextual similarity loss over neighboring frames.
-exec nafae-train --preset config3 --override data.root="${DATA_ROOT:-data/youcook2}" "$@"
+exec python -m nafae_tpu.train --preset config3 --override data.root="${DATA_ROOT:-data/youcook2}" "$@"

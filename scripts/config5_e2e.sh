@@ -11,11 +11,12 @@
 # Optional: DATA_ROOT (default data/robowatch), DETECTOR_WEIGHTS (.pth)
 set -e
 ROOT="${DATA_ROOT:-data/robowatch}"
-nafae-extract --annotations "${EVAL_ANNOTATIONS:?set EVAL_ANNOTATIONS}" \
+python -m nafae_tpu.extract --annotations "${EVAL_ANNOTATIONS:?set EVAL_ANNOTATIONS}" \
     --yc2bb-json "${EVAL_BB_JSON:?set EVAL_BB_JSON (eval needs GT boxes)}" \
     --out "$ROOT/val"
-nafae-train --preset config5 --override data.root="$ROOT" \
+python -m nafae_tpu.train --preset config5 --override data.root="$ROOT" \
     data.from_videos=true \
     data.annotations="${TRAIN_ANNOTATIONS:?set TRAIN_ANNOTATIONS}" \
     ${DETECTOR_WEIGHTS:+detector.weights="$DETECTOR_WEIGHTS"} "$@"
-nafae-eval --preset config5 --override data.root="$ROOT"
+# same extra overrides as training so ckpt_dir/shape settings line up
+python -m nafae_tpu.evaluate --preset config5 --override data.root="$ROOT" "$@"
