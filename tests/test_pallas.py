@@ -231,3 +231,27 @@ def test_detector_pallas_kernels_end_to_end():
                                np.asarray(ref["boxes"]), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(pal["feats"]),
                                np.asarray(ref["feats"]), rtol=1e-3, atol=1e-3)
+
+
+def test_ctx_mix_pallas_window_geq_clip():
+    """Degenerate clips: window >= T (every frame neighbors every other)
+    and T=1 (no neighbors at all -> zero mix, uniform nbr_valid=0)."""
+    from nafae_tpu.ops.pallas.fused_ctx import ctx_mix_pallas
+    rng = np.random.RandomState(11)
+    for T, w in ((2, 3), (1, 2), (3, 3)):
+        v = G.l2_normalize(jnp.asarray(
+            rng.randn(2, T, 4, 16).astype(np.float32)))
+        fm = jnp.ones((2, T))
+        v_ext = jnp.pad(v, ((0, 0), (w, w), (0, 0), (0, 0)))
+        fm_ext = jnp.pad(fm, ((0, 0), (w, w)))
+        u_ref, nv_ref = G.context_mix(v_ext, fm_ext, w, 0.1)
+        u, nv = ctx_mix_pallas(v_ext, fm_ext, w, 0.1)
+        np.testing.assert_array_equal(np.asarray(nv), np.asarray(nv_ref))
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   rtol=1e-5, atol=1e-6, err_msg=f"T={T}")
+        g_ref = jax.grad(lambda ve: jnp.sum(jnp.sin(
+            G.context_mix(ve, fm_ext, w, 0.1)[0])))(v_ext)
+        g = jax.grad(lambda ve: jnp.sum(jnp.sin(
+            ctx_mix_pallas(ve, fm_ext, w, 0.1)[0])))(v_ext)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"T={T}")
