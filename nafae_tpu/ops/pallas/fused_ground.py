@@ -59,7 +59,7 @@ def _match_vma(x, *like):
     carries) must type-match vma-carrying values."""
     missing = _vma_of(*like) - _vma_of(x)
     if missing:
-        x = jax.lax.pvary(x, tuple(missing))
+        x = jax.lax.pcast(x, tuple(missing), to="varying")
     return x
 
 

@@ -43,8 +43,24 @@ def enable_compilation_cache() -> None:
         print(f"compilation cache disabled: {e}", file=sys.stderr)
 
 
+def apply_platform_override() -> None:
+    """Honor NAFAE_PLATFORM=cpu|tpu for CLI runs.
+
+    The axon TPU plugin registers at interpreter boot and IGNORES the
+    standard JAX_PLATFORMS env var, so on hosts with the plugin there is no
+    environment-only way to keep a CLI off the (exclusive) chip. This knob
+    applies the override the only way that works — jax.config.update after
+    import — before any device is touched."""
+    plat = os.environ.get("NAFAE_PLATFORM", "").strip().lower()
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+
 def cli_startup() -> None:
-    """Common CLI preamble: honor the tpu_run.sh exit-3 contract, then turn
-    on the persistent compilation cache. Call first thing in every main()."""
+    """Common CLI preamble: apply NAFAE_PLATFORM, honor the tpu_run.sh
+    exit-3 contract, then turn on the persistent compilation cache. Call
+    first thing in every main()."""
+    apply_platform_override()
     maybe_require_tpu()
     enable_compilation_cache()
