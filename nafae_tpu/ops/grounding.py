@@ -424,6 +424,10 @@ def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
             frame_logits = _masked_word_mean(ahat, wm)
         return video_scores(a, wm, fm, temp, pool, frame_logits=frame_logits)[0]
     we, ve = _cast2(w_emb, v_emb, dtype)
+    # NOTE: the [I,J,K,T,R] cross tensor stays f32 even in bf16 mode — a
+    # bf16-storage variant (preferred_element_type=bf16, f32 cast after the
+    # max) measured 22 us/step SLOWER at config4 shapes: XLA's extra
+    # converts around the max backward cost more than the halved HBM bytes.
     s = jnp.einsum("jke,itre->ijktr", we, ve,
                    preferred_element_type=jnp.float32, precision=PRECISION)        # [I,J,K,T,R]
     s = mask_regions(s, region_mask)

@@ -1,0 +1,128 @@
+"""Device-time breakdown of the production train step (docs/PERF.md tables).
+
+Runs ONE chip acquisition: compile the config4 multi-step program, capture a
+jax.profiler trace of a few executions, then parse the XPlane protobuf and
+print device-time per op (top-N + totals). This is the tool behind the
+"Device-time breakdown" table in docs/PERF.md.
+
+Usage (chip must be free):
+    scripts/tpu_run.sh scripts/profile_step.py [--kernels auto] [--spc 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import sys
+import time
+
+import numpy as np
+
+# runnable as `python scripts/profile_step.py` without an installed package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_xspace(log_dir: str):
+    """Sum device-plane event durations by op name from a profiler dump."""
+    from tensorflow.core.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(log_dir, "plugins/profile/*/*.xplane.pb"))
+    if not paths:
+        raise FileNotFoundError(f"no xplane.pb under {log_dir}")
+    space = xplane_pb2.XSpace()
+    with open(sorted(paths)[-1], "rb") as fh:
+        space.ParseFromString(fh.read())
+    per_op: dict[str, float] = collections.defaultdict(float)
+    total = 0.0
+    for plane in space.planes:
+        if "TPU" not in plane.name and "Device" not in plane.name:
+            continue
+        # XLA op activity lines carry per-op events; metadata holds names
+        meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
+        for line in plane.lines:
+            if "XLA Ops" not in line.name and "Steps" not in line.name \
+                    and "XLA Modules" not in line.name:
+                continue
+            if "XLA Ops" not in line.name:
+                continue
+            for ev in line.events:
+                dur = ev.duration_ps / 1e6  # -> microseconds
+                per_op[meta.get(ev.metadata_id, "?")] += dur
+                total += dur
+    return per_op, total
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--kernels", default="auto")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--spc", type=int, default=64)
+    p.add_argument("--calls", type=int, default=2, help="traced executions")
+    p.add_argument("--top", type=int, default=35)
+    p.add_argument("--out", default="/tmp/nafae_profile")
+    p.add_argument("--shapes", default="B=32,T=20,R=20,D=2048,E=256,K=8,"
+                   "V=67,KC=67,W=3")
+    args = p.parse_args()
+
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "axon":
+        os.environ["JAX_PLATFORMS"] = ""
+    import jax
+
+    from nafae_tpu.utils import enable_compilation_cache, maybe_require_tpu
+    maybe_require_tpu()
+    if jax.default_backend() != "tpu":
+        print("profile_step: not on TPU; set NAFAE_REQUIRE_TPU=1 under "
+              "scripts/tpu_run.sh for the retry loop", file=sys.stderr)
+    enable_compilation_cache()
+
+    s = {k: int(v) for k, v in
+         (kv.split("=") for kv in args.shapes.split(","))}
+    import bench
+    from nafae_tpu.config import load_config
+    from nafae_tpu.train import TrainState, make_optimizer, make_train_step
+
+    cfg = load_config(preset_name="config4", overrides=[
+        f"model.feat_dim={s['D']}", f"model.embed_dim={s['E']}",
+        f"data.batch_size={s['B']}", f"loss.num_clusters={s['KC']}",
+        f"loss.ctx_window={s['W']}", "loss.kmeans_interval=100",
+        f"train.kernels={args.kernels}",
+        f"model.dtype={args.dtype}", "model.matmul_precision=default",
+    ])
+    batch = {k: jax.device_put(v) for k, v in bench.make_batch(s).items()}
+    step = make_train_step(cfg, make_optimizer(cfg))
+
+    @jax.jit
+    def multi(state, batch):
+        def body(st, _):
+            st, metrics = step(st, batch)
+            return st, metrics["loss"]
+        return jax.lax.scan(body, state, None, length=args.spc)
+
+    state = TrainState.create(jax.random.PRNGKey(0), cfg)
+    t0 = time.perf_counter()
+    state, losses = multi(state, batch)           # compile + warm
+    loss = float(losses[-1])
+    print(f"compiled+warm in {time.perf_counter() - t0:.1f}s "
+          f"loss={loss:.4f}", flush=True)
+
+    jax.profiler.start_trace(args.out)
+    for _ in range(args.calls):
+        state, losses = multi(state, batch)
+    float(np.asarray(state.params["b_v"])[0])     # real device->host bound
+    jax.profiler.stop_trace()
+
+    per_op, total = parse_xspace(args.out)
+    steps = args.calls * args.spc
+    print(f"\ndevice busy: {total:.0f} us over {steps} steps "
+          f"= {total / steps:.1f} us/step")
+    print(f"{'us/step':>9}  {'share':>6}  op")
+    for name, dur in sorted(per_op.items(), key=lambda kv: -kv[1])[:args.top]:
+        print(f"{dur / steps:9.1f}  {dur / total:6.1%}  {name[:90]}")
+
+
+if __name__ == "__main__":
+    main()
+    sys.stdout.flush()
+    os._exit(0)   # axon teardown can hang after chip use (see bench.py)
