@@ -53,9 +53,20 @@ def embed_words(word_ids: jax.Array, emb: jax.Array) -> jax.Array:
 
 def project_regions(feats: jax.Array, w_v: jax.Array, b_v: jax.Array,
                     dtype=jnp.float32) -> jax.Array:
-    """feats [B,T,R,D] -> normalized v̂ [B,T,R,E]. Matmul on the MXU in `dtype`."""
-    v = jnp.einsum("btrd,de->btre", feats.astype(dtype), w_v.astype(dtype),
-                   preferred_element_type=jnp.float32, precision=PRECISION) + b_v.astype(jnp.float32)
+    """feats [B,T,R,D] -> normalized v̂ [B,T,R,E]. Matmul on the MXU in `dtype`.
+
+    Written as a 2-D reshape-matmul rather than a 4-D einsum: identical
+    values (same contraction, bitwise-equal measured), but XLA lays the
+    [B·T·R, E] matmul output out row-major, which downstream reshapes share
+    with the Pallas ctx kernel's flat [B, T·R_pad, E] operand — measured
+    -10 us/step at config4 shapes vs the einsum's {3,0,2,1} layout choice.
+    """
+    b, t, r, d = feats.shape
+    f2 = feats.reshape(b * t * r, d).astype(dtype)
+    v = jax.lax.dot_general(f2, w_v.astype(dtype), (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=PRECISION)
+    v = v.reshape(b, t, r, -1) + b_v.astype(jnp.float32)
     return l2_normalize(v)
 
 

@@ -24,34 +24,42 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def parse_xspace(log_dir: str):
-    """Sum device-plane event durations by op name from a profiler dump."""
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+def parse_trace(log_dir: str):
+    """Sum device XLA-op durations (us) by op name from the chrome trace.
 
-    paths = glob.glob(os.path.join(log_dir, "plugins/profile/*/*.xplane.pb"))
+    The jax profiler writes <run>/<host>.trace.json.gz; device events live
+    under the pid named "/device:TPU:*", tid "XLA Ops". The enclosing
+    `while` op (the steps_per_call scan) double-counts its body and is
+    dropped. Also returns each op's HLO long_name for attribution.
+    """
+    import gzip
+    import json
+
+    paths = glob.glob(os.path.join(log_dir,
+                                   "plugins/profile/*/*.trace.json.gz"))
     if not paths:
-        raise FileNotFoundError(f"no xplane.pb under {log_dir}")
-    space = xplane_pb2.XSpace()
-    with open(sorted(paths)[-1], "rb") as fh:
-        space.ParseFromString(fh.read())
+        raise FileNotFoundError(f"no trace.json.gz under {log_dir}")
+    d = json.load(gzip.open(sorted(paths)[-1], "rt"))
+    dev_pids, op_tids = set(), {}
+    for e in d["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "process_name" \
+                and "/device:TPU" in e.get("args", {}).get("name", ""):
+            dev_pids.add(e["pid"])
+        if e.get("ph") == "M" and e.get("name") == "thread_name" \
+                and e.get("args", {}).get("name") == "XLA Ops":
+            op_tids[e["pid"]] = e["tid"]
     per_op: dict[str, float] = collections.defaultdict(float)
+    hlo: dict[str, str] = {}
     total = 0.0
-    for plane in space.planes:
-        if "TPU" not in plane.name and "Device" not in plane.name:
-            continue
-        # XLA op activity lines carry per-op events; metadata holds names
-        meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
-        for line in plane.lines:
-            if "XLA Ops" not in line.name and "Steps" not in line.name \
-                    and "XLA Modules" not in line.name:
-                continue
-            if "XLA Ops" not in line.name:
-                continue
-            for ev in line.events:
-                dur = ev.duration_ps / 1e6  # -> microseconds
-                per_op[meta.get(ev.metadata_id, "?")] += dur
-                total += dur
-    return per_op, total
+    for e in d["traceEvents"]:
+        if (e.get("ph") == "X" and e.get("pid") in dev_pids
+                and e.get("tid") == op_tids.get(e.get("pid"))
+                and not e["name"].startswith("while")):
+            per_op[e["name"]] += e.get("dur", 0.0)
+            total += e.get("dur", 0.0)
+            if e.get("args", {}).get("long_name"):
+                hlo[e["name"]] = e["args"]["long_name"]
+    return per_op, hlo, total
 
 
 def main():
@@ -113,13 +121,14 @@ def main():
     float(np.asarray(state.params["b_v"])[0])     # real device->host bound
     jax.profiler.stop_trace()
 
-    per_op, total = parse_xspace(args.out)
+    per_op, hlo, total = parse_trace(args.out)
     steps = args.calls * args.spc
     print(f"\ndevice busy: {total:.0f} us over {steps} steps "
           f"= {total / steps:.1f} us/step")
     print(f"{'us/step':>9}  {'share':>6}  op")
     for name, dur in sorted(per_op.items(), key=lambda kv: -kv[1])[:args.top]:
-        print(f"{dur / steps:9.1f}  {dur / total:6.1%}  {name[:90]}")
+        print(f"{dur / steps:9.2f}  {dur / total:6.1%}  {name:32s} "
+              f"{hlo.get(name, '')[:110]}")
 
 
 if __name__ == "__main__":
