@@ -85,6 +85,28 @@ def _selectors(n_t, gf, r_pad):
     return s1.astype(jnp.float32), s2.astype(jnp.float32)
 
 
+def _row_scale(fml_slab, m_t, n_t, r_pad, w):
+    """Per-center-row scale fm_c/max(Σ_o nbr_valid, 1) as [M_t, 1], computed
+    in-kernel from the frame-validity row (fml is fm repeated over r_pad
+    lanes, so a band row-sum divided by r_pad counts valid FRAMES exactly —
+    0/1 sums scaled by r_pad are exact in f32). Folding this scale into the
+    mix store saves the wrapper's full [B,T,R,E] elementwise pass over u."""
+    row_f = jax.lax.broadcasted_iota(jnp.int32, (m_t, n_t), 0) // r_pad + w
+    col_f = jax.lax.broadcasted_iota(jnp.int32, (m_t, n_t), 1) // r_pad
+    off = col_f - row_f
+    nbr = (off != 0) & (off >= -w) & (off <= w)
+    # fml holds 0/1 floats, so (fml_slab > 0) captures it exactly; boolean
+    # [M,N] & [1,N] broadcast is the one form Mosaic lowers for a
+    # lane-offset slab (arithmetic broadcast of the sliced row does not —
+    # "Invalid input layout" on vector.broadcast)
+    fvalid = fml_slab > 0
+    nbr_cnt = jnp.sum(jnp.where(nbr & fvalid, 1.0, 0.0), axis=1,
+                      keepdims=True) * (1.0 / r_pad)         # Σ_o fm[t+o]
+    fm_c = jnp.sum(jnp.where((off == 0) & fvalid, 1.0, 0.0), axis=1,
+                   keepdims=True) * (1.0 / r_pad)            # fm[t] (0/1)
+    return fm_c / jnp.maximum(nbr_cnt, 1.0)
+
+
 def _alpha_from_scores(s, colv_slab, fml_slab, *, gt, w, r, r_pad):
     """Masked band softmax from raw scores s [M_t,N_t] (already /temp):
     returns (alpha, bs, sel1, sel2). Shared by fwd and bwd tiles so the
@@ -134,9 +156,14 @@ def _fwd_kernel(vf_ref, colv_ref, fml_ref, u_ref,
         alpha, _, _, cols, _, _ = _tile_alpha(
             vf, colv, fml, t0, gt, w=w, r=r, r_pad=r_pad,
             inv_temp=inv_temp, precision=precision)
-        u_ref[0, t0 * r_pad:(t0 + gt) * r_pad, :] = jax.lax.dot_general(
+        c0 = t0 * r_pad
+        n_t = (gt + 2 * w) * r_pad
+        scale = _row_scale(fml[:, c0:c0 + n_t], gt * r_pad, n_t, r_pad, w)
+        mix = jax.lax.dot_general(
             alpha.astype(vf.dtype), cols, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
+        u_ref[0, t0 * r_pad:(t0 + gt) * r_pad, :] = (
+            mix * scale).astype(u_ref.dtype)
 
 
 def _bwd_kernel(vf_ref, colv_ref, fml_ref, du_ref, dvf_ref, dvc_ref,
@@ -147,7 +174,7 @@ def _bwd_kernel(vf_ref, colv_ref, fml_ref, du_ref, dvf_ref, dvc_ref,
     vf = vf_ref[0]
     colv = colv_ref[0]
     fml = fml_ref[0]
-    du = du_ref[0]                                          # [M, E] f32
+    du = du_ref[0]                                          # [M, E] vf dtype
     hp = jax.lax.Precision.HIGHEST
     dn = (((1,), (0,)), ((), ()))
     dn_t = (((1,), (1,)), ((), ()))
@@ -160,7 +187,10 @@ def _bwd_kernel(vf_ref, colv_ref, fml_ref, du_ref, dvf_ref, dvc_ref,
         c0 = t0 * r_pad
         vc = vf[(w + t0) * r_pad:(w + t0) * r_pad + m_t, :]
         cols = vf[c0:c0 + n_t, :]
-        du_t = du[t0 * r_pad:t0 * r_pad + m_t, :].astype(vf.dtype)
+        # u = scale ⊙ u_num (scale folded into the forward store), so the
+        # cotangent w.r.t. u_num is scale ⊙ du
+        scale = _row_scale(fml[:, c0:c0 + n_t], m_t, n_t, r_pad, w)
+        du_t = (du[t0 * r_pad:t0 * r_pad + m_t, :] * scale).astype(vf.dtype)
         # merged [2M_t, E]x[E, N_t]: rows 0..M_t give the logits S (the
         # recompute), rows M_t.. give dalpha — one MXU pass at double M,
         # where M_t alone (tile*r_pad ~ 96) underfills the 128-row array
@@ -221,9 +251,12 @@ def _ctx_core_fwd(vf, colv, fml, window, temp, t, r, r_pad, tile):
                              inv_temp=1.0 / temp, precision=_prec(vf.dtype),
                              tile=tile)
     ins, outs = _specs(n_ext, e, [(m_rows, e)])
+    # output in the input dtype (bf16 in bf16 mode): every consumer of u
+    # casts to the compute dtype anyway, and the f32 [B,T·R,E] write+reads
+    # were pure HBM traffic. The fm_c/den scale is folded into the store.
     u = pl.pallas_call(
         kern, grid=(b,), in_specs=ins, out_specs=outs[0],
-        out_shape=_sds((b, m_rows, e), jnp.float32, _vma_of(vf, colv, fml)),
+        out_shape=_sds((b, m_rows, e), vf.dtype, _vma_of(vf, colv, fml)),
         interpret=_interpret(),
     )(vf, colv, fml)
     return u, (vf, colv, fml)
@@ -245,7 +278,10 @@ def _ctx_core_bwd(window, temp, t, r, r_pad, tile, res, du):
         out_shape=[_sds((b, n_ext, e), jnp.float32, vma),
                    _sds((b, m_rows, e), jnp.float32, vma)],
         interpret=_interpret(),
-    )(vf, colv, fml, du.astype(jnp.float32))
+    )(vf, colv, fml, du.astype(vf.dtype))   # du rides in the compute dtype:
+    # the kernel multiplies it by the row scale and immediately casts to
+    # vf.dtype for the dalpha matmul — upcasting to f32 here only doubled
+    # its HBM bytes
     # query-side grads belong to the center rows of vf
     dvf = dvf.at[:, window * r_pad:window * r_pad + m_rows, :].add(dvc)
     return dvf.astype(vf.dtype), None, None
@@ -303,14 +339,14 @@ def ctx_mix_pallas(v_ext: jax.Array, fm_ext: jax.Array, window: int,
         rm = jnp.pad(rm_ext, ((0, 0), (0, 0), (0, r_pad - r))) \
             if r_pad != r else rm_ext
         colv = colv * rm.reshape(b, 1, n_ext)
-    u_num = _ctx_core(vf, colv, fml, window, float(temp), t, r, r_pad,
-                      tile)                                 # [B, T*r_pad, E]
-    u_num = u_num.reshape(b, t, r_pad, e)[:, :, :r, :]
+    u = _ctx_core(vf, colv, fml, window, float(temp), t, r, r_pad,
+                  tile)                                     # [B, T*r_pad, E]
+    # fm_c masking and the /den averaging are already folded into the
+    # kernel's store (per-row scale from the frame-validity row)
+    u = u.reshape(b, t, r_pad, e)[:, :, :r, :]
     center = jnp.arange(t) + window
     fm_c = fm_ext[:, window:window + t]
     offs = [o for o in range(-window, window + 1) if o != 0]
     nbr_valid = jnp.stack([fm_ext[:, center + o] for o in offs],
                           axis=2) * fm_c[:, :, None]        # [B,T,O]
-    den = jnp.maximum(jnp.sum(nbr_valid, axis=-1), 1.0)
-    u = u_num * fm_c[:, :, None, None] / den[:, :, None, None]
     return u, nbr_valid

@@ -109,6 +109,13 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
     w_emb = G.embed_words(batch["word_ids"], params["word_emb"])
     v_emb = G.project_regions(feats, params["w_v"], params["b_v"],
                               dtype=jnp.dtype(mc.dtype))
+    if cdt is not None:
+        # store v̂ in the compute dtype: every consumer (similarity, ctx
+        # kernel, select one-hot, cross einsum) casts to it anyway, and the
+        # f32 [B,T,R,E] copy is pure HBM traffic — measured -61 us/step at
+        # config4 shapes. The normalize itself stays f32 inside
+        # project_regions; f32 mode (oracle parity) is unchanged.
+        v_emb = v_emb.astype(cdt)
     s = G.mask_regions(G.similarity_tensor(w_emb, v_emb, dtype=cdt), rm)
 
     # --- context mixing (shared by context pooling and the ctx loss: the
