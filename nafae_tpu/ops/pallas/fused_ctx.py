@@ -74,7 +74,7 @@ def _band(m_rows, n_t, r_pad, r, w):
     return (off != 0) & (off >= -w) & (off <= w) & (lane_r < r)
 
 
-def _selectors(n_t, gf, r_pad):
+def _selectors(n_t, gf, r_pad, dtype=jnp.float32):
     """In-kernel one-hot frame-group selectors: sel1 [n_t, gf] (column ->
     its frame group), sel2 [gf, n_t] (group -> its columns). Built from int
     iota comparisons — no transposes, no host inputs."""
@@ -82,7 +82,7 @@ def _selectors(n_t, gf, r_pad):
           == jax.lax.broadcasted_iota(jnp.int32, (n_t, gf), 1))
     s2 = (jax.lax.broadcasted_iota(jnp.int32, (gf, n_t), 1) // r_pad
           == jax.lax.broadcasted_iota(jnp.int32, (gf, n_t), 0))
-    return s1.astype(jnp.float32), s2.astype(jnp.float32)
+    return s1.astype(dtype), s2.astype(dtype)
 
 
 def _row_scale(fml_slab, m_t, n_t, r_pad, w):
@@ -107,7 +107,23 @@ def _row_scale(fml_slab, m_t, n_t, r_pad, w):
     return fm_c / jnp.maximum(nbr_cnt, 1.0)
 
 
-def _alpha_from_scores(s, colv_slab, fml_slab, *, gt, w, r, r_pad):
+def _sel_dot(a, sel, dot_dtype):
+    """Group-sum via selector matmul. In f32 mode: HIGHEST (exact, oracle
+    parity). In bf16 mode: one MXU pass on bf16 operands with f32
+    accumulation — the 0/1 selector is exact either way; only the summand
+    rounding differs, which is the opted-in reduced-precision contract.
+    (The previous always-HIGHEST form cost 6 MXU passes per selector
+    matmul even in bf16 mode.)"""
+    prec = (jax.lax.Precision.DEFAULT if jnp.dtype(dot_dtype) == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    return jax.lax.dot_general(a.astype(dot_dtype), sel,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
+
+
+def _alpha_from_scores(s, colv_slab, fml_slab, *, gt, w, r, r_pad,
+                       dot_dtype=jnp.float32):
     """Masked band softmax from raw scores s [M_t,N_t] (already /temp):
     returns (alpha, bs, sel1, sel2). Shared by fwd and bwd tiles so the
     semantics (uniform-fallback groups included) cannot drift."""
@@ -115,13 +131,9 @@ def _alpha_from_scores(s, colv_slab, fml_slab, *, gt, w, r, r_pad):
     band = _band(m_t, n_t, r_pad, r, w)
     live = band & (colv_slab > 0)
     ex = jnp.where(live, jnp.exp(s), 0.0)
-    sel1, sel2 = _selectors(n_t, gt + 2 * w, r_pad)
-    hp = jax.lax.Precision.HIGHEST
-    dn = (((1,), (0,)), ((), ()))
-    gs = jax.lax.dot_general(ex, sel1, dn,
-                             preferred_element_type=jnp.float32, precision=hp)
-    bs = jax.lax.dot_general(gs, sel2, dn,
-                             preferred_element_type=jnp.float32, precision=hp)
+    sel1, sel2 = _selectors(n_t, gt + 2 * w, r_pad, dtype=dot_dtype)
+    gs = _sel_dot(ex, sel1, dot_dtype)
+    bs = _sel_dot(gs, sel2, dot_dtype)
     frame_band = band & (fml_slab > 0)
     alpha = jnp.where(bs > 0, ex / jnp.maximum(bs, 1e-30),
                       jnp.where(frame_band, 1.0 / r, 0.0))
@@ -142,7 +154,7 @@ def _tile_alpha(vf, colv, fml, t0, gt, *, w, r, r_pad, inv_temp, precision):
                             precision=precision) * inv_temp
     alpha, bs, sel1, sel2 = _alpha_from_scores(
         s, colv[:, c0:c0 + n_t], fml[:, c0:c0 + n_t],
-        gt=gt, w=w, r=r, r_pad=r_pad)
+        gt=gt, w=w, r=r, r_pad=r_pad, dot_dtype=vf.dtype)
     return alpha, bs, vc, cols, sel1, sel2
 
 
@@ -175,7 +187,6 @@ def _bwd_kernel(vf_ref, colv_ref, fml_ref, du_ref, dvf_ref, dvc_ref,
     colv = colv_ref[0]
     fml = fml_ref[0]
     du = du_ref[0]                                          # [M, E] vf dtype
-    hp = jax.lax.Precision.HIGHEST
     dn = (((1,), (0,)), ((), ()))
     dn_t = (((1,), (1,)), ((), ()))
     dn_c = (((0,), (0,)), ((), ()))
@@ -199,15 +210,11 @@ def _bwd_kernel(vf_ref, colv_ref, fml_ref, du_ref, dvf_ref, dvc_ref,
                                  precision=precision)       # [2M_t, N_t]
         alpha, bs, sel1, sel2 = _alpha_from_scores(
             sd[:m_t] * inv_temp, colv[:, c0:c0 + n_t], fml[:, c0:c0 + n_t],
-            gt=gt, w=w, r=r, r_pad=r_pad)
+            gt=gt, w=w, r=r, r_pad=r_pad, dot_dtype=vf.dtype)
         dalpha = sd[m_t:]
         ad = alpha * dalpha
-        gs2 = jax.lax.dot_general(ad, sel1, dn,
-                                  preferred_element_type=jnp.float32,
-                                  precision=hp)
-        bs2 = jax.lax.dot_general(gs2, sel2, dn,
-                                  preferred_element_type=jnp.float32,
-                                  precision=hp)
+        gs2 = _sel_dot(ad, sel1, vf.dtype)
+        bs2 = _sel_dot(gs2, sel2, vf.dtype)
         # softmax Jacobian per group; uniform-fallback groups (bs==0) have
         # constant alpha => zero gradient
         ds = jnp.where(bs > 0, (ad - alpha * bs2) * inv_temp, 0.0)
