@@ -169,3 +169,67 @@ def test_convert_detector_resnet50(tmp_path):
     import jax.numpy as jnp
     out = jax.jit(model.apply)(converted, jnp.zeros((1, 64, 64, 3)))
     assert np.isfinite(np.asarray(out["feats"])).all()
+
+
+def test_platform_override_env(monkeypatch):
+    """NAFAE_PLATFORM applies via jax.config (the axon plugin ignores the
+    plain JAX_PLATFORMS env var, so the CLIs need this knob)."""
+    import jax
+
+    from nafae_tpu.utils import apply_platform_override
+
+    calls = []
+    monkeypatch.setattr(jax.config, "update",
+                        lambda k, v: calls.append((k, v)))
+    monkeypatch.delenv("NAFAE_PLATFORM", raising=False)
+    apply_platform_override()
+    assert calls == []                      # unset -> no touch
+    monkeypatch.setenv("NAFAE_PLATFORM", "cpu")
+    apply_platform_override()
+    assert calls == [("jax_platforms", "cpu")]
+
+
+def test_profile_step_trace_parser(tmp_path):
+    """scripts/profile_step.parse_trace: device-plane XLA ops only, the
+    steps_per_call `while` wrapper dropped, durations summed by op name."""
+    import gzip
+    import importlib.util
+    import json
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "profile_step", os.path.join(os.path.dirname(__file__), "..",
+                                     "scripts", "profile_step.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["profile_step"] = mod
+    spec.loader.exec_module(mod)
+
+    run = tmp_path / "plugins" / "profile" / "r1"
+    run.mkdir(parents=True)
+    trace = {"traceEvents": [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 3, "tid": 7, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        {"ph": "M", "pid": 9, "name": "process_name",
+         "args": {"name": "/host:CPU"}},
+        {"ph": "M", "pid": 9, "tid": 1, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        # counted: device pid, ops tid
+        {"ph": "X", "pid": 3, "tid": 7, "name": "fusion.1", "dur": 10.0,
+         "args": {"long_name": "%fusion.1 = f32[2]{0} fusion(...)"}},
+        {"ph": "X", "pid": 3, "tid": 7, "name": "fusion.1", "dur": 5.0},
+        {"ph": "X", "pid": 3, "tid": 7, "name": "copy.2", "dur": 1.5},
+        # dropped: the enclosing scan while (double-counts its body)
+        {"ph": "X", "pid": 3, "tid": 7, "name": "while.9", "dur": 99.0},
+        # dropped: host pid, wrong tid
+        {"ph": "X", "pid": 9, "tid": 1, "name": "hostop", "dur": 50.0},
+        {"ph": "X", "pid": 3, "tid": 8, "name": "otherline", "dur": 50.0},
+    ]}
+    with gzip.open(run / "vm.trace.json.gz", "wt") as fh:
+        json.dump(trace, fh)
+
+    per_op, hlo, total = mod.parse_trace(str(tmp_path))
+    assert per_op == {"fusion.1": 15.0, "copy.2": 1.5}
+    assert total == 16.5
+    assert "fusion" in hlo["fusion.1"]
