@@ -181,6 +181,58 @@ def bench_jax_eval(s, iters=256, steps_per_call=256):
     return s["B"] * s["T"] / dt, dt
 
 
+def bench_inline(iters=64, steps_per_call=16, image_size=320, b=2, t=8):
+    """Config-5 inline step: frames -> frozen Faster R-CNN -> fused losses,
+    one XLA program (the BASELINE north star's "feature+loss fused" form).
+    Synthetic frames stand in for decoded video; decode runs in loader
+    workers off the measured path. Returns frames/sec/chip."""
+    import jax
+
+    from nafae_tpu.config import load_config
+    from nafae_tpu.models.detector.faster_rcnn import init_detector
+    from nafae_tpu.train import TrainState, make_optimizer, make_train_step
+
+    steps_per_call = max(1, min(steps_per_call, iters))
+    cfg = load_config(preset_name="config5", overrides=[
+        f"data.batch_size={b}", f"data.max_frames={t}",
+        f"detector.image_size={image_size}",
+        "loss.kmeans_interval=100", "train.kernels=auto",
+        "model.dtype=bfloat16", "model.matmul_precision=default",
+    ])
+    rng = np.random.RandomState(0)
+    batch = {
+        "frames": rng.rand(b, t, image_size, image_size, 3).astype(np.float32),
+        "word_ids": rng.randint(0, 67, (b, 4)).astype(np.int32),
+        "frame_mask": np.ones((b, t), np.float32),
+        "word_mask": np.ones((b, 4), np.float32),
+        "segment_id": np.arange(b, dtype=np.int32),
+    }
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+    det_model, det_params = init_detector(jax.random.PRNGKey(0), cfg.detector)
+    step = make_train_step(cfg, make_optimizer(cfg),
+                           extractor=(det_model.apply, det_params))
+
+    @jax.jit
+    def multi(state, batch):
+        def body(st, _):
+            st, metrics = step(st, batch)
+            return st, metrics["loss"]
+        return jax.lax.scan(body, state, None, length=steps_per_call)
+
+    state = TrainState.create(jax.random.PRNGKey(0), cfg)
+    state, losses = multi(state, batch)
+    ncalls = max(1, iters // steps_per_call)
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(ncalls):
+            state, losses = multi(state, batch)
+        float(np.asarray(state.params["b_v"])[0])
+        best = min(best, time.perf_counter() - t0)
+    dt = best / (ncalls * steps_per_call)
+    return b * t / dt, dt, float(losses[-1])
+
+
 def bench_torch(s, iters=3, warmup=1):
     """Vectorized torch-cpu train step on the same shapes (the baseline)."""
     import torch
@@ -273,7 +325,10 @@ def main():
     p.add_argument("--no-pallas", action="store_true",
                    help="alias for --kernels jnp")
     p.add_argument("--remeasure-baseline", action="store_true")
-    p.add_argument("--mode", choices=("train", "eval"), default="train")
+    p.add_argument("--mode", choices=("train", "eval", "e2e"),
+                   default="train",
+                   help="e2e = config-5 inline step (frames -> frozen "
+                        "detector -> fused losses in one XLA program)")
     args = p.parse_args()
     s = QUICK if args.quick else SHAPES
     _require_tpu()
@@ -284,6 +339,16 @@ def main():
         fps, dt = bench_jax_eval(s)
         print(json.dumps({
             "metric": "grounding_eval_frames_per_sec_per_chip",
+            "value": round(fps, 1),
+            "unit": "frames/sec",
+            "vs_baseline": None,
+        }))
+        return
+
+    if args.mode == "e2e":
+        fps, dt, loss = bench_inline()
+        print(json.dumps({
+            "metric": "inline_extract_train_frames_per_sec_per_chip",
             "value": round(fps, 1),
             "unit": "frames/sec",
             "vs_baseline": None,
