@@ -105,6 +105,10 @@ class DetectorConfig:
     image_size: int = 640
     num_proposals: int = 20       # R kept after NMS
     rpn_pre_nms_topk: int = 1024
+    approx_topk: bool = True      # lax.approx_max_k for the pre-NMS top-k
+                                  # (TPU-native, recall ~0.95; exact on CPU.
+                                  # set False for reference-checkpoint
+                                  # detection parity, docs/PARITY.md §3)
     nms_iou_thresh: float = 0.7
     anchor_scales: tuple = (32, 64, 128, 256, 512)
     anchor_ratios: tuple = (0.5, 1.0, 2.0)

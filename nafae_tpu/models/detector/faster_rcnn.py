@@ -57,7 +57,8 @@ class FasterRCNNExtractor(nn.Module):
         boxes, scores, keep_valid = select_proposals_batched(
             obj, deltas, anchors, cfg.image_size, cfg.rpn_pre_nms_topk,
             cfg.num_proposals, cfg.nms_iou_thresh,
-            nms_impl="pallas" if self.use_pallas_nms else "jnp")
+            nms_impl="pallas" if self.use_pallas_nms else "jnp",
+            topk_impl="approx" if cfg.approx_topk else "exact")
 
         if self.use_pallas_roi_align:
             from nafae_tpu.ops.pallas.roi_align import roi_align_pallas

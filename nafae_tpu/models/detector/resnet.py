@@ -90,4 +90,9 @@ class ResNetC5Head(nn.Module):
         y = rois
         for b in range(self.blocks):
             y = Bottleneck(512, 2 if b == 0 else 1)(y)      # -> [N,4,4,2048]
-        return jnp.mean(y, axis=(1, 2))     # global average pool -> [N, 2048]
+        # global average pool. Merging the 4x4 spatial dims BEFORE the
+        # reduce matters on TPU: reducing [N,4,4,2048] directly makes XLA
+        # relayout to T(4,128) minor-4 tiles (~170 us/step, 16% of the
+        # inline config-5 step); the [N,16,2048] reduce keeps (8,128) tiles.
+        n, h, w, c = y.shape
+        return jnp.mean(y.reshape(n, h * w, c), axis=1)     # -> [N, 2048]

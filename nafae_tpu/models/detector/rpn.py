@@ -31,15 +31,26 @@ def select_proposals_batched(obj_logits: jax.Array, deltas: jax.Array,
                              anchors: jax.Array, image_size: int,
                              pre_nms_topk: int, num_proposals: int,
                              nms_iou: float = 0.7,
-                             nms_impl: str = "jnp"
+                             nms_impl: str = "jnp",
+                             topk_impl: str = "exact"
                              ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched proposal selection: obj [B,N], deltas [B,N,4] ->
     (boxes [B,R,4], scores [B,R], keep_valid [B,R]). keep_valid marks the
     NMS survivors — it becomes the batch's region_mask so downstream
     max/softmax/losses can exclude dead proposal slots. nms_impl="pallas"
-    uses the on-chip suppression kernel (ops/pallas/nms.py)."""
+    uses the on-chip suppression kernel (ops/pallas/nms.py).
+
+    topk_impl="approx" uses lax.approx_max_k — the TPU-native partial
+    reduction (recall ~0.95 of the exact top-k; a full [B,N] sort cost
+    ~8% of the inline config-5 step). On CPU it falls back to exact.
+    Proposal recall is insensitive to the tail of the pre-NMS pool; use
+    "exact" when comparing detections against a converted reference
+    checkpoint (docs/PARITY.md §3)."""
     k = min(pre_nms_topk, obj_logits.shape[-1])
-    scores, idx = jax.lax.top_k(obj_logits, k)                  # [B,k]
+    if topk_impl == "approx":
+        scores, idx = jax.lax.approx_max_k(obj_logits, k)       # [B,k]
+    else:
+        scores, idx = jax.lax.top_k(obj_logits, k)              # [B,k]
     boxes = jax.vmap(lambda i, d: decode_boxes(
         jnp.take(anchors, i, axis=0), d, image_size))(
         idx, jnp.take_along_axis(deltas, idx[..., None], axis=1))
