@@ -181,7 +181,7 @@ def bench_jax_eval(s, iters=256, steps_per_call=256):
     return s["B"] * s["T"] / dt, dt
 
 
-def bench_inline(iters=64, steps_per_call=16, image_size=320, b=2, t=8):
+def bench_inline(iters=64, steps_per_call=64, image_size=320, b=2, t=8):
     """Config-5 inline step: frames -> frozen Faster R-CNN -> fused losses,
     one XLA program (the BASELINE north star's "feature+loss fused" form).
     Synthetic frames stand in for decoded video; decode runs in loader

@@ -90,9 +90,15 @@ class ResNetC5Head(nn.Module):
         y = rois
         for b in range(self.blocks):
             y = Bottleneck(512, 2 if b == 0 else 1)(y)      # -> [N,4,4,2048]
-        # global average pool. Merging the 4x4 spatial dims BEFORE the
-        # reduce matters on TPU: reducing [N,4,4,2048] directly makes XLA
-        # relayout to T(4,128) minor-4 tiles (~170 us/step, 16% of the
-        # inline config-5 step); the [N,16,2048] reduce keeps (8,128) tiles.
+        # global average pool as static per-plane adds: both jnp.mean forms
+        # (over (1,2), or over a merged h*w axis) make XLA relayout the
+        # conv output to minor-4 T(4,128) tiles (~113 us/step, 16% of the
+        # inline config-5 step); summing the h*w static [N,C] slices fuses
+        # into one pass over the conv layout with no relayout.
         n, h, w, c = y.shape
-        return jnp.mean(y.reshape(n, h * w, c), axis=1)     # -> [N, 2048]
+        acc = y[:, 0, 0, :]
+        for i in range(h):
+            for j in range(w):
+                if i or j:
+                    acc = acc + y[:, i, j, :]
+        return acc * (1.0 / (h * w))                        # -> [N, 2048]

@@ -31,16 +31,26 @@ def nms(boxes: jax.Array, scores: jax.Array, num_keep: int,
     # IoU rows are computed lazily per selected box: the full [N,N] matrix
     # costs O(N^2) HBM (at N=1024, 16 frames it was ~40% of the inline
     # config-5 step's device time) while the greedy loop only ever reads
-    # num_keep rows. Same formula (ops/iou.box_iou), exact same survivors.
-    from nafae_tpu.ops.iou import box_iou
+    # num_keep rows. The coordinates are split into [N] planes OUTSIDE the
+    # scan: indexing the packed [N,4] array inside the scan body made XLA
+    # relayout it to coordinate planes every step (a 111 us/step copy at
+    # the inline shapes). Same formula as ops/iou.box_iou, exact same
+    # survivors (tested vs classic greedy).
+    x1, y1, x2, y2 = (boxes[:, i] for i in range(4))        # [N] each
+    areas = jnp.clip(x2 - x1, 0.0, None) * jnp.clip(y2 - y1, 0.0, None)
     live = scores > score_thresh
 
     def body(live, _):
         s = jnp.where(live, scores, NEG)
         best = jnp.argmax(s)
         valid = s[best] > NEG
-        bb = jax.lax.dynamic_index_in_dim(boxes, best, 0, keepdims=True)
-        iou_row = box_iou(bb, boxes)                        # [N]
+        bx1, by1, bx2, by2 = x1[best], y1[best], x2[best], y2[best]
+        iw = jnp.clip(jnp.minimum(bx2, x2) - jnp.maximum(bx1, x1), 0.0, None)
+        ih = jnp.clip(jnp.minimum(by2, y2) - jnp.maximum(by1, y1), 0.0, None)
+        inter = iw * ih
+        union = areas[best] + areas - inter
+        iou_row = jnp.where(union > 0, inter / jnp.maximum(union, 1e-12),
+                            0.0)                            # [N]
         # kill the selected box and all its high-IoU neighbors
         suppress = (iou_row > iou_thresh) | (
             jnp.arange(scores.shape[0]) == best)
