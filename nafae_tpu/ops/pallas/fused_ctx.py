@@ -298,14 +298,16 @@ _ctx_core.defvjp(_ctx_core_fwd, _ctx_core_bwd)
 
 
 def _pick_tile(t: int, w: int) -> int:
-    """Frame-tile size: banded tiles pay off once the band is a small
-    fraction of the full [T·R, T_ext·R] matrix; below that the single big
-    matmul (tile=T) wins on MXU utilization. Measured on v5e at production
-    shapes (T=20, w=3): tile=4 is the sweet spot (see docs/PERF.md)."""
-    for g in (4, 5, 3, 6):
-        if t >= 2 * g and (g + 2 * w) * 2 <= (t + 2 * w):
-            return g
-    return t
+    """Frame-tile size. Sweep on v5e at production shapes (T=20, w=3, bf16,
+    after the selector-dtype fix): tile=10 360 us fwd+bwd, tile=4 385,
+    tile=5 403, tile=3 427, tile=2 and tile=20 461. Cheap selectors moved
+    the optimum up — bigger tiles fill the MXU's 128 rows (M_t = tile·r_pad)
+    and amortize per-tile overhead — while the unbanded tile=T re-pays the
+    full-matrix FLOPs. Capped at 10 to bound the [M_t, N_t] slab VMEM for
+    long clips."""
+    if t <= 4:
+        return t
+    return min(10, max(4, t // 2))
 
 
 def ctx_mix_pallas(v_ext: jax.Array, fm_ext: jax.Array, window: int,
