@@ -181,7 +181,8 @@ def bench_jax_eval(s, iters=256, steps_per_call=256):
     return s["B"] * s["T"] / dt, dt
 
 
-def bench_inline(iters=64, steps_per_call=64, image_size=320, b=2, t=8):
+def bench_inline(iters=64, steps_per_call=64, image_size=320, b=2, t=8,
+                 kernels="auto"):
     """Config-5 inline step: frames -> frozen Faster R-CNN -> fused losses,
     one XLA program (the BASELINE north star's "feature+loss fused" form).
     Synthetic frames stand in for decoded video; decode runs in loader
@@ -196,7 +197,7 @@ def bench_inline(iters=64, steps_per_call=64, image_size=320, b=2, t=8):
     cfg = load_config(preset_name="config5", overrides=[
         f"data.batch_size={b}", f"data.max_frames={t}",
         f"detector.image_size={image_size}",
-        "loss.kmeans_interval=100", "train.kernels=auto",
+        "loss.kmeans_interval=100", f"train.kernels={kernels}",
         "model.dtype=bfloat16", "model.matmul_precision=default",
     ])
     rng = np.random.RandomState(0)
@@ -346,7 +347,12 @@ def main():
         return
 
     if args.mode == "e2e":
-        fps, dt, loss = bench_inline()
+        kw = dict(iters=args.iters)
+        if args.no_pallas or args.kernels != "auto":
+            kw["kernels"] = "jnp" if args.no_pallas else args.kernels
+        if args.quick:
+            kw.update(image_size=128, b=1, t=4, steps_per_call=16)
+        fps, dt, loss = bench_inline(**kw)
         print(json.dumps({
             "metric": "inline_extract_train_frames_per_sec_per_chip",
             "value": round(fps, 1),

@@ -70,11 +70,12 @@ def select_proposals_batched(obj_logits: jax.Array, deltas: jax.Array,
 def select_proposals(obj_logits: jax.Array, deltas: jax.Array,
                      anchors: jax.Array, image_size: int,
                      pre_nms_topk: int, num_proposals: int,
-                     nms_iou: float = 0.7
+                     nms_iou: float = 0.7, nms_impl: str = "jnp",
+                     topk_impl: str = "exact"
                      ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Per-image form of select_proposals_batched (same 3-tuple contract,
     without the leading batch axis)."""
     boxes, scores, keep_valid = select_proposals_batched(
         obj_logits[None], deltas[None], anchors, image_size, pre_nms_topk,
-        num_proposals, nms_iou)
+        num_proposals, nms_iou, nms_impl=nms_impl, topk_impl=topk_impl)
     return boxes[0], scores[0], keep_valid[0]

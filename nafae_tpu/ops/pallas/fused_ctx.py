@@ -307,7 +307,13 @@ def _pick_tile(t: int, w: int) -> int:
     long clips."""
     if t <= 4:
         return t
-    return min(10, max(4, t // 2))
+    # VMEM cap: keep the per-tile [g·r_pad, (g+2w)·r_pad] slab near the
+    # swept tile=10/w=3 size (10·16 = 160 frame-pairs); larger windows
+    # shrink the cap accordingly
+    cap = 10
+    while cap > 4 and cap * (cap + 2 * w) > 160:
+        cap -= 1
+    return min(cap, max(4, t // 2))
 
 
 def ctx_mix_pallas(v_ext: jax.Array, fm_ext: jax.Array, window: int,

@@ -78,11 +78,15 @@ def main():
         os.environ["JAX_PLATFORMS"] = ""
     import jax
 
-    from nafae_tpu.utils import enable_compilation_cache, maybe_require_tpu
-    maybe_require_tpu()
+    from nafae_tpu.utils import enable_compilation_cache
     if jax.default_backend() != "tpu":
-        print("profile_step: not on TPU; set NAFAE_REQUIRE_TPU=1 under "
-              "scripts/tpu_run.sh for the retry loop", file=sys.stderr)
+        # CLAUDE.md rule: a lost chip silently falls back to CPU, so every
+        # TPU measurement script must check the backend. Exit 3 = the
+        # scripts/tpu_run.sh retry contract.
+        print("profile_step: backend is "
+              f"{jax.default_backend()!r}, not 'tpu'; exiting 3 for the "
+              "tpu_run.sh retry loop", file=sys.stderr)
+        sys.exit(3)
     enable_compilation_cache()
 
     s = {k: int(v) for k, v in
