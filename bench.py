@@ -76,6 +76,10 @@ def bench_jax(s, iters=256, warmup=1, kernels="auto", dtype="bfloat16",
     from nafae_tpu.config import load_config
     from nafae_tpu.train import TrainState, make_optimizer, make_train_step
 
+    if dtype == "bfloat16" and jax.default_backend() == "cpu":
+        # the CPU backend's DotThunk cannot execute bf16 x bf16 -> f32;
+        # CPU runs (NAFAE_BENCH_ALLOW_CPU smoke) measure f32 instead
+        dtype = "float32"
     cfg = load_config(preset_name="config4", overrides=[
         f"model.feat_dim={s['D']}", f"model.embed_dim={s['E']}",
         f"data.batch_size={s['B']}", f"loss.num_clusters={s['KC']}",

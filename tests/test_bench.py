@@ -1,0 +1,74 @@
+"""Smoke tests for bench.py — the driver-run benchmark contract.
+
+These run the real bench code paths at tiny shapes on CPU: the train
+bench (scan protocol + baseline cache), the eval bench, the inline
+config-5 bench, and the JSON output shape of main().
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import bench
+
+
+def test_bench_jax_quick_runs():
+    fps, dt, loss = bench.bench_jax(bench.QUICK, iters=2, steps_per_call=2,
+                                    repeats=1)
+    assert fps > 0 and dt > 0
+    assert np.isfinite(loss)
+
+
+def test_bench_eval_quick_runs():
+    fps, dt = bench.bench_jax_eval(bench.QUICK, iters=2, steps_per_call=2)
+    assert fps > 0 and dt > 0
+
+
+def test_bench_inline_quick_runs():
+    fps, dt, loss = bench.bench_inline(iters=1, steps_per_call=1,
+                                       image_size=64, b=1, t=2)
+    assert fps > 0
+    assert np.isfinite(loss)
+
+
+def test_bench_torch_baseline_and_cache(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "BASELINE_CACHE",
+                        str(tmp_path / "cache.json"))
+    base = bench.get_baseline(bench.QUICK)
+    assert base["frames_per_sec"] > 0
+    # second call reads the cache (mutate the file to prove it)
+    with open(bench.BASELINE_CACHE) as fh:
+        cache = json.load(fh)
+    key = next(iter(cache))
+    cache[key]["frames_per_sec"] = 123.0
+    with open(bench.BASELINE_CACHE, "w") as fh:
+        json.dump(cache, fh)
+    assert bench.get_baseline(bench.QUICK)["frames_per_sec"] == 123.0
+
+
+def test_bench_main_json_contract():
+    """`python bench.py --quick` prints ONE JSON line with the driver's
+    required keys (metric/value/unit/vs_baseline)."""
+    env = dict(os.environ)
+    env["NAFAE_BENCH_ALLOW_CPU"] = "1"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         # force CPU the only way that works under the axon plugin (config
+         # update after import); redirect the baseline cache out of the repo
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import sys, tempfile, os;"
+         "sys.argv=['bench.py','--quick','--iters','2','--kernels','jnp'];"
+         "import bench;"
+         "bench.BASELINE_CACHE=os.path.join(tempfile.mkdtemp(),'c.json');"
+         "bench.main()"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."), timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert set(out) == {"metric", "value", "unit", "vs_baseline"}
+    assert out["value"] > 0
