@@ -77,10 +77,12 @@ class TrainConfig:
     log_every: int = 50
     eval_every: int = 1000
     use_pallas: bool = False      # legacy: True == kernels="pallas"
-    kernels: str = ""             # "" (derive from use_pallas) | "jnp" |
-                                  # "pallas" (fused cross_mil + ctx kernels) |
-                                  # "auto" (XLA cross path + Pallas ctx — the
-                                  # measured-best mix, see docs/PERF.md)
+    kernels: str = "auto"         # "auto" (default: XLA cross path + Pallas
+                                  # ctx kernel on TPU — the measured-best
+                                  # mix, docs/PERF.md — and pure-XLA on CPU,
+                                  # where interpret-mode kernels would crawl)
+                                  # | "jnp" | "pallas" (both fused kernels)
+                                  # | "" (legacy: derive from use_pallas)
     donate: bool = True
     steps_per_call: int = 1       # lax.scan this many steps inside ONE XLA call
                                   # (amortizes dispatch; batches stack on a lead axis)

@@ -82,9 +82,13 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
     # kernel routing (cfg.train.kernels): "jnp" = pure-XLA everywhere;
     # "pallas" = fused cross_mil + fused ctx kernels; "auto" = the measured
     # best mix — XLA's batched einsum+reduce for the cross/MIL path, the
-    # frame-banded Pallas kernel for the ctx path (see docs/PERF.md)
+    # frame-banded Pallas kernel for the ctx path (see docs/PERF.md).
+    # "auto" is backend-aware: off-TPU the ctx kernel would run in
+    # interpret mode (orders of magnitude slower than the identical jnp
+    # math), so "auto" means Pallas only when a real TPU is the backend.
     pallas_mil = kernels == "pallas"
-    pallas_ctx = kernels in ("pallas", "auto")
+    pallas_ctx = kernels == "pallas" or (
+        kernels == "auto" and jax.default_backend() == "tpu")
     lc, mc = cfg.loss, cfg.model
     all_axes = tuple(a for a in (data_axis, frame_axis) if a)
     if extractor is not None and "frames" in batch:
