@@ -26,6 +26,11 @@ from nafae_tpu.ops.kmeans import kmeans_init, kmeans_lloyd
 from nafae_tpu.parallel import sharding as S
 
 
+# routing gate for the fused diag-epilogue kernel (A/B toggle; the kernel
+# itself only engages under the pallas/auto-on-TPU kernel modes)
+DIAG_KERNEL = True
+
+
 @struct.dataclass
 class TrainState:
     step: jax.Array
@@ -174,6 +179,43 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
                              jnp.asarray(diag_local.shape[0], jnp.float32),
                              data_axis)
     aux = {"l_rank": l_rank, "score_pos": score_pos}
+
+    # --- diag epilogue: ctx loss + top-region select + cluster ---------------
+    # fused kernel route (ops/pallas/fused_diag.py): one VMEM pass per video
+    # instead of the materialized s/ŝ tensors + XLA's backward remat of the
+    # fused argmax. Exact same math (tested, values and grads) but measured
+    # SLOWER than XLA's fusions at config4 shapes (1423 vs 1072 us/step —
+    # the per-frame argmax/cluster loop is 40 tiny ops XLA batches better),
+    # so it rides only the experimental kernels="pallas" mode; "auto" keeps
+    # the jnp path below.
+    diag_out = None
+    if (DIAG_KERNEL and pallas_mil and ctx_on
+            and lc.ctx_weight > 0 and lc.cluster_weight > 0):
+        from nafae_tpu.ops.pallas.fused_diag import diag_epilogue_pallas
+        has_ctx = (jnp.sum(nbr_valid, axis=-1) > 0).astype(fm.dtype)
+        diag_out = diag_epilogue_pallas(w_emb, v_emb, u, centers, fm, rm,
+                                        has_ctx, dtype=cdt)
+    if diag_out is not None:
+        ctx_kt, clu_kt, f_tk = diag_out                # f_tk [B,T,K,E]
+        m3 = wm[:, :, None] * fm[:, None, :] * has_ctx[:, None, :]
+        rsum = (jnp.sum(rm, axis=-1) if rm is not None
+                else jnp.full(fm.shape, float(feats.shape[2])))
+        l_ctx = _global_mean(jnp.sum(wm[:, :, None] * ctx_kt),
+                             jnp.sum(m3 * rsum[:, None, :]), all_axes)
+        total = total + lc.ctx_weight * l_ctx
+        aux["l_ctx"] = l_ctx
+        any_region = ((jnp.max(rm, axis=-1) > 0).astype(wm.dtype)
+                      if rm is not None else jnp.ones_like(fm))
+        valid_tk = (fm * any_region)[:, :, None] * wm[:, None, :]  # [B,T,K]
+        aux["sel_feats"] = f_tk                        # already stop-grad
+        aux["sel_valid"] = valid_tk
+        l_clu = _global_mean(
+            jnp.sum(clu_kt * valid_tk.transpose(0, 2, 1)),
+            jnp.sum(valid_tk), all_axes)
+        total = total + lc.cluster_weight * l_clu
+        aux["l_clu"] = l_clu
+        aux["loss"] = total
+        return total, aux
 
     # --- contextual similarity loss (u computed above) -----------------------
     if ctx_on:

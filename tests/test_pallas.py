@@ -255,3 +255,66 @@ def test_ctx_mix_pallas_window_geq_clip():
             ctx_mix_pallas(ve, fm_ext, w, 0.1)[0])))(v_ext)
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                    rtol=1e-4, atol=1e-5, err_msg=f"T={T}")
+
+
+def test_diag_epilogue_matches_jnp_values_and_grads():
+    """fused_diag kernel == the jnp ctx-loss/select/cluster block (it rides
+    the kernels="pallas" mode; measured slower than XLA at production
+    shapes, see docs/PERF.md, but must stay exact)."""
+    import numpy as np
+
+    from nafae_tpu.ops import grounding as G
+    from nafae_tpu.ops.kmeans import kmeans_assign
+    from nafae_tpu.ops.pallas.fused_diag import diag_epilogue_pallas
+
+    B, K, T, R, E, KC = 3, 5, 6, 7, 32, 11
+    rng = np.random.RandomState(0)
+    nrm = lambda x: x / np.linalg.norm(x, axis=-1, keepdims=True)
+    w = jnp.asarray(nrm(rng.randn(B, K, E)).astype(np.float32))
+    v = jnp.asarray(nrm(rng.randn(B, T, R, E)).astype(np.float32))
+    u = jnp.asarray(rng.randn(B, T, R, E).astype(np.float32)) * 0.5
+    centers = jnp.asarray(nrm(rng.randn(KC, E)).astype(np.float32))
+    fm = jnp.asarray((rng.rand(B, T) > 0.2).astype(np.float32))
+    rm = jnp.asarray((rng.rand(B, T, R) > 0.2).astype(np.float32))
+    hc = jnp.asarray((rng.rand(B, T) > 0.3).astype(np.float32))
+    wm = jnp.asarray((rng.rand(B, K) > 0.2).astype(np.float32))
+    dA, dB = 0.7, 1.3
+
+    def ref_parts(w, v):
+        s = G.mask_regions(G.similarity_tensor(w, v), rm)
+        shat = G.mask_regions(G.similarity_tensor(w, u), rm)
+        mask = (fm[:, None, :, None] * hc[:, None, :, None]
+                * rm[:, None, :, :])
+        sq = (s - jax.lax.stop_gradient(shat)) ** 2
+        ctx_kt = jnp.sum(sq * mask, axis=-1)
+        r_star = jnp.argmax(s, axis=-1)
+        f = jnp.take_along_axis(v[:, None], r_star[..., None, None],
+                                axis=-2)[..., 0, :]
+        target = jax.lax.stop_gradient(
+            jnp.take(centers, kmeans_assign(f, centers), axis=0))
+        clu_kt = jnp.sum((f - target) ** 2, axis=-1)
+        return ctx_kt, clu_kt, f
+
+    def total(parts_fn, w, v):
+        ctx_kt, clu_kt, _ = parts_fn(w, v)
+        return (dA * jnp.sum(wm[:, :, None] * ctx_kt)
+                + dB * jnp.sum(wm[:, :, None] * fm[:, None, :] * clu_kt))
+
+    ker_parts = lambda w, v: diag_epilogue_pallas(w, v, u, centers, fm, rm,
+                                                  hc)
+    ctx_r, clu_r, f_r = jax.jit(lambda: ref_parts(w, v))()
+    ctx_k, clu_k, f_k = jax.jit(lambda: ker_parts(w, v))()
+    np.testing.assert_allclose(np.asarray(ctx_k), np.asarray(ctx_r),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(clu_k), np.asarray(clu_r),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(f_k),
+                               np.asarray(f_r.transpose(0, 2, 1, 3)),
+                               rtol=1e-6, atol=1e-6)
+    g_r = jax.jit(jax.grad(lambda w, v: total(ref_parts, w, v),
+                           argnums=(0, 1)))(w, v)
+    g_k = jax.jit(jax.grad(lambda w, v: total(ker_parts, w, v),
+                           argnums=(0, 1)))(w, v)
+    for a, b, name in zip(g_r, g_k, ("dw", "dv")):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=3e-5, atol=3e-5, err_msg=name)
