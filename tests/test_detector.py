@@ -141,3 +141,20 @@ def test_decode_detections_thresholding():
     assert int(det2["classes"][0]) == 2
     np.testing.assert_allclose(np.asarray(det2["boxes"][0]),
                                [10, 10, 30, 30], atol=1e-5)
+
+
+def test_nms_matches_greedy_large_pool():
+    """The lazy-IoU-row form (coordinate planes hoisted out of the scan)
+    must match greedy at a production-like pre-NMS pool size."""
+    rng = np.random.RandomState(7)
+    n = 512
+    xy = rng.rand(n, 2) * 300
+    wh = rng.rand(n, 2) * 120 + 4
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    ref = _greedy_nms_numpy(boxes, scores, 0.7)
+    keep_idx, keep_valid = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                               num_keep=20, iou_thresh=0.7)
+    nvalid = int(keep_valid.sum())
+    assert list(np.asarray(keep_idx))[:nvalid] == ref[:nvalid]
+    assert nvalid == min(20, len(ref))
