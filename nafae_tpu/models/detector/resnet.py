@@ -94,7 +94,9 @@ class ResNetC5Head(nn.Module):
         # (over (1,2), or over a merged h*w axis) make XLA relayout the
         # conv output to minor-4 T(4,128) tiles (~113 us/step, 16% of the
         # inline config-5 step); summing the h*w static [N,C] slices fuses
-        # into one pass over the conv layout with no relayout.
+        # into one pass over the conv layout with no relayout (an
+        # optimization_barrier variant measured identical — the remaining
+        # neighbor fusion is the C5 1x1 convs' roofline compute).
         n, h, w, c = y.shape
         acc = y[:, 0, 0, :]
         for i in range(h):
