@@ -76,7 +76,9 @@ class TrainConfig:
     keep_ckpts: int = 3
     log_every: int = 50
     eval_every: int = 1000
-    use_pallas: bool = False      # legacy: True == kernels="pallas"
+    use_pallas: bool = False      # legacy: True == kernels="pallas" (honored
+                                  # whenever kernels is left at "auto"/"";
+                                  # an explicit jnp/pallas value wins)
     kernels: str = "auto"         # "auto" (default: XLA cross path + Pallas
                                   # ctx kernel on TPU — the measured-best
                                   # mix, docs/PERF.md — and pure-XLA on CPU,
@@ -90,6 +92,19 @@ class TrainConfig:
                                   # gather batches on device (no per-step host
                                   # transfer; requires a single frame bucket)
     tensorboard_dir: str = ""     # also mirror metrics to TB event files
+
+    def resolved_kernels(self) -> str:
+        """Kernel routing with the legacy flag honored.
+
+        An explicit kernels value ("jnp"/"pallas") wins; when kernels is
+        left at its default ("auto") or at the legacy empty string,
+        use_pallas=True selects "pallas".
+        """
+        if self.kernels not in ("auto", ""):
+            return self.kernels
+        if self.use_pallas:
+            return "pallas"
+        return self.kernels or "jnp"
 
 
 @dataclass

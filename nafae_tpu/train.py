@@ -270,8 +270,7 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
                           * batch["word_ids"].shape[0])
         else:
             row_offset = 0
-        kernels = cfg.train.kernels or (
-            "pallas" if cfg.train.use_pallas else "jnp")
+        kernels = cfg.train.resolved_kernels()
         grad_fn = jax.value_and_grad(compute_losses, has_aux=True)
         (_, aux), grads = grad_fn(state.params, state.centers, batch, cfg,
                                   row_offset, data_axis, kernels,
