@@ -129,6 +129,9 @@ class DetectorConfig:
     nms_iou_thresh: float = 0.7
     anchor_scales: tuple = (32, 64, 128, 256, 512)
     anchor_ratios: tuple = (0.5, 1.0, 2.0)
+    rpn_channels: int = 256       # RPN 3x3 conv width; set 512 to load
+                                  # faster-rcnn.pytorch-lineage checkpoints
+                                  # (utils/torch_convert.convert_faster_rcnn)
     frame_rate: float = 1.0       # sampled frames / second of video
     weights: str = ""             # optional torchvision resnet50 .pth to seed
                                   # the backbone/head (utils/torch_convert)

@@ -79,9 +79,20 @@ def decode_segment(video_path: str, frame_rate: float, max_frames: int,
 
 
 def make_extract_fn(cfg: Config, params=None, key=None):
-    """Returns (jitted frames->{boxes,feats,scores} fn, detector params)."""
+    """Returns (jitted frames->{boxes,feats,scores} fn, detector params).
+
+    With cfg.detector.weights set (and no explicit params), the detector is
+    seeded from the converted torch checkpoint — full RPN + heads for
+    faster-rcnn.pytorch-lineage files, backbone/C5 for plain resnet50
+    (utils/torch_convert.load_detector_weights)."""
     from nafae_tpu.models.detector.faster_rcnn import init_detector
     model, init_p = init_detector(key or jax.random.PRNGKey(0), cfg.detector)
+    if params is None and cfg.detector.weights:
+        from nafae_tpu.utils.torch_convert import load_detector_weights
+        params = load_detector_weights(
+            cfg.detector.weights, init_p,
+            num_scales=len(cfg.detector.anchor_scales),
+            num_ratios=len(cfg.detector.anchor_ratios))
     params = params if params is not None else init_p
     fn = jax.jit(model.apply)
     return fn, params
@@ -154,11 +165,17 @@ def main(argv=None):
     p.add_argument("--yc2bb-json",
                    help="YouCook2-BB box annotations: merge GT into --out "
                         "after extraction (enables eval)")
+    p.add_argument("--ckpt", default=None,
+                   help="torch detector .pth to convert and load "
+                        "(faster-rcnn.pytorch lineage or torchvision "
+                        "resnet50; shorthand for detector.weights)")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
     from nafae_tpu.utils import cli_startup
     cli_startup()
     cfg = load_config(args.config, args.preset, args.override)
+    if args.ckpt:
+        cfg.detector.weights = args.ckpt
     if args.youcook2_json:
         from nafae_tpu.data.annotations import segments_from_youcook2
         anns = segments_from_youcook2(args.youcook2_json, args.video_dir,

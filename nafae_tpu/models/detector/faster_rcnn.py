@@ -36,7 +36,7 @@ class FasterRCNNExtractor(nn.Module):
     def setup(self):
         self.backbone = ResNetC4()
         a = len(self.cfg.anchor_scales) * len(self.cfg.anchor_ratios)
-        self.rpn = RPNHead(num_anchors=a)
+        self.rpn = RPNHead(num_anchors=a, channels=self.cfg.rpn_channels)
         self.head = ResNetC5Head()
         if self.with_detections:
             from nafae_tpu.models.detector.heads import DetectionHead

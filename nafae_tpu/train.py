@@ -533,11 +533,11 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
         det_model, det_params = init_detector(
             jax.random.PRNGKey(cfg.train.seed), cfg.detector)
         if cfg.detector.weights:
-            from nafae_tpu.utils.torch_convert import convert_detector_resnet50
-            import torch
-            sd = torch.load(cfg.detector.weights, map_location="cpu",
-                            weights_only=True)
-            det_params = convert_detector_resnet50(sd, det_params)
+            from nafae_tpu.utils.torch_convert import load_detector_weights
+            det_params = load_detector_weights(
+                cfg.detector.weights, det_params,
+                num_scales=len(cfg.detector.anchor_scales),
+                num_ratios=len(cfg.detector.anchor_ratios))
         extractor = (det_model.apply, det_params)
     else:
         ds = SegmentDataset(cfg.data.root, cfg.data.split, cfg.data.max_frames,

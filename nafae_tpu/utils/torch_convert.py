@@ -130,6 +130,126 @@ def _copy_bottleneck(dst, src, conv, bn, flat):
         bn(dst["FrozenBN_3"], f"{src}.downsample.1")
 
 
+# faster-rcnn.pytorch lineage (SURVEY.md L136-139: the reference's external
+# detector repo): RCNN_base wraps conv1+bn1+layer1-3, RCNN_top wraps layer4.
+FASTER_RCNN_BASE_RENAMES = {
+    "RCNN_base.0.": "conv1.",
+    "RCNN_base.1.": "bn1.",
+    "RCNN_base.4.": "layer1.",
+    "RCNN_base.5.": "layer2.",
+    "RCNN_base.6.": "layer3.",
+    "RCNN_top.0.": "layer4.",
+}
+
+
+def anchor_permutation(num_scales: int, num_ratios: int) -> np.ndarray:
+    """perm[a_ours] = source anchor index, mapping the faster-rcnn.pytorch
+    ratio-major per-cell anchor order (a = ratio*nS + scale) onto ours
+    (anchors.generate_anchors: scale-major, a = scale*nR + ratio)."""
+    perm = np.empty(num_scales * num_ratios, np.int64)
+    for s in range(num_scales):
+        for r in range(num_ratios):
+            perm[s * num_ratios + r] = r * num_scales + s
+    return perm
+
+
+def convert_faster_rcnn(state_dict: dict, params: dict,
+                        num_scales: int = 5, num_ratios: int = 3,
+                        bbox_stds=(0.1, 0.1, 0.2, 0.2),
+                        bbox_means=(0.0, 0.0, 0.0, 0.0)) -> dict:
+    """Full faster-rcnn.pytorch-lineage .pth -> detector params.
+
+    Beyond the backbone/C5 of convert_detector_resnet50, maps:
+      * RPN: RCNN_rpn.RPN_Conv (3x3) -> rpn/Conv_0; the 2A-channel
+        bg/fg-softmax RPN_cls_score folds to our A-channel single-logit
+        objectness as (fg - bg) per anchor — sigmoid(fg-bg) equals the
+        source softmax fg probability exactly, so proposal *ranking* is
+        bit-identical; RCNN_rpn.RPN_bbox_pred -> rpn/Conv_2. Per-cell
+        anchor channels are permuted from the source's ratio-major order
+        to our scale-major order (anchor_permutation).
+      * Detection head (if the model has one): RCNN_cls_score -> det_head/
+        cls, RCNN_bbox_pred -> det_head/reg with the lineage's
+        BBOX_NORMALIZE stds/means folded into the weights (the torch code
+        denormalizes predictions at test time; ours applies deltas raw).
+
+    The RPN conv in this lineage is 512-wide: init the model with
+    DetectorConfig(rpn_channels=512). Source anchors differ from ours only
+    by integer rounding of the base boxes (sub-pixel).
+    """
+    flat = _normalize_sd(_to_numpy_dict(state_dict))
+    tv = {}
+    for k, v in flat.items():
+        for src, dst in FASTER_RCNN_BASE_RENAMES.items():
+            if k.startswith(src):
+                tv[dst + k[len(src):]] = v
+                break
+    out = convert_detector_resnet50(tv, params)
+    out = jax.tree.map(np.array, out)
+    a = num_scales * num_ratios
+    perm = anchor_permutation(num_scales, num_ratios)
+
+    def conv_w(name):   # torch [out,in,kh,kw] -> flax [kh,kw,in,out]
+        return np.transpose(flat[name + ".weight"], (2, 3, 1, 0))
+
+    rpn = out["params"]["rpn"]
+    rpn["Conv_0"]["kernel"] = conv_w("RCNN_rpn.RPN_Conv")
+    rpn["Conv_0"]["bias"] = flat["RCNN_rpn.RPN_Conv.bias"].astype(np.float32)
+    # cls: channels 0..A-1 are bg, A..2A-1 fg (the lineage's view(B,2,·,W))
+    wc = conv_w("RCNN_rpn.RPN_cls_score")                   # [1,1,C,2A]
+    bc = flat["RCNN_rpn.RPN_cls_score.bias"]
+    rpn["Conv_1"]["kernel"] = (wc[..., a + perm] - wc[..., perm]).astype(
+        np.float32)
+    rpn["Conv_1"]["bias"] = (bc[a + perm] - bc[perm]).astype(np.float32)
+    # bbox: 4A channels = A anchor-major groups of (dx,dy,dw,dh)
+    wd = conv_w("RCNN_rpn.RPN_bbox_pred")                   # [1,1,C,4A]
+    bd = flat["RCNN_rpn.RPN_bbox_pred.bias"]
+    sh = wd.shape[:-1]
+    wd = wd.reshape(*sh, a, 4)[..., perm, :].reshape(*sh, 4 * a)
+    rpn["Conv_2"]["kernel"] = wd.astype(np.float32)
+    rpn["Conv_2"]["bias"] = bd.reshape(a, 4)[perm].reshape(-1).astype(
+        np.float32)
+
+    det = out["params"].get("det_head")
+    if det is not None and "RCNN_cls_score.weight" in flat:
+        det["cls"]["kernel"] = flat["RCNN_cls_score.weight"].T.astype(
+            np.float32)                                     # [2048, C+1]
+        det["cls"]["bias"] = flat["RCNN_cls_score.bias"].astype(np.float32)
+        wr = flat["RCNN_bbox_pred.weight"]                  # [(C+1)*4, 2048]
+        br = flat["RCNN_bbox_pred.bias"]
+        stds = np.tile(np.asarray(bbox_stds, np.float32), wr.shape[0] // 4)
+        means = np.tile(np.asarray(bbox_means, np.float32), wr.shape[0] // 4)
+        det["reg"]["kernel"] = (wr * stds[:, None]).T.astype(np.float32)
+        det["reg"]["bias"] = (br * stds + means).astype(np.float32)
+    return jax.tree.map(jnp_asarray, out)
+
+
+def _normalize_sd(flat: dict) -> dict:
+    """Strip DataParallel 'module.' prefixes."""
+    return {(k[len("module."):] if k.startswith("module.") else k): v
+            for k, v in flat.items()}
+
+
+def load_detector_weights(pth_path: str, params: dict,
+                          num_scales: int = 5, num_ratios: int = 3) -> dict:
+    """Load a detector .pth and dispatch on its lineage.
+
+    faster-rcnn.pytorch checkpoints (RCNN_base.* keys, usually nested under
+    'model') get the full conversion incl. RPN + detection head; plain
+    torchvision resnet50 state dicts seed only the backbone/C5.
+    """
+    import torch
+    obj = torch.load(pth_path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict):
+        for nest in ("model", "state_dict"):
+            if nest in obj and isinstance(obj[nest], dict):
+                obj = obj[nest]
+                break
+    flat = _normalize_sd(_to_numpy_dict(obj))
+    if any(k.startswith("RCNN_base.") for k in flat):
+        return convert_faster_rcnn(flat, params, num_scales, num_ratios)
+    return convert_detector_resnet50(flat, params)
+
+
 def jnp_asarray(x):
     import jax.numpy as jnp
     return jnp.asarray(x)

@@ -68,6 +68,40 @@ def test_extract_pipeline_roundtrip(video_dir, tmp_path):
     assert s["frame_mask"].sum() == 4
 
 
+def test_extract_cli_with_converted_ckpt(video_dir, tmp_path):
+    """--ckpt with a faster-rcnn.pytorch-lineage .pth: converted RPN +
+    backbone weights drive extraction end-to-end, and the proposals differ
+    from a random-init run (the converted RPN is live)."""
+    import torch
+
+    from nafae_tpu.extract import main as extract_main
+    from tests.test_torch_convert_frcnn import make_frcnn_sd
+
+    sd = {k: torch.from_numpy(v)
+          for k, v in make_frcnn_sd(np.random.RandomState(4)).items()}
+    pth = str(tmp_path / "frcnn.pth")
+    torch.save({"model": sd}, pth)
+    anns_path = str(tmp_path / "segments.jsonl")
+    with open(anns_path, "w") as f:
+        f.write(json.dumps({"id": "seg0", "video": video_dir[0],
+                            "sentence": "slice the onion"}) + "\n")
+    ov = ["detector.image_size=64", "detector.num_proposals=5",
+          "detector.rpn_pre_nms_topk=32", "detector.rpn_channels=512",
+          "detector.anchor_scales=[16,32]",
+          "data.max_frames=2", "data.max_words=4"]
+    outs = {}
+    for name, extra in (("rand", []), ("conv", ["--ckpt", pth])):
+        out_dir = str(tmp_path / name)
+        args = ["--annotations", anns_path, "--out", out_dir,
+                "--override"] + ov + extra
+        extract_main(args)
+        with np.load(os.path.join(out_dir, "seg0.npz")) as z:
+            outs[name] = {"boxes": z["boxes"].copy(),
+                          "feats": z["feats"].copy()}
+    assert np.isfinite(outs["conv"]["feats"].astype(np.float32)).all()
+    assert not np.allclose(outs["rand"]["boxes"], outs["conv"]["boxes"])
+
+
 def test_decode_segment_start_end(video_dir):
     """start/end trim to the annotated window (YouCook2-style long videos)."""
     from nafae_tpu.extract import decode_segment

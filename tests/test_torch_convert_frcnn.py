@@ -1,0 +1,194 @@
+"""Full faster-rcnn.pytorch-lineage checkpoint conversion (SURVEY.md
+L136-139: the reference's external detector ships full checkpoints incl.
+RPN + detection head; without them extraction runs with a random RPN).
+
+Torch-cpu is the oracle: the source 2A-channel bg/fg-softmax RPN must give
+the SAME fg probabilities (and proposal ranking) as our converted A-channel
+single-logit head, and the detection head must reproduce the source's
+denormalized box deltas (BBOX_NORMALIZE stds folded into the weights).
+"""
+
+import numpy as np
+import pytest
+
+from nafae_tpu.config import DetectorConfig
+from tests.test_utils import make_resnet50_sd
+
+SCALES = (16, 32)
+RATIOS = (0.5, 1.0, 2.0)
+A = len(SCALES) * len(RATIOS)
+C = 5   # foreground classes
+
+
+def make_frcnn_sd(rng, rpn_channels=512, num_classes=C + 1):
+    """faster-rcnn.pytorch-style state dict: RCNN_base/RCNN_top wrap the
+    resnet, plus RPN convs (2A softmax cls) and linear detection heads."""
+    tv = make_resnet50_sd(rng)
+    renames = {"conv1.": "RCNN_base.0.", "bn1.": "RCNN_base.1.",
+               "layer1.": "RCNN_base.4.", "layer2.": "RCNN_base.5.",
+               "layer3.": "RCNN_base.6.", "layer4.": "RCNN_top.0."}
+    sd = {}
+    for k, v in tv.items():
+        for src, dst in renames.items():
+            if k.startswith(src):
+                sd[dst + k[len(src):]] = v
+                break
+    f32 = np.float32
+    sd["RCNN_rpn.RPN_Conv.weight"] = (
+        rng.randn(rpn_channels, 1024, 3, 3) * 0.03).astype(f32)
+    sd["RCNN_rpn.RPN_Conv.bias"] = rng.randn(rpn_channels).astype(f32)
+    sd["RCNN_rpn.RPN_cls_score.weight"] = (
+        rng.randn(2 * A, rpn_channels, 1, 1) * 0.1).astype(f32)
+    sd["RCNN_rpn.RPN_cls_score.bias"] = rng.randn(2 * A).astype(f32)
+    sd["RCNN_rpn.RPN_bbox_pred.weight"] = (
+        rng.randn(4 * A, rpn_channels, 1, 1) * 0.1).astype(f32)
+    sd["RCNN_rpn.RPN_bbox_pred.bias"] = (rng.randn(4 * A) * 0.1).astype(f32)
+    sd["RCNN_cls_score.weight"] = (
+        rng.randn(num_classes, 2048) * 0.05).astype(f32)
+    sd["RCNN_cls_score.bias"] = rng.randn(num_classes).astype(f32)
+    sd["RCNN_bbox_pred.weight"] = (
+        rng.randn(num_classes * 4, 2048) * 0.05).astype(f32)
+    sd["RCNN_bbox_pred.bias"] = (rng.randn(num_classes * 4) * 0.1).astype(f32)
+    return sd
+
+
+@pytest.fixture(scope="module")
+def converted():
+    import jax
+
+    from nafae_tpu.models.detector.faster_rcnn import FasterRCNNExtractor
+    from nafae_tpu.utils.torch_convert import convert_faster_rcnn
+
+    cfg = DetectorConfig(image_size=64, num_proposals=4, rpn_pre_nms_topk=16,
+                         anchor_scales=SCALES, anchor_ratios=RATIOS,
+                         rpn_channels=512, approx_topk=False)
+    model = FasterRCNNExtractor(cfg, with_detections=True, num_classes=C)
+    params = model.init(jax.random.PRNGKey(0),
+                        np.zeros((1, 64, 64, 3), np.float32))
+    rng = np.random.RandomState(7)
+    sd = make_frcnn_sd(rng)
+    out = convert_faster_rcnn(sd, params, num_scales=len(SCALES),
+                              num_ratios=len(RATIOS))
+    return cfg, model, params, out, sd
+
+
+def test_rpn_objectness_matches_torch_softmax(converted):
+    """sigmoid(our converted single-logit obj) == torch softmax fg prob,
+    elementwise, after the ratio-major -> scale-major anchor permutation."""
+    import torch
+    import torch.nn.functional as F
+
+    from nafae_tpu.models.detector.rpn import RPNHead
+    from nafae_tpu.utils.torch_convert import anchor_permutation
+
+    cfg, model, params, out, sd = converted
+    rng = np.random.RandomState(3)
+    h = w = 4
+    feat = rng.randn(1, h, w, 1024).astype(np.float32)
+
+    tx = torch.from_numpy(np.transpose(feat, (0, 3, 1, 2)))
+    y = F.relu(F.conv2d(tx, torch.from_numpy(sd["RCNN_rpn.RPN_Conv.weight"]),
+                        torch.from_numpy(sd["RCNN_rpn.RPN_Conv.bias"]),
+                        padding=1))
+    cls = F.conv2d(y, torch.from_numpy(sd["RCNN_rpn.RPN_cls_score.weight"]),
+                   torch.from_numpy(sd["RCNN_rpn.RPN_cls_score.bias"]))
+    # the lineage's reshape(B,2,·,W) -> softmax over the 2 axis -> fg slice
+    prob = F.softmax(cls.reshape(1, 2, A * h, w), dim=1).reshape(
+        1, 2 * A, h, w)
+    fg = prob[0, A:].numpy()                                 # [A, H, W] src order
+    deltas_t = F.conv2d(
+        y, torch.from_numpy(sd["RCNN_rpn.RPN_bbox_pred.weight"]),
+        torch.from_numpy(sd["RCNN_rpn.RPN_bbox_pred.bias"]))
+    deltas_t = deltas_t.permute(0, 2, 3, 1).reshape(1, -1, 4).numpy()
+
+    import jax
+    head = RPNHead(num_anchors=A, channels=512)
+    obj, deltas = jax.jit(head.apply)(
+        {"params": out["params"]["rpn"]}, feat)
+    ours_fg = jax.nn.sigmoid(obj)[0].reshape(h, w, A)
+    perm = anchor_permutation(len(SCALES), len(RATIOS))
+    np.testing.assert_allclose(
+        np.asarray(ours_fg), np.transpose(fg[perm], (1, 2, 0)),
+        rtol=1e-5, atol=1e-6)
+    ours_d = np.asarray(deltas[0]).reshape(h * w, A, 4)
+    np.testing.assert_allclose(
+        ours_d, deltas_t[0].reshape(h * w, A, 4)[:, perm], rtol=1e-4,
+        atol=1e-5)
+
+
+def test_detection_head_matches_torch_denormalized(converted):
+    """Converted det head reproduces torch class probs and the lineage's
+    test-time denormalized deltas (stds 0.1/0.2 folded into weights)."""
+    import torch
+
+    from nafae_tpu.models.detector.heads import DetectionHead
+
+    cfg, model, params, out, sd = converted
+    rng = np.random.RandomState(5)
+    roi = rng.randn(8, 2048).astype(np.float32)
+
+    tw = torch.from_numpy(roi)
+    logits_t = (tw @ torch.from_numpy(sd["RCNN_cls_score.weight"]).T
+                + torch.from_numpy(sd["RCNN_cls_score.bias"])).numpy()
+    deltas_norm = (tw @ torch.from_numpy(sd["RCNN_bbox_pred.weight"]).T
+                   + torch.from_numpy(sd["RCNN_bbox_pred.bias"])).numpy()
+    stds = np.tile(np.asarray([0.1, 0.1, 0.2, 0.2], np.float32), C + 1)
+    deltas_ref = deltas_norm * stds                          # test-time denorm
+
+    import jax
+    head = DetectionHead(num_classes=C)
+    logits, deltas = jax.jit(head.apply)(
+        {"params": out["params"]["det_head"]}, roi)
+    np.testing.assert_allclose(np.asarray(logits), logits_t, rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(deltas).reshape(8, -1), deltas_ref,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_converted_detector_runs_and_proposals_move(converted):
+    """End-to-end: the converted full detector runs, and its proposals
+    differ from the random-init ones (the RPN weights are live)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg, model, params, out, sd = converted
+    img = jnp.asarray(np.random.RandomState(11).rand(1, 64, 64, 3),
+                      jnp.float32)
+    o_init = jax.jit(model.apply)(params, img)
+    o_conv = jax.jit(model.apply)(out, img)
+    for k in ("boxes", "feats", "scores", "det_boxes", "det_scores"):
+        assert np.isfinite(np.asarray(o_conv[k])).all(), k
+    assert not np.allclose(np.asarray(o_init["boxes"]),
+                           np.asarray(o_conv["boxes"]))
+    assert not np.allclose(np.asarray(o_init["scores"]),
+                           np.asarray(o_conv["scores"]))
+
+
+def test_load_detector_weights_dispatch(tmp_path):
+    """load_detector_weights routes RCNN_base checkpoints (nested under
+    'model', with DataParallel prefixes) to the full converter and plain
+    resnet50 dicts to the backbone-only one."""
+    import jax
+    import torch
+
+    from nafae_tpu.models.detector.faster_rcnn import FasterRCNNExtractor
+    from nafae_tpu.utils.torch_convert import load_detector_weights
+
+    cfg = DetectorConfig(image_size=64, num_proposals=4, rpn_pre_nms_topk=16,
+                         anchor_scales=SCALES, anchor_ratios=RATIOS,
+                         rpn_channels=512)
+    model = FasterRCNNExtractor(cfg, with_detections=True, num_classes=C)
+    params = model.init(jax.random.PRNGKey(0),
+                        np.zeros((1, 64, 64, 3), np.float32))
+    rng = np.random.RandomState(9)
+    sd = {("module." + k): torch.from_numpy(v)
+          for k, v in make_frcnn_sd(rng).items()}
+    pth = str(tmp_path / "frcnn.pth")
+    torch.save({"model": sd, "session": 1}, pth)
+    out = load_detector_weights(pth, params, num_scales=len(SCALES),
+                                num_ratios=len(RATIOS))
+    rpn_k = np.asarray(out["params"]["rpn"]["Conv_0"]["kernel"])
+    assert rpn_k.shape == (3, 3, 1024, 512)
+    np.testing.assert_allclose(
+        rpn_k, np.transpose(sd["module.RCNN_rpn.RPN_Conv.weight"].numpy(),
+                            (2, 3, 1, 0)))

@@ -103,22 +103,11 @@ def test_load_word_vectors_text_and_npz(tmp_path):
     assert hits2 == 1 and vecs2[v.word_to_id["pan"]][0] == 2.0
 
 
-def test_convert_detector_resnet50(tmp_path):
-    """Synthetic torchvision-style resnet50 state_dict maps onto the detector
-    params with correct shapes/values (torchvision itself isn't installed)."""
-    import jax
-    import numpy as np
+def make_resnet50_sd(rng):
+    """Synthetic torchvision-style resnet50 state_dict (random weights);
+    shared by the converter tests (torchvision itself isn't installed)."""
+    from nafae_tpu.utils.torch_convert import RESNET50_BLOCKS
 
-    from nafae_tpu.config import DetectorConfig
-    from nafae_tpu.models.detector.faster_rcnn import init_detector
-    from nafae_tpu.utils.torch_convert import (RESNET50_BLOCKS,
-                                               convert_detector_resnet50)
-
-    cfg = DetectorConfig(image_size=64, num_proposals=4, rpn_pre_nms_topk=16,
-                         anchor_scales=(16, 32))
-    model, params = init_detector(jax.random.PRNGKey(0), cfg)
-
-    rng = np.random.RandomState(0)
     sd = {"conv1.weight": (rng.randn(64, 3, 7, 7) * 0.05).astype(np.float32)}
     for s, n in (("bn1", 64),):
         sd[f"{s}.weight"] = rng.rand(n).astype(np.float32)
@@ -154,6 +143,25 @@ def test_convert_detector_resnet50(tmp_path):
     for b in range(3):
         add_block(f"layer4.{b}", 1024 if b == 0 else 2048, 512,
                   downsample=(b == 0))
+    return sd
+
+
+def test_convert_detector_resnet50(tmp_path):
+    """Synthetic torchvision-style resnet50 state_dict maps onto the detector
+    params with correct shapes/values."""
+    import jax
+    import numpy as np
+
+    from nafae_tpu.config import DetectorConfig
+    from nafae_tpu.models.detector.faster_rcnn import init_detector
+    from nafae_tpu.utils.torch_convert import convert_detector_resnet50
+
+    cfg = DetectorConfig(image_size=64, num_proposals=4, rpn_pre_nms_topk=16,
+                         anchor_scales=(16, 32))
+    model, params = init_detector(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.RandomState(0)
+    sd = make_resnet50_sd(rng)
 
     converted = convert_detector_resnet50(sd, params)
     bb = converted["params"]["backbone"]
