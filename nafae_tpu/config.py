@@ -35,6 +35,16 @@ class LossConfig:
     kmeans_interval: int = 100    # steps between Lloyd refreshes
     kmeans_iters: int = 10        # Lloyd iterations per refresh
     kmeans_ema: float = 0.0       # ρ blend toward old centers
+    kmeans_source: str = "batch"  # "batch": Lloyd over the current batch's
+                                  # selections only; "bank": over a
+                                  # step-granular ring of the last
+                                  # bank_steps steps' selections (SURVEY.md
+                                  # L176/L220-225: the reference accumulates
+                                  # selected region features across the
+                                  # epoch before k-means; docs/MATH.md).
+                                  # "bank" needs a single frame bucket.
+    bank_steps: int = 32          # ring depth W ("bank" source): k-means
+                                  # sees the last W steps' selections
 
 
 @dataclass

@@ -63,6 +63,24 @@ def kmeans_lloyd(f: jax.Array, valid: jax.Array, centers: jax.Array,
     return new
 
 
+def bank_write(bank: jax.Array, bank_valid: jax.Array, step: jax.Array,
+               f: jax.Array, valid: jax.Array
+               ) -> tuple[jax.Array, jax.Array]:
+    """Write one step's selected features into the step-granular ring bank.
+
+    bank [W, *sel_shape, E], bank_valid [W, *sel_shape]; slot = step % W.
+    The bank accumulates the last W steps' selections — the TPU-native
+    answer to the reference's dynamically-sized host-side accumulation of
+    selected region features across the epoch (SURVEY.md L220-225): whole
+    steps are evicted at once, so the ring layout is identical on a single
+    device and on any mesh (the bank shards exactly like the activations it
+    stores; no collectives are needed to maintain it).
+    """
+    slot = step % bank.shape[0]
+    return (bank.at[slot].set(f.astype(bank.dtype)),
+            bank_valid.at[slot].set(valid.astype(bank_valid.dtype)))
+
+
 def kmeans_init(key: jax.Array, num_clusters: int, dim: int) -> jax.Array:
     """Random unit-norm initial centers."""
     from nafae_tpu.ops.grounding import l2_normalize

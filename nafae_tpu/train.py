@@ -37,16 +37,35 @@ class TrainState:
     params: dict
     opt_state: object
     centers: jax.Array          # k-means centroids [Kc, E] (unit norm)
+    # selection bank (loss.kmeans_source="bank"): step-granular ring of the
+    # last W steps' selected region embeddings, refreshed-from instead of
+    # the current batch (SURVEY.md L220-225). Sharded exactly like the
+    # activations it stores (W, B over data, T over frame, K, E), so
+    # maintaining it costs no collectives and the ring layout is identical
+    # on one device and on any mesh. None under the "batch" source.
+    bank: jax.Array | None = None         # [W, B, T, K, E]
+    bank_valid: jax.Array | None = None   # [W, B, T, K]
 
     @classmethod
     def create(cls, key: jax.Array, cfg: Config) -> "TrainState":
         kp, kc = jax.random.split(key)
         params = init_params(kp, cfg.model)
         tx = make_optimizer(cfg)
+        bank = bank_valid = None
+        if cfg.loss.kmeans_source == "bank" and cfg.loss.cluster_weight > 0:
+            if len(cfg.data.frame_buckets) > 1:
+                raise ValueError(
+                    "loss.kmeans_source='bank' needs a single frame bucket "
+                    "(the bank's T dim is static)")
+            w, b = cfg.loss.bank_steps, cfg.data.batch_size
+            t, k = cfg.data.max_frames, cfg.data.max_words
+            bank = jnp.zeros((w, b, t, k, cfg.model.embed_dim), jnp.float32)
+            bank_valid = jnp.zeros((w, b, t, k), jnp.float32)
         return cls(step=jnp.zeros((), jnp.int32), params=params,
                    opt_state=tx.init(params),
                    centers=kmeans_init(kc, cfg.loss.num_clusters,
-                                       cfg.model.embed_dim))
+                                       cfg.model.embed_dim),
+                   bank=bank, bank_valid=bank_valid)
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -229,8 +248,10 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
 
     # --- visual clustering loss ----------------------------------------------
     f, valid = L.select_top_regions(s, v_emb, wm, fm, region_mask=rm)
-    aux["sel_feats"] = jax.lax.stop_gradient(f)
-    aux["sel_valid"] = valid
+    # aux carries the canonical [B,T,K,...] layout (same as the fused diag
+    # route) so the bank path can all_gather the frame axis at dim 1
+    aux["sel_feats"] = jax.lax.stop_gradient(f).transpose(0, 2, 1, 3)
+    aux["sel_valid"] = valid.transpose(0, 2, 1)
     if lc.cluster_weight > 0:
         target = jax.lax.stop_gradient(
             jnp.take(centers, _assign(f, centers), axis=0))
@@ -282,9 +303,19 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
         params = optax.apply_updates(state.params, updates)
 
         centers = state.centers
+        bank, bank_valid = state.bank, state.bank_valid
         if cfg.loss.cluster_weight > 0:
-            f = aux.pop("sel_feats").reshape(-1, cfg.model.embed_dim)
-            valid = aux.pop("sel_valid").reshape(-1)
+            sel_f = aux.pop("sel_feats")               # [B,T,K,E] local shard
+            sel_v = aux.pop("sel_valid")               # [B,T,K]
+            if cfg.loss.kmeans_source == "bank" and bank is not None:
+                from nafae_tpu.ops.kmeans import bank_write
+                bank, bank_valid = bank_write(bank, bank_valid, state.step,
+                                              sel_f, sel_v)
+                f = bank.reshape(-1, cfg.model.embed_dim)
+                valid = bank_valid.reshape(-1)
+            else:
+                f = sel_f.reshape(-1, cfg.model.embed_dim)
+                valid = sel_v.reshape(-1)
             # lax.cond so the Lloyd iterations only run on refresh steps
             # (~2 ms/step saved). The predicate is the replicated step
             # counter, so under shard_map every device takes the same branch
@@ -303,10 +334,26 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
         metrics = {k: v for k, v in aux.items()}
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state, centers=centers)
+                               opt_state=opt_state, centers=centers,
+                               bank=bank, bank_valid=bank_valid)
         return new_state, metrics
 
     return step_fn
+
+
+def state_partition_spec(cfg: Config, data_axis: str, frame_spec):
+    """shard_map spec (prefix pytree) for TrainState.
+
+    Everything is replicated except the selection bank, which shards
+    exactly like the activations it stores: [W, B(data), T(frame), K, E].
+    """
+    from jax.sharding import PartitionSpec as P
+    if not (cfg.loss.kmeans_source == "bank"
+            and cfg.loss.cluster_weight > 0):
+        return P()
+    bspec = P(None, data_axis, frame_spec)
+    return TrainState(step=P(), params=P(), opt_state=P(), centers=P(),
+                      bank=bspec, bank_valid=bspec)
 
 
 def make_multi_step(step_fn, steps_per_call: int):
@@ -374,10 +421,11 @@ def build_train_fn(cfg: Config, mesh=None, extractor=None, with_frames=False):
     # vma system via their wrappers (vma-annotated out_shapes on TPU; jnp
     # fallback in interpret mode, where the kernel-body jaxpr eval cannot
     # mix vma-carrying blocks with literals).
+    sspec = state_partition_spec(cfg, axis, fspec)
     sharded = jax.shard_map(
         step, mesh=mesh,
-        in_specs=(P(), batch_spec),
-        out_specs=(P(), P()),
+        in_specs=(sspec, batch_spec),
+        out_specs=(sspec, P()),
     )
     return jax.jit(sharded, donate_argnums=(0,) if cfg.train.donate else ())
 
@@ -453,10 +501,11 @@ def fit_device_cached(cfg: Config, state, loader, ckpt, logger,
             state, ms = jax.lax.scan(body, state, idxs)
             return state, jax.tree.map(lambda x: x[-1], ms)
 
+        sspec = state_partition_spec(cfg, axis, fspec)
         multi = jax.jit(jax.shard_map(
             multi_core, mesh=mesh,
-            in_specs=(P(), P(None, axis), data_spec),
-            out_specs=(P(), P())), donate_argnums=donate)
+            in_specs=(sspec, P(None, axis), data_spec),
+            out_specs=(sspec, P())), donate_argnums=donate)
 
     start_step = int(state.step)
     total = cfg.train.steps - start_step

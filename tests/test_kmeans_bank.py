@@ -1,0 +1,174 @@
+"""Accumulated k-means selection bank (loss.kmeans_source="bank").
+
+SURVEY.md L176/L220-225: the reference accumulates the selected region
+features across the epoch and runs k-means over the accumulation, not over
+one batch. The bank is a step-granular on-device ring ([W,B,T,K,E]) that
+shards exactly like the activations it stores, so it needs no collectives
+and its layout is identical on one device and on any mesh. These tests pin
+its ring semantics, its equivalence to the batch source at W=1, its
+accumulation across steps, and its exactness under DP and DP×SP.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nafae_tpu.config import load_config
+from nafae_tpu.data import BatchLoader, SegmentDataset
+from nafae_tpu.ops.kmeans import bank_write
+from nafae_tpu.parallel import make_mesh
+from nafae_tpu.train import TrainState, build_train_fn
+
+OV = ["data.feat_dim=64", "model.feat_dim=64", "model.embed_dim=32",
+      "data.batch_size=8", "data.max_frames=8", "data.num_regions=6",
+      "data.max_words=3", "loss.num_clusters=8", "train.warmup_steps=5",
+      "train.log_every=1000", "train.ckpt_every=1000000",
+      "train.eval_every=1000000", "loss.ctx_window=3",
+      "loss.kmeans_source=bank"]
+
+
+def test_bank_write_ring_semantics():
+    bank = jnp.zeros((2, 3, 2))       # W=2 slots of [3,2] selections
+    bv = jnp.zeros((2, 3))
+    s0 = jnp.arange(6.0).reshape(3, 2)
+    s1 = 10.0 + s0
+    s2 = 20.0 + s0
+    bank, bv = bank_write(bank, bv, jnp.int32(0), s0, jnp.ones((3,)))
+    bank, bv = bank_write(bank, bv, jnp.int32(1), s1,
+                          jnp.asarray([1.0, 0.0, 1.0]))
+    np.testing.assert_array_equal(np.asarray(bank[0]), np.asarray(s0))
+    np.testing.assert_array_equal(np.asarray(bank[1]), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(bv), [[1, 1, 1], [1, 0, 1]])
+    # step 2 wraps onto slot 0, evicting step 0 wholesale
+    bank, bv = bank_write(bank, bv, jnp.int32(2), s2, jnp.ones((3,)))
+    np.testing.assert_array_equal(np.asarray(bank[0]), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(bank[1]), np.asarray(s1))
+
+
+def _one_batch(synth_root, cfg, seed=0):
+    ds = SegmentDataset(synth_root, "train", cfg.data.max_frames,
+                        cfg.data.num_regions, cfg.data.feat_dim,
+                        cfg.data.max_words)
+    return next(iter(BatchLoader(ds, cfg.data.batch_size, shuffle=True,
+                                 seed=seed)))
+
+
+def test_bank_w1_equals_batch_source(synth_root):
+    """W=1 ring holds exactly the current step's selections, so the
+    refreshed centers must equal the batch-source run's."""
+    common = OV + [f"data.root={synth_root}", "loss.kmeans_interval=1",
+                   "loss.bank_steps=1"]
+    cfg_bank = load_config(preset_name="config4", overrides=common)
+    cfg_batch = load_config(preset_name="config4",
+                            overrides=common + ["loss.kmeans_source=batch"])
+    batch = _one_batch(synth_root, cfg_bank)
+    fn_bank = build_train_fn(cfg_bank, None)
+    fn_batch = build_train_fn(cfg_batch, None)
+    s1 = TrainState.create(jax.random.PRNGKey(0), cfg_bank)
+    s2 = TrainState.create(jax.random.PRNGKey(0), cfg_batch)
+    for _ in range(2):
+        s1, m1 = fn_bank(s1, batch)
+        s2, m2 = fn_batch(s2, batch)
+    np.testing.assert_allclose(np.asarray(s1.centers), np.asarray(s2.centers),
+                               atol=1e-6)
+    for k in s1.params:
+        np.testing.assert_allclose(np.asarray(s1.params[k]),
+                                   np.asarray(s2.params[k]), atol=1e-6,
+                                   err_msg=k)
+
+
+def test_bank_accumulates_across_steps(synth_root):
+    """W=2, no refresh interference: after two steps the ring holds step-1
+    and step-2 selections in their slots; a W=2 refresh then differs from a
+    batch-only refresh (the accumulated history matters)."""
+    cfg = load_config(preset_name="config4", overrides=OV + [
+        f"data.root={synth_root}", "loss.kmeans_interval=1000000",
+        "loss.bank_steps=2"])
+    ds = SegmentDataset(synth_root, "train", cfg.data.max_frames,
+                        cfg.data.num_regions, cfg.data.feat_dim,
+                        cfg.data.max_words)
+    it = iter(BatchLoader(ds, cfg.data.batch_size, shuffle=True, seed=0))
+    b1, b2 = next(it), next(it)
+    fn = build_train_fn(cfg, None)
+    state = TrainState.create(jax.random.PRNGKey(0), cfg)
+    state, _ = fn(state, b1)
+    slot0 = np.asarray(state.bank[0]).copy()
+    assert np.abs(slot0).sum() > 0
+    assert np.asarray(state.bank[1]).sum() == 0          # not yet written
+    assert np.asarray(state.bank_valid[1]).sum() == 0    # Lloyd would skip it
+    state, _ = fn(state, b2)
+    np.testing.assert_array_equal(np.asarray(state.bank[0]), slot0)
+    assert np.abs(np.asarray(state.bank[1])).sum() > 0
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 1), (2, 2)])
+def test_bank_mesh_matches_single_device(synth_root, mesh_shape):
+    """Bank-source DP / DP×SP step == single-device: the bank shards like
+    its activations ([W, B(data), T(frame), K, E]) and the Lloyd refresh
+    psums over the mesh axes, so no divisibility or ordering caveats."""
+    data, frame = mesh_shape
+    cfg = load_config(preset_name="config4", overrides=OV + [
+        f"data.root={synth_root}", "loss.kmeans_interval=2",
+        "loss.bank_steps=3",
+        f"mesh.data_axis={data}", f"mesh.frame_axis={frame}"])
+    batch = _one_batch(synth_root, cfg)
+    s1 = TrainState.create(jax.random.PRNGKey(0), cfg)
+    s2 = TrainState.create(jax.random.PRNGKey(0), cfg)
+    fn1 = build_train_fn(cfg, None)
+    fn2 = build_train_fn(cfg, make_mesh(data, frame,
+                                        devices=jax.devices()[:data * frame]))
+    for _ in range(2):                    # covers refresh + no-refresh steps
+        s1, m1 = fn1(s1, batch)
+        s2, m2 = fn2(s2, batch)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=3e-4, atol=1e-5, err_msg=k)
+    for k in s1.params:
+        np.testing.assert_allclose(np.asarray(s1.params[k]),
+                                   np.asarray(s2.params[k]), atol=2e-6,
+                                   err_msg=k)
+    np.testing.assert_allclose(np.asarray(s1.bank), np.asarray(s2.bank),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s1.bank_valid),
+                               np.asarray(s2.bank_valid), atol=0)
+    np.testing.assert_allclose(np.asarray(s1.centers), np.asarray(s2.centers),
+                               atol=1e-5)
+
+
+def test_bank_device_cache_mesh_matches_single_device(synth_root, tmp_path):
+    """Bank source through fit_device_cached (scan of steps inside one XLA
+    call, bank sharded over the mesh) == the single-device cached run."""
+    from nafae_tpu.train import fit
+
+    extra = OV + [f"data.root={synth_root}", "train.steps=4",
+                  "train.device_cache=true", "train.steps_per_call=2",
+                  "loss.kmeans_interval=2", "loss.bank_steps=3"]
+    cfg1 = load_config(preset_name="config4",
+                       overrides=extra + [f"train.ckpt_dir={tmp_path}/b1"])
+    s1, m1 = fit(cfg1)
+    cfg2 = load_config(preset_name="config4",
+                       overrides=extra + [f"train.ckpt_dir={tmp_path}/b2",
+                                          "mesh.data_axis=4",
+                                          "mesh.frame_axis=2"])
+    s2, m2 = fit(cfg2, mesh=make_mesh(4, 2))
+    assert int(s2.step) == 4
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=3e-4, atol=1e-5, err_msg=k)
+    for k in s1.params:
+        np.testing.assert_allclose(np.asarray(s1.params[k]),
+                                   np.asarray(s2.params[k]), atol=2e-6,
+                                   err_msg=k)
+    np.testing.assert_allclose(np.asarray(s1.bank), np.asarray(s2.bank),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s1.centers), np.asarray(s2.centers),
+                               atol=1e-5)
+
+
+def test_bank_rejects_multiple_frame_buckets():
+    cfg = load_config(preset_name="config4", overrides=OV)
+    cfg.data.frame_buckets = (4, 8)
+    with pytest.raises(ValueError, match="frame bucket"):
+        TrainState.create(jax.random.PRNGKey(0), cfg)
