@@ -6,9 +6,10 @@ was bounded by single-GPU memory, SURVEY.md L280). Three primitives make the
 sharded math EXACTLY equal to the unsharded run:
 
 * halo_exchange — the context window needs w neighbor frames from adjacent
-  shards: one ppermute each way (edge shards receive zeros, which the mask
-  semantics already treat as out-of-range — identical to the zero-padding the
-  unsharded path uses).
+  shards: one ppermute each way for w ≤ T_local, a ceil(w/T_local)-hop
+  ppermute chain when the window spans multiple shards (edge shards receive
+  zeros, which the mask semantics already treat as out-of-range — identical
+  to the zero-padding the unsharded path uses).
 * sp_video_scores — frame-attention softmax over the GLOBAL T via online
   softmax: pmax of the logit max, psum of the exp-sum (the ring-attention
   normalizer trick applied to attention pooling).
@@ -35,21 +36,43 @@ def halo_exchange(x: jax.Array, window: int, axis_name: str,
     """
     n = jax.lax.axis_size(axis_name)
     tl = x.shape[t_axis]
-    if window > tl:
-        raise ValueError(f"halo window {window} > local frames {tl}; "
-                         f"use fewer frame shards")
 
     def tslice(lo, hi):
         idx = [slice(None)] * x.ndim
         idx[t_axis] = slice(lo, hi)
         return x[tuple(idx)]
 
-    to_right = tslice(tl - window, tl)       # my tail -> right neighbor's left halo
-    to_left = tslice(0, window)              # my head -> left neighbor's right halo
-    left_halo = jax.lax.ppermute(to_right, axis_name,
-                                 perm=[(i, i + 1) for i in range(n - 1)])
-    right_halo = jax.lax.ppermute(to_left, axis_name,
-                                  perm=[(i + 1, i) for i in range(n - 1)])
+    shift_right = [(i, i + 1) for i in range(n - 1)]
+    shift_left = [(i + 1, i) for i in range(n - 1)]
+
+    if window <= tl:
+        # single hop, window-sized transfers (the common, cheap case)
+        to_right = tslice(tl - window, tl)   # my tail -> right nbr's left halo
+        to_left = tslice(0, window)          # my head -> left nbr's right halo
+        left_halo = jax.lax.ppermute(to_right, axis_name, perm=shift_right)
+        right_halo = jax.lax.ppermute(to_left, axis_name, perm=shift_left)
+    else:
+        # window spans multiple shards (many frame shards => few local
+        # frames): chain ppermutes so hop d delivers the FULL block of the
+        # shard d positions away, then statically slice the needed halo.
+        # Shards near the mesh edge receive zeros for out-of-range hops
+        # (ppermute semantics), which downstream masks treat as invalid —
+        # identical to the unsharded zero-padding.
+        hops = -(-window // tl)              # ceil
+        lcarry = rcarry = x
+        lblocks, rblocks = [], []
+        for _ in range(hops):
+            lcarry = jax.lax.ppermute(lcarry, axis_name, perm=shift_right)
+            rcarry = jax.lax.ppermute(rcarry, axis_name, perm=shift_left)
+            lblocks.insert(0, lcarry)        # farthest-left block first
+            rblocks.append(rcarry)           # nearest-right block first
+        left_halo = jnp.concatenate(lblocks, axis=t_axis)[
+            tuple(slice(None) if i != t_axis else
+                  slice(hops * tl - window, hops * tl)
+                  for i in range(x.ndim))]
+        right_halo = jnp.concatenate(rblocks, axis=t_axis)[
+            tuple(slice(None) if i != t_axis else slice(0, window)
+                  for i in range(x.ndim))]
     return jnp.concatenate([left_halo, x, right_halo], axis=t_axis)
 
 

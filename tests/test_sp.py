@@ -161,13 +161,50 @@ def test_mesh_train_step_with_pallas_kernels(synth_root, mesh_shape):
                                    err_msg=k)
 
 
-def test_sp_rejects_window_wider_than_shard():
-    mesh = _frame_mesh(1, 8)
-    x = jnp.zeros((2, 8, 3))
+@pytest.mark.parametrize("shards,window", [(8, 3), (4, 5), (8, 8)])
+def test_halo_exchange_multihop(shards, window):
+    """window > T_local: the ppermute chain must deliver exactly the frames
+    a single-device zero-padded window would see (zeros past the ends)."""
+    mesh = _frame_mesh(1, shards)
+    t, c = 8, 3
+    tl = t // shards
+    x = jnp.arange(2 * t * c, dtype=jnp.float32).reshape(2, t, c)
 
     def body(x_local):
-        return halo_exchange(x_local, 3, "frame")   # Tl=1 < w=3
+        return halo_exchange(x_local, window, "frame")
 
-    with pytest.raises(ValueError, match="halo window"):
-        jax.jit(jax.shard_map(body, mesh=mesh, in_specs=P(None, "frame"),
-                              out_specs=P(None, "frame")))(x)
+    out = np.asarray(jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=P(None, "frame"),
+        out_specs=P(None, "frame")))(x))
+    out = out.reshape(2, shards, window + tl + window, c)
+    xp = np.pad(np.asarray(x), ((0, 0), (window, window), (0, 0)))
+    for s in range(shards):
+        np.testing.assert_array_equal(
+            out[:, s], xp[:, s * tl:s * tl + window + tl + window],
+            err_msg=f"shard {s}")
+
+
+def test_sp_train_step_window_wider_than_shard(synth_root):
+    """Full DP×SP train step at mesh (1,8): T=8 ⇒ T_local=1 < ctx_window=3,
+    driving the multi-hop halo through every ctx consumer (context_mix,
+    region_affinity, context_similarity). Must equal the single-device run."""
+    cfg = load_config(preset_name="config4",
+                      overrides=OV + [f"data.root={synth_root}",
+                                      "mesh.data_axis=1",
+                                      "mesh.frame_axis=8"])
+    ds = SegmentDataset(synth_root, "train", cfg.data.max_frames,
+                        cfg.data.num_regions, cfg.data.feat_dim,
+                        cfg.data.max_words)
+    batch = next(iter(BatchLoader(ds, cfg.data.batch_size, shuffle=True,
+                                  seed=0)))
+    s1, m1 = build_train_fn(cfg, None)(
+        TrainState.create(jax.random.PRNGKey(0), cfg), batch)
+    s2, m2 = build_train_fn(cfg, _frame_mesh(1, 8))(
+        TrainState.create(jax.random.PRNGKey(0), cfg), batch)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=3e-4, atol=1e-5, err_msg=k)
+    for k in s1.params:
+        np.testing.assert_allclose(np.asarray(s1.params[k]),
+                                   np.asarray(s2.params[k]), atol=2e-6,
+                                   err_msg=k)
