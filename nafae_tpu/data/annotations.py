@@ -14,6 +14,12 @@ reference parses segment annotations + the 67-class vocabulary):
             "boxes": [{"x1","y1","x2","y2","outside","occluded"} per frame]}]}}}}}
   -> per-segment GT tensors merged into extracted .npz feature files.
 
+* RoboWatch transfer annotations (NAFAE authors' release, SURVEY.md L132):
+  box annotations over RoboWatch videos for cross-dataset transfer eval
+  (BASELINE config 5). Parsed leniently: both the YC2-BB-style "database"
+  wrapper and a bare {video: ...} mapping are accepted, and a video without
+  a "segments" dict is treated as one whole-video segment.
+
 The reference mount was empty at build time (SURVEY provenance warning), so
 these schemas are reconstructed from the public releases' documentation;
 parsers are lenient (missing keys skip rather than crash) and fully covered
@@ -76,39 +82,126 @@ def gt_from_youcook2bb(bb_path: str, vocab: Vocab | None = None,
         db = json.load(f)["database"]
     out = {}
     for vid, meta in sorted(db.items()):
-        rw = float(meta.get("rwidth", 0) or 0)
-        rh = float(meta.get("rheight", 0) or 0)
-        scale = (np.asarray([rw, rh, rw, rh], np.float32)
-                 if rw > 0 and rh > 0 else None)
+        scale = _resolution_scale(meta)
         for seg_id, seg in sorted(meta.get("segments", {}).items()):
-            gt_boxes = np.zeros((max_words, max_frames, 4), np.float32)
-            gt_mask = np.zeros((max_words, max_frames), np.float32)
-            word_ids = []
-            for obj in seg.get("objects", []):
-                cls = vocab.lookup(str(obj.get("label", "")).lower()
-                                   .replace(" ", "_"))
-                if cls is None or len(word_ids) >= max_words:
-                    continue
-                k = len(word_ids)
-                word_ids.append(cls)
-                for t, box in enumerate(obj.get("boxes", [])[:max_frames]):
-                    if not box or box.get("outside", 0):
-                        continue
-                    x1, y1 = box.get("x1"), box.get("y1")
-                    x2, y2 = box.get("x2"), box.get("y2")
-                    if None in (x1, y1, x2, y2):
-                        continue
-                    gt_boxes[k, t] = (x1, y1, x2, y2)
-                    gt_mask[k, t] = 1.0
-            if word_ids:
-                if scale is not None:
-                    gt_boxes = gt_boxes / scale
-                out[f"{vid}_{seg_id}"] = {
-                    "gt_boxes": gt_boxes,
-                    "gt_mask": gt_mask,
-                    "word_ids": np.asarray(word_ids, np.int32),
-                    "normalized": scale is not None,
-                }
+            g = _objects_gt(seg.get("objects", []), vocab, max_words,
+                            max_frames, scale)
+            if g is not None:
+                out[f"{vid}_{seg_id}"] = g
+    return out
+
+
+def _resolution_scale(meta: dict) -> np.ndarray | None:
+    """Per-video [w,h,w,h] normalizer from the annotation resolution."""
+    rw = float(meta.get("rwidth", 0) or 0)
+    rh = float(meta.get("rheight", 0) or 0)
+    return (np.asarray([rw, rh, rw, rh], np.float32)
+            if rw > 0 and rh > 0 else None)
+
+
+def _objects_gt(objects: list, vocab: Vocab, max_words: int, max_frames: int,
+                scale: np.ndarray | None) -> dict | None:
+    """Object tracks -> {gt_boxes, gt_mask, word_ids, normalized} or None.
+
+    Shared by the YC2-BB and RoboWatch parsers (identical per-track layout).
+    Boxes may be {'x1','y1','x2','y2','outside'} dicts or bare
+    [x1,y1,x2,y2(,outside)] lists (lenient across release variants).
+    """
+    gt_boxes = np.zeros((max_words, max_frames, 4), np.float32)
+    gt_mask = np.zeros((max_words, max_frames), np.float32)
+    word_ids = []
+    for obj in objects:
+        cls = vocab.lookup(str(obj.get("label", "")))
+        if cls is None or len(word_ids) >= max_words:
+            continue
+        k = len(word_ids)
+        word_ids.append(cls)
+        for t, box in enumerate(obj.get("boxes", [])[:max_frames]):
+            coords = _box_coords(box)
+            if coords is None:
+                continue
+            gt_boxes[k, t] = coords
+            gt_mask[k, t] = 1.0
+    if not word_ids:
+        return None
+    if scale is not None:
+        gt_boxes = gt_boxes / scale
+    return {"gt_boxes": gt_boxes, "gt_mask": gt_mask,
+            "word_ids": np.asarray(word_ids, np.int32),
+            "normalized": scale is not None}
+
+
+def _box_coords(box) -> tuple | None:
+    """One per-frame box entry -> (x1,y1,x2,y2) or None (absent/outside)."""
+    if not box:
+        return None
+    if isinstance(box, dict):
+        if box.get("outside", 0):
+            return None
+        coords = (box.get("x1"), box.get("y1"), box.get("x2"), box.get("y2"))
+    elif isinstance(box, (list, tuple)) and len(box) >= 4:
+        if len(box) >= 5 and box[4]:          # trailing outside flag
+            return None
+        coords = tuple(box[:4])
+    else:
+        return None
+    return None if None in coords else coords
+
+
+def segments_from_robowatch(ann_path: str, video_dir: str,
+                            ext: str = ".mp4") -> list[dict]:
+    """RoboWatch transfer annotations -> extract-CLI segment list (eval-only).
+
+    SURVEY.md L132: the NAFAE authors annotated a RoboWatch subset with boxes
+    for cross-dataset transfer (BASELINE config 5). Schema handled leniently
+    (the release itself was unavailable at build time): an optional
+    "database" wrapper, per-video optional "segments" (otherwise the whole
+    video is one segment), optional "segment"/"sentence" keys. Without a
+    sentence the object labels are joined so word extraction still yields
+    the annotated classes. All segments land in the "val" split.
+    """
+    with open(ann_path) as f:
+        raw = json.load(f)
+    db = raw.get("database", raw)
+    out = []
+    for vid, meta in sorted(db.items()):
+        segments = meta.get("segments") or {"0": meta}
+        for seg_id, seg in sorted(segments.items()):
+            span = seg.get("segment", [None, None])
+            sentence = seg.get("sentence") or " ".join(
+                str(o.get("label", "")) for o in seg.get("objects", []))
+            out.append({
+                "id": f"{vid}_{seg_id}",
+                "video": os.path.join(video_dir, vid + ext),
+                "sentence": sentence,
+                "split": "val",
+                "start": span[0],
+                "end": span[1],
+            })
+    return out
+
+
+def gt_from_robowatch(ann_path: str, vocab: Vocab | None = None,
+                      max_words: int = 8, max_frames: int = 20) -> dict:
+    """RoboWatch transfer annotations -> GT dict (gt_from_youcook2bb contract).
+
+    Same per-track tensor layout as YC2-BB; accepts the "database" wrapper or
+    a bare mapping, per-video "segments" or a flat whole-video object list,
+    and dict- or list-form boxes. Merge with merge_gt_into_features.
+    """
+    vocab = vocab or Vocab()
+    with open(ann_path) as f:
+        raw = json.load(f)
+    db = raw.get("database", raw)
+    out = {}
+    for vid, meta in sorted(db.items()):
+        scale = _resolution_scale(meta)
+        segments = meta.get("segments") or {"0": meta}
+        for seg_id, seg in sorted(segments.items()):
+            g = _objects_gt(seg.get("objects", []), vocab, max_words,
+                            max_frames, scale)
+            if g is not None:
+                out[f"{vid}_{seg_id}"] = g
     return out
 
 

@@ -4,7 +4,9 @@ The reference uses the YouCook2-BoundingBox 67-class object dictionary
 (SURVEY.md L46, L133). The real class list ships with the YouCook2-BB
 annotations; since the reference mount is empty, `DEFAULT_CLASSES` below is a
 documented stand-in with the right cardinality — load the real list with
-`Vocab.from_file` when annotations are available.
+`Vocab.from_file` when annotations are available. Class names may be
+multi-word ("bell pepper" / "bell_pepper"); extraction matches them as
+n-grams over the sentence tokens, longest match first.
 """
 
 from __future__ import annotations
@@ -27,23 +29,40 @@ DEFAULT_CLASSES = [
 assert len(DEFAULT_CLASSES) == 67
 
 _TOKEN_RE = re.compile(r"[a-z_]+")
+_SPLIT_RE = re.compile(r"[\s_]+")
+
+
+def _plural_forms(w: str) -> list[str]:
+    """Regular English plurals: onion->onions, dish->dishes, berry->berries."""
+    out = [w + "s"]
+    if w.endswith(("s", "sh", "ch", "x", "z", "o")):
+        out.append(w + "es")
+    if w.endswith("y") and len(w) > 1 and w[-2] not in "aeiou":
+        out.append(w[:-1] + "ies")
+    return out
 
 
 class Vocab:
-    """Maps object words <-> class ids; extracts object words from sentences."""
+    """Maps object words/phrases <-> class ids; extracts them from sentences.
+
+    Multi-word classes ("bell pepper", "bell_pepper") are canonicalized to
+    token tuples and matched as n-grams; plural aliases apply to the LAST
+    token of a phrase ("bell peppers" -> "bell pepper").
+    """
 
     def __init__(self, classes: list[str] | None = None):
         self.classes = list(classes) if classes is not None else list(DEFAULT_CLASSES)
         self.word_to_id = {w: i for i, w in enumerate(self.classes)}
-        # regular English plural aliases: "onions"->"onion", "dishes"->"dish",
-        # "berries"->"berry", "tomatoes"->"tomato"
-        self._alias = {}
+        self._phrase_to_id: dict[tuple[str, ...], int] = {}
+        self._max_n = 1
         for w, i in self.word_to_id.items():
-            self._alias[w + "s"] = i
-            if w.endswith(("s", "sh", "ch", "x", "z", "o")):
-                self._alias[w + "es"] = i
-            if w.endswith("y") and len(w) > 1 and w[-2] not in "aeiou":
-                self._alias[w[:-1] + "ies"] = i
+            toks = tuple(t for t in _SPLIT_RE.split(w.strip()) if t)
+            if not toks:
+                continue
+            self._max_n = max(self._max_n, len(toks))
+            self._phrase_to_id.setdefault(toks, i)
+            for alias in _plural_forms(toks[-1]):
+                self._phrase_to_id.setdefault(toks[:-1] + (alias,), i)
 
     def __len__(self) -> int:
         return len(self.classes)
@@ -57,21 +76,39 @@ class Vocab:
         return cls(classes)
 
     def lookup(self, token: str) -> int | None:
-        token = token.lower()
-        if token in self.word_to_id:
-            return self.word_to_id[token]
-        return self._alias.get(token)
+        """Word or phrase ('bell pepper' / 'bell_pepper') -> class id."""
+        toks = tuple(t for t in _SPLIT_RE.split(token.lower().strip()) if t)
+        return self._phrase_to_id.get(toks)
 
     def extract(self, sentence: str, max_words: int | None = None,
                 dedup: bool = True) -> list[int]:
-        """Sentence -> ordered object-word class ids (SURVEY.md L133)."""
+        """Sentence -> ordered object-word class ids (SURVEY.md L133).
+
+        Greedy longest-match n-gram scan, so 'chop the bell pepper' yields
+        the 'bell pepper' class, not the bare 'pepper' class, while
+        'add pepper' still yields 'pepper'.
+        """
+        toks: list[str] = []
+        for t in _TOKEN_RE.findall(sentence.lower()):
+            toks.extend(x for x in t.split("_") if x)
         ids, seen = [], set()
-        for tok in _TOKEN_RE.findall(sentence.lower()):
-            i = self.lookup(tok)
-            if i is None or (dedup and i in seen):
+        i = 0
+        while i < len(toks):
+            hit = None
+            for n in range(min(self._max_n, len(toks) - i), 0, -1):
+                cid = self._phrase_to_id.get(tuple(toks[i:i + n]))
+                if cid is not None:
+                    hit = (cid, n)
+                    break
+            if hit is None:
+                i += 1
                 continue
-            ids.append(i)
-            seen.add(i)
+            cid, n = hit
+            i += n
+            if dedup and cid in seen:
+                continue
+            ids.append(cid)
+            seen.add(cid)
             if max_words is not None and len(ids) >= max_words:
                 break
         return ids

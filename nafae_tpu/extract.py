@@ -165,6 +165,11 @@ def main(argv=None):
     p.add_argument("--yc2bb-json",
                    help="YouCook2-BB box annotations: merge GT into --out "
                         "after extraction (enables eval)")
+    p.add_argument("--robowatch-json",
+                   help="authors' RoboWatch transfer annotations: derive the "
+                        "segment list (if --annotations/--youcook2-json "
+                        "absent) AND merge GT into --out after extraction "
+                        "(BASELINE config 5 transfer eval)")
     p.add_argument("--ckpt", default=None,
                    help="torch detector .pth to convert and load "
                         "(faster-rcnn.pytorch lineage or torchvision "
@@ -183,16 +188,27 @@ def main(argv=None):
     elif args.annotations:
         with open(args.annotations) as f:
             anns = [json.loads(ln) for ln in f if ln.strip()]
+    elif args.robowatch_json:
+        from nafae_tpu.data.annotations import segments_from_robowatch
+        anns = segments_from_robowatch(args.robowatch_json, args.video_dir)
     else:
-        p.error("one of --annotations / --youcook2-json is required")
+        p.error("one of --annotations / --youcook2-json / --robowatch-json "
+                "is required")
     index = extract_segments(cfg, anns, args.out)
     result = {"index": index, "segments": len(anns)}
+    gt = None
     if args.yc2bb_json:
-        from nafae_tpu.data.annotations import (gt_from_youcook2bb,
-                                                merge_gt_into_features)
+        from nafae_tpu.data.annotations import gt_from_youcook2bb
         gt = gt_from_youcook2bb(args.yc2bb_json,
                                 max_words=cfg.data.max_words,
                                 max_frames=cfg.data.max_frames)
+    elif args.robowatch_json:
+        from nafae_tpu.data.annotations import gt_from_robowatch
+        gt = gt_from_robowatch(args.robowatch_json,
+                               max_words=cfg.data.max_words,
+                               max_frames=cfg.data.max_frames)
+    if gt is not None:
+        from nafae_tpu.data.annotations import merge_gt_into_features
         result["gt_merged"] = merge_gt_into_features(
             args.out, gt, image_size=cfg.detector.image_size)
     print(json.dumps(result))

@@ -1,11 +1,13 @@
-"""YouCook2 / YouCook2-BB annotation parsing against schema fixtures."""
+"""YouCook2 / YouCook2-BB / RoboWatch annotation parsing (schema fixtures)."""
 
 import json
 
 import numpy as np
 
-from nafae_tpu.data.annotations import (gt_from_youcook2bb,
+from nafae_tpu.data.annotations import (gt_from_robowatch,
+                                        gt_from_youcook2bb,
                                         merge_gt_into_features,
+                                        segments_from_robowatch,
                                         segments_from_youcook2)
 from nafae_tpu.data.vocab import Vocab
 
@@ -94,3 +96,86 @@ def test_merge_gt_into_features(tmp_path):
                         feat_dim=8, max_words=4, with_gt=True)
     s = ds[0]
     assert s["gt_mask"].sum() == 2
+
+
+ROBOWATCH = {
+    # bare mapping (no "database" wrapper); vidC has explicit segments with
+    # sentences, vidD is a flat whole-video object list with list-form boxes
+    "vidC": {"rwidth": 640, "rheight": 480, "segments": {
+        "2": {"segment": [3, 9], "sentence": "wipe the pan with oil",
+              "objects": [
+                  {"label": "pan", "boxes": [
+                      {"x1": 0, "y1": 0, "x2": 64, "y2": 48, "outside": 0},
+                      {"outside": 1},
+                  ]},
+              ]},
+    }},
+    "vidD": {"objects": [
+        {"label": "Bowl", "boxes": [[5, 6, 50, 60], [7, 8, 52, 62, 1]]},
+        {"label": "unknown thing", "boxes": [[1, 1, 2, 2]]},
+    ]},
+}
+
+
+def test_segments_from_robowatch(tmp_path):
+    p = tmp_path / "rw.json"
+    p.write_text(json.dumps(ROBOWATCH))
+    segs = segments_from_robowatch(str(p), "/rw")
+    assert [s["id"] for s in segs] == ["vidC_2", "vidD_0"]
+    c = segs[0]
+    assert c["video"] == "/rw/vidC.mp4" and c["split"] == "val"
+    assert c["sentence"] == "wipe the pan with oil"
+    assert c["start"] == 3 and c["end"] == 9
+    # sentence synthesized from object labels when the release has none
+    d = segs[1]
+    assert "Bowl" in d["sentence"]
+    assert d["start"] is None
+    # "database" wrapper accepted too
+    p2 = tmp_path / "rw2.json"
+    p2.write_text(json.dumps({"database": ROBOWATCH}))
+    assert [s["id"] for s in segments_from_robowatch(str(p2), "/rw")] \
+        == ["vidC_2", "vidD_0"]
+
+
+def test_gt_from_robowatch(tmp_path):
+    p = tmp_path / "rw.json"
+    p.write_text(json.dumps(ROBOWATCH))
+    gt = gt_from_robowatch(str(p), max_words=4, max_frames=5)
+    assert set(gt) == {"vidC_2", "vidD_0"}
+    v = Vocab()
+    c = gt["vidC_2"]
+    assert list(c["word_ids"]) == [v.word_to_id["pan"]]
+    assert c["normalized"]
+    np.testing.assert_allclose(c["gt_boxes"][0, 0],
+                               [0, 0, 64 / 640, 48 / 480], rtol=1e-6)
+    np.testing.assert_allclose(c["gt_mask"][0, :2], [1, 0])  # frame 1 outside
+    d = gt["vidD_0"]     # flat video; list boxes; unknown label skipped
+    assert list(d["word_ids"]) == [v.word_to_id["bowl"]]
+    assert not d["normalized"]
+    np.testing.assert_allclose(d["gt_boxes"][0, 0], [5, 6, 50, 60])
+    np.testing.assert_allclose(d["gt_mask"][0, :2], [1, 0])  # outside flag
+
+
+def test_merge_robowatch_gt_roundtrip(tmp_path):
+    """RoboWatch GT merges into extracted features and loads through
+    RoboWatchDataset (the config-5 transfer-eval data path)."""
+    from nafae_tpu.data.robowatch import RoboWatchDataset
+    d = tmp_path / "val"
+    d.mkdir()
+    np.savez(d / "vidD_0.npz",
+             feats=np.zeros((2, 4, 8), np.float16),
+             boxes=np.zeros((2, 4, 4), np.float32),
+             word_ids=np.asarray([0], np.int32))
+    (d / "index.jsonl").write_text(json.dumps(
+        {"id": "vidD_0", "file": "vidD_0.npz", "num_frames": 2,
+         "num_words": 1, "split": "val"}) + "\n")
+    p = tmp_path / "rw.json"
+    p.write_text(json.dumps(ROBOWATCH))
+    gt = gt_from_robowatch(str(p), max_words=4, max_frames=5)
+    assert merge_gt_into_features(str(d), gt) == 1
+    ds = RoboWatchDataset(str(tmp_path), max_frames=5, num_regions=4,
+                          feat_dim=8, max_words=4)
+    s = ds[0]
+    assert s["gt_mask"].sum() == 1
+    v = Vocab()
+    assert int(s["word_ids"][0]) == v.word_to_id["bowl"]

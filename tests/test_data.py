@@ -14,6 +14,37 @@ def test_vocab_extract():
     assert len(v) == 67
 
 
+def test_vocab_multiword(tmp_path):
+    """Multi-word classes match as n-grams, longest first, incl. plurals and
+    the from_file path (VERDICT r1 #7; real YC2-BB lists have such entries)."""
+    p = tmp_path / "classes.txt"
+    p.write_text("pepper\nBell Pepper\ncutting board\nknife\n")
+    v = Vocab.from_file(str(p))
+    assert len(v) == 4
+    # longest match wins; bare word still matches alone
+    assert [v.classes[i] for i in v.extract("chop the bell pepper finely")] \
+        == ["bell pepper"]
+    assert [v.classes[i] for i in v.extract("add pepper and salt")] \
+        == ["pepper"]
+    # plural alias applies to the last token of the phrase
+    assert [v.classes[i] for i in v.extract("two bell peppers on the "
+                                            "cutting boards")] \
+        == ["bell pepper", "cutting board"]
+    # lookup accepts space or underscore phrase forms
+    assert v.lookup("bell pepper") == 1
+    assert v.lookup("bell_pepper") == 1
+    assert v.lookup("Bell Peppers") == 1
+    assert v.lookup("pepper") == 0
+    assert v.lookup("bell") is None
+    # underscore tokens inside sentences split and match the phrase
+    assert [v.classes[i] for i in v.extract("use the bell_pepper now")] \
+        == ["bell pepper"]
+    # default vocab still matches its underscore-named class
+    d = Vocab()
+    assert [d.classes[i] for i in d.extract("add the pepper_bell now")] \
+        == ["pepper_bell"]
+
+
 def test_dataset_shapes(synth_root):
     ds = SegmentDataset(synth_root, "train", max_frames=8, num_regions=6,
                         feat_dim=64, max_words=3)
