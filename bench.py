@@ -203,6 +203,9 @@ def bench_inline(iters=64, steps_per_call=64, image_size=320, b=2, t=8,
         f"detector.image_size={image_size}",
         "loss.kmeans_interval=100", f"train.kernels={kernels}",
         "model.dtype=bfloat16", "model.matmul_precision=default",
+        # bf16 detector activations: within-process A/B 626 -> 477 us/step
+        # (scripts/ab_inline.py; frozen BN makes it safe, docs/PERF.md)
+        "detector.dtype=bfloat16",
     ])
     rng = np.random.RandomState(0)
     batch = {

@@ -142,6 +142,10 @@ class DetectorConfig:
     rpn_channels: int = 256       # RPN 3x3 conv width; set 512 to load
                                   # faster-rcnn.pytorch-lineage checkpoints
                                   # (utils/torch_convert.convert_faster_rcnn)
+    dtype: str = "float32"        # conv/activation compute dtype; bfloat16
+                                  # halves backbone activation HBM traffic
+                                  # (safe: BN frozen, params stay f32, RPN
+                                  # outputs + pooled feats return to f32)
     frame_rate: float = 1.0       # sampled frames / second of video
     weights: str = ""             # optional torchvision resnet50 .pth to seed
                                   # the backbone/head (utils/torch_convert)

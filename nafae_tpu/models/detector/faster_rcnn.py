@@ -34,10 +34,13 @@ class FasterRCNNExtractor(nn.Module):
     num_classes: int = 67
 
     def setup(self):
-        self.backbone = ResNetC4()
+        dt = (None if self.cfg.dtype == "float32"
+              else jnp.dtype(self.cfg.dtype))
+        self.backbone = ResNetC4(dtype=dt)
         a = len(self.cfg.anchor_scales) * len(self.cfg.anchor_ratios)
-        self.rpn = RPNHead(num_anchors=a, channels=self.cfg.rpn_channels)
-        self.head = ResNetC5Head()
+        self.rpn = RPNHead(num_anchors=a, channels=self.cfg.rpn_channels,
+                           dtype=dt)
+        self.head = ResNetC5Head(dtype=dt)
         if self.with_detections:
             from nafae_tpu.models.detector.heads import DetectionHead
             self.det_head = DetectionHead(self.num_classes)

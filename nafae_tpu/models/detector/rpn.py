@@ -17,14 +17,21 @@ from nafae_tpu.models.detector.anchors import decode_boxes
 class RPNHead(nn.Module):
     num_anchors: int
     channels: int = 256
+    dtype: jnp.dtype | None = None   # conv compute dtype; outputs are cast
+                                     # back to f32 — box delta decode and
+                                     # NMS scoring are precision-sensitive
 
     @nn.compact
     def __call__(self, feat):              # [B,H,W,C]
-        y = nn.relu(nn.Conv(self.channels, (3, 3), padding="SAME")(feat))
-        obj = nn.Conv(self.num_anchors, (1, 1))(y)           # [B,H,W,A]
-        deltas = nn.Conv(self.num_anchors * 4, (1, 1))(y)    # [B,H,W,A*4]
+        y = nn.relu(nn.Conv(self.channels, (3, 3), padding="SAME",
+                            dtype=self.dtype)(feat))
+        obj = nn.Conv(self.num_anchors, (1, 1),
+                      dtype=self.dtype)(y)                   # [B,H,W,A]
+        deltas = nn.Conv(self.num_anchors * 4, (1, 1),
+                         dtype=self.dtype)(y)                # [B,H,W,A*4]
         b = feat.shape[0]
-        return obj.reshape(b, -1), deltas.reshape(b, -1, 4)
+        return (obj.reshape(b, -1).astype(jnp.float32),
+                deltas.reshape(b, -1, 4).astype(jnp.float32))
 
 
 def select_proposals_batched(obj_logits: jax.Array, deltas: jax.Array,

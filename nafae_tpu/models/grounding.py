@@ -9,6 +9,8 @@ fused kernel. A thin flax.linen wrapper is provided for the public API.
 
 from __future__ import annotations
 
+import re
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -64,6 +66,15 @@ def load_word_vectors(path: str, vocab, embed_dim: int):
     hits = 0
     for i, cls in enumerate(vocab.classes):
         vec = table.get(cls)
+        if vec is None:
+            # multi-word class ("bell pepper"/"bell_pepper"): GloVe tables
+            # are per-token — use the mean of the constituent vectors (the
+            # standard phrase-init convention) when every token is present
+            toks = [t for t in re.split(r"[\s_]+", cls) if t]
+            if len(toks) > 1:
+                parts = [table.get(t) for t in toks]
+                if all(p is not None and len(p) == embed_dim for p in parts):
+                    vec = np.mean(parts, axis=0)
         if vec is not None and len(vec) == embed_dim:
             out[i] = vec
             hits += 1

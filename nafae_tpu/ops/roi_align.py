@@ -104,11 +104,16 @@ def roi_align_matmul(feat: jax.Array, boxes: jax.Array, out_size: int = 7,
     b = boxes * spatial_scale
     wy = bilinear_weights(b[:, (1, 3)], h, out_size, sampling_ratio)  # [N,P,H]
     wx = bilinear_weights(b[:, (0, 2)], w, out_size, sampling_ratio)  # [N,P,W]
+    # reduced-dtype feature maps (detector.dtype=bfloat16) keep the whole op
+    # in that dtype — weights are in [0,1] and both matmuls accumulate f32
+    # via preferred_element_type; f32 inputs are untouched (exactness tests)
+    wy, wx = wy.astype(feat.dtype), wx.astype(feat.dtype)
     # late-bound precision: matmul_precision("default") must reach the
     # detector's hot einsums too (see ops/grounding.PRECISION contract)
     mid = jnp.einsum("nph,hwc->npwc", wy, feat,
                      preferred_element_type=jnp.float32,
                      precision=_G.PRECISION)
-    return jnp.einsum("nqw,npwc->npqc", wx, mid,
-                      preferred_element_type=jnp.float32,
-                      precision=_G.PRECISION)
+    out = jnp.einsum("nqw,npwc->npqc", wx, mid,
+                     preferred_element_type=jnp.float32,
+                     precision=_G.PRECISION)
+    return out.astype(feat.dtype)

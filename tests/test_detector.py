@@ -108,6 +108,35 @@ def test_extractor_end_to_end_shapes():
     assert (b >= 0).all() and (b <= 64).all()
 
 
+def test_extractor_bfloat16_mode():
+    """detector.dtype=bfloat16 (VERDICT r1 #8): params stay f32 (same tree
+    as the f32 module — converters/checkpoints unchanged), outputs are f32
+    (RPN decode/NMS and pooled feats return to full precision), and values
+    track the f32 run to bf16 tolerance."""
+    from nafae_tpu.models.detector.faster_rcnn import init_detector
+    kw = dict(image_size=64, num_proposals=5, rpn_pre_nms_topk=32,
+              anchor_scales=(16, 32), anchor_ratios=(0.5, 1.0, 2.0))
+    cfg32 = DetectorConfig(**kw)
+    cfg16 = DetectorConfig(dtype="bfloat16", **kw)
+    model32, params = init_detector(jax.random.PRNGKey(0), cfg32)
+    model16, params16 = init_detector(jax.random.PRNGKey(0), cfg16)
+    assert jax.tree.map(lambda x: (x.shape, x.dtype), params) \
+        == jax.tree.map(lambda x: (x.shape, x.dtype), params16)
+    imgs = jnp.asarray(np.random.RandomState(1).rand(2, 64, 64, 3)
+                       .astype(np.float32))
+    o32 = jax.jit(model32.apply)(params, imgs)
+    o16 = jax.jit(model16.apply)(params, imgs)      # same (f32) params
+    assert o16["feats"].dtype == jnp.float32
+    assert o16["boxes"].dtype == jnp.float32
+    assert np.isfinite(np.asarray(o16["feats"])).all()
+    # bf16 conv stacks drift; at init-scale activations the pooled features
+    # stay within a few percent and boxes within a few pixels
+    f32, f16 = np.asarray(o32["feats"]), np.asarray(o16["feats"])
+    denom = np.abs(f32).mean()
+    assert np.abs(f16 - f32).mean() / max(denom, 1e-6) < 0.1
+    assert np.abs(np.asarray(o16["boxes"]) - np.asarray(o32["boxes"])).mean() < 5.0
+
+
 def test_detection_head_outputs():
     from nafae_tpu.models.detector.faster_rcnn import FasterRCNNExtractor
     cfg = DetectorConfig(image_size=64, num_proposals=5, rpn_pre_nms_topk=32,

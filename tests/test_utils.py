@@ -103,6 +103,24 @@ def test_load_word_vectors_text_and_npz(tmp_path):
     assert hits2 == 1 and vecs2[v.word_to_id["pan"]][0] == 2.0
 
 
+def test_load_word_vectors_multiword_mean(tmp_path):
+    """Multi-word classes get the mean of their constituent GloVe vectors
+    (tables are per-token); partial coverage falls back to random init."""
+    import numpy as np
+
+    from nafae_tpu.data.vocab import Vocab
+    from nafae_tpu.models.grounding import load_word_vectors
+
+    v = Vocab(["bell pepper", "cutting_board", "pan"])
+    txt = tmp_path / "glove.txt"
+    txt.write_text("bell 1.0 0.0 0.0 0.0\npepper 0.0 1.0 0.0 0.0\n"
+                   "cutting 4 4 4 4\npan 0 0 0 2\n")
+    vecs, hits = load_word_vectors(str(txt), v, 4)
+    assert hits == 2                       # "board" missing -> no hit
+    np.testing.assert_allclose(vecs[0], [0.5, 0.5, 0, 0])
+    np.testing.assert_allclose(vecs[2], [0, 0, 0, 2])
+
+
 def make_resnet50_sd(rng):
     """Synthetic torchvision-style resnet50 state_dict (random weights);
     shared by the converter tests (torchvision itself isn't installed)."""
