@@ -72,6 +72,12 @@ def main():
     p.add_argument("--out", default="/tmp/nafae_profile")
     p.add_argument("--shapes", default="B=32,T=20,R=20,D=2048,E=256,K=8,"
                    "V=67,KC=67,W=3")
+    p.add_argument("--inline", action="store_true",
+                   help="profile the config-5 INLINE step (frames -> frozen "
+                        "detector -> losses) instead of the config-4 step")
+    p.add_argument("--image-size", type=int, default=320)
+    p.add_argument("--inline-shapes", default="B=2,T=8")
+    p.add_argument("--det-dtype", default="bfloat16")
     args = p.parse_args()
 
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "axon":
@@ -95,15 +101,41 @@ def main():
     from nafae_tpu.config import load_config
     from nafae_tpu.train import TrainState, make_optimizer, make_train_step
 
-    cfg = load_config(preset_name="config4", overrides=[
-        f"model.feat_dim={s['D']}", f"model.embed_dim={s['E']}",
-        f"data.batch_size={s['B']}", f"loss.num_clusters={s['KC']}",
-        f"loss.ctx_window={s['W']}", "loss.kmeans_interval=100",
-        f"train.kernels={args.kernels}",
-        f"model.dtype={args.dtype}", "model.matmul_precision=default",
-    ])
-    batch = {k: jax.device_put(v) for k, v in bench.make_batch(s).items()}
-    step = make_train_step(cfg, make_optimizer(cfg))
+    if args.inline:
+        sh = {k: int(v) for k, v in
+              (kv.split("=") for kv in args.inline_shapes.split(","))}
+        b, t, sz = sh["B"], sh["T"], args.image_size
+        cfg = load_config(preset_name="config5", overrides=[
+            f"data.batch_size={b}", f"data.max_frames={t}",
+            f"detector.image_size={sz}", "loss.kmeans_interval=100",
+            f"train.kernels={args.kernels}",
+            f"model.dtype={args.dtype}", "model.matmul_precision=default",
+            f"detector.dtype={args.det_dtype}",
+        ])
+        rng = np.random.RandomState(0)
+        batch = {
+            "frames": rng.rand(b, t, sz, sz, 3).astype(np.float32),
+            "word_ids": rng.randint(0, 67, (b, 4)).astype(np.int32),
+            "frame_mask": np.ones((b, t), np.float32),
+            "word_mask": np.ones((b, 4), np.float32),
+            "segment_id": np.arange(b, dtype=np.int32),
+        }
+        batch = {k: jax.device_put(v) for k, v in batch.items()}
+        from nafae_tpu.models.detector.faster_rcnn import init_detector
+        det_model, det_params = init_detector(jax.random.PRNGKey(0),
+                                              cfg.detector)
+        step = make_train_step(cfg, make_optimizer(cfg),
+                               extractor=(det_model.apply, det_params))
+    else:
+        cfg = load_config(preset_name="config4", overrides=[
+            f"model.feat_dim={s['D']}", f"model.embed_dim={s['E']}",
+            f"data.batch_size={s['B']}", f"loss.num_clusters={s['KC']}",
+            f"loss.ctx_window={s['W']}", "loss.kmeans_interval=100",
+            f"train.kernels={args.kernels}",
+            f"model.dtype={args.dtype}", "model.matmul_precision=default",
+        ])
+        batch = {k: jax.device_put(v) for k, v in bench.make_batch(s).items()}
+        step = make_train_step(cfg, make_optimizer(cfg))
 
     @jax.jit
     def multi(state, batch):
