@@ -136,6 +136,20 @@ class DetectorConfig:
                                   # (TPU-native, recall ~0.95; exact on CPU.
                                   # set False for reference-checkpoint
                                   # detection parity, docs/PARITY.md §3)
+    topk_window: int = 1          # >1: windowed pre-reduction top-k — max
+                                  # over windows of adjacent (same-cell)
+                                  # anchors before the sort, shrinking it
+                                  # by the window factor (rpn.windowed_topk;
+                                  # overrides approx_topk). 1 = off.
+    nms_impl: str = "jnp"         # "jnp" (XLA scan) or "pallas" (whole
+                                  # greedy loop in one on-chip kernel).
+                                  # Survivors are identical (tested), but
+                                  # the kernel's statically-unrolled argmax
+                                  # chain LOSES to the XLA loop on-chip
+                                  # (+21 us/step inline config-5 — see
+                                  # docs/PERF.md); "auto" = jnp. Opt-in
+                                  # only, frozen per the kernel-surface
+                                  # decision.
     nms_iou_thresh: float = 0.7
     anchor_scales: tuple = (32, 64, 128, 256, 512)
     anchor_ratios: tuple = (0.5, 1.0, 2.0)

@@ -57,11 +57,16 @@ class FasterRCNNExtractor(nn.Module):
         obj, deltas = self.rpn(feat)                         # [B,N], [B,N,4]
 
         from nafae_tpu.models.detector.rpn import select_proposals_batched
+        # "auto" = jnp: the on-chip greedy kernel measured slower than the
+        # XLA loop at inline config-5 shapes (docs/PERF.md, r2 A/B).
+        pallas_nms = self.use_pallas_nms or cfg.nms_impl == "pallas"
         boxes, scores, keep_valid = select_proposals_batched(
             obj, deltas, anchors, cfg.image_size, cfg.rpn_pre_nms_topk,
             cfg.num_proposals, cfg.nms_iou_thresh,
-            nms_impl="pallas" if self.use_pallas_nms else "jnp",
-            topk_impl="approx" if cfg.approx_topk else "exact")
+            nms_impl="pallas" if pallas_nms else "jnp",
+            topk_impl=("window" if cfg.topk_window > 1
+                       else "approx" if cfg.approx_topk else "exact"),
+            topk_window=cfg.topk_window)
 
         if self.use_pallas_roi_align:
             from nafae_tpu.ops.pallas.roi_align import roi_align_pallas

@@ -108,6 +108,59 @@ def test_extractor_end_to_end_shapes():
     assert (b >= 0).all() and (b <= 64).all()
 
 
+def test_windowed_topk():
+    """Windowed pre-reduction top-k (rpn.windowed_topk): window=1 is exact;
+    window>1 returns real (value, index) pairs, always finds the global
+    max, and equals exact top-k when the true top-k occupy distinct
+    windows."""
+    from nafae_tpu.models.detector.rpn import windowed_topk
+    rng = np.random.RandomState(0)
+    s = jnp.asarray(rng.randn(3, 96).astype(np.float32))
+    v1, i1 = windowed_topk(s, 8, 1)
+    ve, ie = jax.lax.top_k(s, 8)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(ve))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(ie))
+    # window=4: indices must point at their values; global max survives
+    v4, i4 = windowed_topk(s, 8, 4)
+    np.testing.assert_array_equal(
+        np.asarray(v4),
+        np.take_along_axis(np.asarray(s), np.asarray(i4), axis=1))
+    np.testing.assert_allclose(np.asarray(v4[:, 0]),
+                               np.asarray(s).max(axis=1))
+    # construct scores whose top-8 sit in distinct windows -> exact match
+    s2 = np.full((1, 96), -5.0, np.float32)
+    picks = np.arange(8) * 12 + rng.randint(0, 4, 8)
+    s2[0, picks] = 10.0 + np.arange(8)[::-1]
+    v, i = windowed_topk(jnp.asarray(s2), 8, 4)
+    ve2, ie2 = jax.lax.top_k(jnp.asarray(s2), 8)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(ve2))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ie2))
+    # non-divisible N pads with -inf (never selected while real entries remain)
+    v5, i5 = windowed_topk(s[:, :94], 8, 4)
+    assert (np.asarray(i5) < 94).all()
+    # k > num windows: contract shape kept via edge padding
+    v6, i6 = windowed_topk(s[:, :16], 6, 4)
+    assert v6.shape == (3, 6) and i6.shape == (3, 6)
+    np.testing.assert_array_equal(np.asarray(v6[:, 4]), np.asarray(v6[:, 5]))
+
+
+def test_extractor_window_topk_end_to_end():
+    """detector.topk_window>1 runs the full extractor and keeps box/score
+    contracts (values within image bounds, NMS survivors marked)."""
+    from nafae_tpu.models.detector.faster_rcnn import init_detector
+    cfg = DetectorConfig(image_size=64, num_proposals=5, rpn_pre_nms_topk=32,
+                         anchor_scales=(16, 32), anchor_ratios=(0.5, 1.0, 2.0),
+                         topk_window=4)
+    model, params = init_detector(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3)
+                       .astype(np.float32))
+    out = jax.jit(model.apply)(params, imgs)
+    assert out["boxes"].shape == (2, 5, 4)
+    b = np.asarray(out["boxes"])
+    assert (b >= 0).all() and (b <= 64).all()
+    assert np.isfinite(np.asarray(out["feats"])).all()
+
+
 def test_extractor_bfloat16_mode():
     """detector.dtype=bfloat16 (VERDICT r1 #8): params stay f32 (same tree
     as the f32 module — converters/checkpoints unchanged), outputs are f32
