@@ -206,6 +206,11 @@ def bench_inline(iters=64, steps_per_call=64, image_size=320, b=2, t=8,
         # bf16 detector activations: within-process A/B 626 -> 477 us/step
         # (scripts/ab_inline.py; frozen BN makes it safe, docs/PERF.md)
         "detector.dtype=bfloat16",
+        # full-pool greedy NMS in the row-parallel Pallas kernel: no
+        # pre-NMS sort at all (the sort was 22% of device time) and the
+        # ~120-launch XLA NMS scan becomes one program. A/B 463 -> 386
+        # us/step; selection is textbook-exact (docs/PERF.md r2).
+        "detector.full_pool_nms=true", "detector.nms_impl=auto",
     ])
     rng = np.random.RandomState(0)
     batch = {

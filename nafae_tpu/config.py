@@ -142,14 +142,17 @@ class DetectorConfig:
                                   # by the window factor (rpn.windowed_topk;
                                   # overrides approx_topk). 1 = off.
     nms_impl: str = "jnp"         # "jnp" (XLA scan) or "pallas" (whole
-                                  # greedy loop in one on-chip kernel).
-                                  # Survivors are identical (tested), but
-                                  # the kernel's statically-unrolled argmax
-                                  # chain LOSES to the XLA loop on-chip
-                                  # (+21 us/step inline config-5 — see
-                                  # docs/PERF.md); "auto" = jnp. Opt-in
-                                  # only, frozen per the kernel-surface
-                                  # decision.
+                                  # greedy loop in ONE on-chip program,
+                                  # all batch rows row-parallel on the
+                                  # VPU — ops/pallas/nms.py). Survivors
+                                  # identical (tested). "auto" = backend
+                                  # routing (pallas on TPU).
+    full_pool_nms: bool = False   # skip the pre-NMS top-k entirely: decode
+                                  # every anchor and greedy-NMS the full
+                                  # pool (textbook-exact selection, kills
+                                  # the [B,N] sort — 22% of the inline
+                                  # step). Pair with nms_impl pallas/auto;
+                                  # overrides approx_topk/topk_window.
     nms_iou_thresh: float = 0.7
     anchor_scales: tuple = (32, 64, 128, 256, 512)
     anchor_ratios: tuple = (0.5, 1.0, 2.0)
@@ -256,6 +259,12 @@ def preset(name: str) -> Config:
         cfg.loss.cluster_weight = 1.0
         cfg.model.frame_pool = "context"
         cfg.data.root = "data/robowatch"
+        # textbook-exact proposal selection with no pre-NMS sort; the
+        # row-parallel Pallas NMS kernel runs the full anchor pool in one
+        # program (463 -> 386 us/step inline, docs/PERF.md r2). "auto"
+        # routes the kernel on TPU and the jnp scan elsewhere.
+        cfg.detector.full_pool_nms = True
+        cfg.detector.nms_impl = "auto"
     else:
         raise ValueError(f"unknown preset {name!r}; choose config1..config5")
     return cfg

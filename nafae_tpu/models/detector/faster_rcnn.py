@@ -57,14 +57,15 @@ class FasterRCNNExtractor(nn.Module):
         obj, deltas = self.rpn(feat)                         # [B,N], [B,N,4]
 
         from nafae_tpu.models.detector.rpn import select_proposals_batched
-        # "auto" = jnp: the on-chip greedy kernel measured slower than the
-        # XLA loop at inline config-5 shapes (docs/PERF.md, r2 A/B).
-        pallas_nms = self.use_pallas_nms or cfg.nms_impl == "pallas"
+        pallas_nms = (self.use_pallas_nms or cfg.nms_impl == "pallas"
+                      or (cfg.nms_impl == "auto"
+                          and jax.default_backend() == "tpu"))
         boxes, scores, keep_valid = select_proposals_batched(
             obj, deltas, anchors, cfg.image_size, cfg.rpn_pre_nms_topk,
             cfg.num_proposals, cfg.nms_iou_thresh,
             nms_impl="pallas" if pallas_nms else "jnp",
-            topk_impl=("window" if cfg.topk_window > 1
+            topk_impl=("none" if cfg.full_pool_nms
+                       else "window" if cfg.topk_window > 1
                        else "approx" if cfg.approx_topk else "exact"),
             topk_window=cfg.topk_window)
 

@@ -84,21 +84,31 @@ def select_proposals_batched(obj_logits: jax.Array, deltas: jax.Array,
 
     topk_impl: "exact" (full sort), "approx" (lax.approx_max_k — NOTE at
     proposal ratios it usually falls back to the same full sort, see
-    windowed_topk), or "window" (windowed_topk with `topk_window`: the
+    windowed_topk), "window" (windowed_topk with `topk_window`: the
     sort shrinks by the window factor; at-most-one candidate per window
-    of adjacent same-cell anchors). Proposal recall is insensitive to the
-    tail of the pre-NMS pool; use "exact" when comparing detections
-    against a converted reference checkpoint (docs/PARITY.md §3)."""
+    of adjacent same-cell anchors), or "none" (NO pre-NMS truncation:
+    decode every anchor and run greedy NMS over the full pool — the
+    textbook-exact selection, no sort at all; pair with nms_impl="pallas",
+    whose single-program row-parallel kernel handles N≈6k, since the XLA
+    scan's per-iteration cost scales with N). Proposal recall is
+    insensitive to the tail of the pre-NMS pool; use "exact" when
+    comparing detections against a converted reference checkpoint
+    (docs/PARITY.md §3)."""
     k = min(pre_nms_topk, obj_logits.shape[-1])
-    if topk_impl == "window":
+    if topk_impl == "none":
+        scores = obj_logits                                     # [B,N]
+        boxes = jax.vmap(
+            lambda d: decode_boxes(anchors, d, image_size))(deltas)
+    elif topk_impl == "window":
         scores, idx = windowed_topk(obj_logits, k, topk_window)  # [B,k]
     elif topk_impl == "approx":
         scores, idx = jax.lax.approx_max_k(obj_logits, k)       # [B,k]
     else:
         scores, idx = jax.lax.top_k(obj_logits, k)              # [B,k]
-    boxes = jax.vmap(lambda i, d: decode_boxes(
-        jnp.take(anchors, i, axis=0), d, image_size))(
-        idx, jnp.take_along_axis(deltas, idx[..., None], axis=1))
+    if topk_impl != "none":
+        boxes = jax.vmap(lambda i, d: decode_boxes(
+            jnp.take(anchors, i, axis=0), d, image_size))(
+            idx, jnp.take_along_axis(deltas, idx[..., None], axis=1))
     if nms_impl == "pallas":
         from nafae_tpu.ops.pallas.nms import nms_pallas
         keep_idx, keep_valid = nms_pallas(boxes, scores, num_proposals,

@@ -2,12 +2,20 @@
 
 The reference lineage uses a CUDA nms kernel; greedy NMS is sequential, so
 the TPU formulation is the fixed-iteration masked suppression of ops/nms.py
-run entirely in VMEM: per iteration an argmax over the live-score lanes, a
-vectorized IoU of the winner against all boxes, and a mask update — no HBM
-traffic between iterations. Exactly matches ops/nms.nms (tested).
+run entirely in VMEM: per iteration a per-row argmax over the live-score
+lanes, a vectorized IoU of each row's winner against all its boxes, and a
+mask update — no HBM traffic between iterations. Exactly matches
+ops/nms.nms (tested).
 
-Layout: boxes are passed coordinate-planes-first [B, 4, N] so each coordinate
-is one full lane vector; scores [B, 1, N].
+Design note (r2 rewrite): the first version ran grid=(B,) with one batch
+row per program — but TPU grid steps execute *serially*, so B=16 rows cost
+16 × num_keep sequential argmax chains and the kernel LOST to the XLA scan
+(+21 us/step at inline config-5 shapes). This version processes ALL rows
+in ONE program on [B, N] blocks: the per-iteration argmax/IoU/suppress are
+row-parallel VPU ops (sublane axis = batch, lane axis = boxes), leaving
+only the inherent num_keep-step sequential dependence. It also scales to
+the full anchor pool (N ≈ 6k), enabling proposal selection WITHOUT the
+[B, N] pre-NMS sort (see models/detector/rpn.py full-pool mode).
 """
 
 from __future__ import annotations
@@ -26,30 +34,37 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(boxes_ref, scores_ref, idx_ref, valid_ref, *, N, num_keep,
-            iou_thresh):
-    x1 = boxes_ref[0, 0, :][None, :]                  # [1, N]
-    y1 = boxes_ref[0, 1, :][None, :]
-    x2 = boxes_ref[0, 2, :][None, :]
-    y2 = boxes_ref[0, 3, :][None, :]
-    scores = scores_ref[0]                            # [1, N]
+def _kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref, idx_ref, valid_ref,
+            *, N, num_keep, iou_thresh):
+    x1 = x1_ref[...]                                  # [B, N]
+    y1 = y1_ref[...]
+    x2 = x2_ref[...]
+    y2 = y2_ref[...]
+    scores = scores_ref[...]                          # [B, N]
+    b = scores.shape[0]
     area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, N), 1)
+    keep_lane = jax.lax.broadcasted_iota(jnp.int32, (b, num_keep), 1)
 
-    live = jnp.ones((1, N), jnp.float32)
+    live = jnp.ones((b, N), jnp.float32)
+    idx_acc = jnp.zeros((b, num_keep), jnp.int32)
+    val_acc = jnp.zeros((b, num_keep), jnp.float32)
 
-    def body(it, live):
-        nonlocal it_state
+    for it in range(num_keep):                        # static unroll
         masked = jnp.where(live > 0, scores, NEG)
-        bidx = jnp.argmax(masked, axis=-1)[0]         # scalar int
-        onehot = (lane == bidx).astype(jnp.float32)   # [1, N]
+        bval = jnp.max(masked, axis=1, keepdims=True)           # [B, 1]
+        # per-row argmax = first lane attaining the max (== jnp.argmax ties)
+        is_max = masked == bval
+        bidx = jnp.min(jnp.where(is_max, lane, N), axis=1,
+                       keepdims=True)                           # [B, 1]
+        onehot = lane == bidx                                   # [B, N]
+        valid = bval > NEG / 2                                  # [B, 1]
 
         def pick(vec):
-            """vec[0, bidx] via masked reduce (no dynamic_slice in Mosaic)."""
-            return jnp.sum(vec * onehot)
+            """vec[row, bidx[row]] via masked reduce (no dynamic_slice)."""
+            return jnp.sum(jnp.where(onehot, vec, 0.0), axis=1,
+                           keepdims=True)                       # [B, 1]
 
-        bval = pick(masked)
-        valid = bval > NEG / 2
         bx1, by1 = pick(x1), pick(y1)
         bx2, by2 = pick(x2), pick(y2)
         barea = jnp.maximum(bx2 - bx1, 0.0) * jnp.maximum(by2 - by1, 0.0)
@@ -58,23 +73,17 @@ def _kernel(boxes_ref, scores_ref, idx_ref, valid_ref, *, N, num_keep,
         inter = ix * iy
         union = area + barea - inter
         iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
-        suppress = jnp.logical_or(iou > iou_thresh, lane == bidx)
-        new_live = jnp.where(
+        suppress = jnp.logical_or(iou > iou_thresh, onehot)
+        live = jnp.where(
             jnp.logical_and(jnp.logical_not(suppress), valid), live, 0.0)
-        # scalar stores to VMEM are unsupported: accumulate result lanes and
-        # write whole vectors once after the loop
-        sel = (keep_lane == it)
-        idx_acc = jnp.where(sel, bidx.astype(jnp.int32), it_state[0])
-        val_acc = jnp.where(sel, valid.astype(jnp.float32), it_state[1])
-        return new_live, (idx_acc, val_acc)
+        # scalar stores to VMEM are unsupported: accumulate result lanes
+        # and write whole [B, num_keep] vectors once after the loop
+        sel = keep_lane == it
+        idx_acc = jnp.where(sel, bidx, idx_acc)
+        val_acc = jnp.where(sel, valid.astype(jnp.float32), val_acc)
 
-    keep_lane = jax.lax.broadcasted_iota(jnp.int32, (1, num_keep), 1)
-    it_state = (jnp.zeros((1, num_keep), jnp.int32),
-                jnp.zeros((1, num_keep), jnp.float32))
-    for it in range(num_keep):                        # static unroll
-        live, it_state = body(it, live)
-    idx_ref[0] = it_state[0]
-    valid_ref[0] = it_state[1]
+    idx_ref[...] = idx_acc
+    valid_ref[...] = val_acc
 
 
 def nms_pallas(boxes: jax.Array, scores: jax.Array, num_keep: int,
@@ -82,28 +91,19 @@ def nms_pallas(boxes: jax.Array, scores: jax.Array, num_keep: int,
     """boxes [B,N,4], scores [B,N] -> (keep_idx [B,num_keep] int32,
     keep_valid [B,num_keep] f32). Matches ops/nms.batched_nms exactly."""
     b, n, _ = boxes.shape
-    planes = jnp.moveaxis(boxes, -1, 1)               # [B, 4, N]
+    planes = jnp.moveaxis(boxes, -1, 0)               # [4, B, N]
     kernel = functools.partial(_kernel, N=n, num_keep=num_keep,
                                iou_thresh=iou_thresh)
+    full = lambda shape: pl.BlockSpec(shape, lambda: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
     idx, valid = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, 4, n), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, num_keep), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, num_keep), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[full((b, n))] * 5,
+        out_specs=[full((b, num_keep)), full((b, num_keep))],
         out_shape=[
-            jax.ShapeDtypeStruct((b, 1, num_keep), jnp.int32),
-            jax.ShapeDtypeStruct((b, 1, num_keep), jnp.float32),
+            jax.ShapeDtypeStruct((b, num_keep), jnp.int32),
+            jax.ShapeDtypeStruct((b, num_keep), jnp.float32),
         ],
         interpret=_interpret(),
-    )(planes, scores[:, None, :])
-    return idx[:, 0, :], valid[:, 0, :]
+    )(planes[0], planes[1], planes[2], planes[3], scores)
+    return idx, valid

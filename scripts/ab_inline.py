@@ -26,6 +26,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--a", default="detector.dtype=float32")
     p.add_argument("--b", default="detector.dtype=bfloat16")
+    p.add_argument("--c", default=None,
+                   help="optional third variant (same overrides syntax)")
     p.add_argument("--spc", type=int, default=64)
     p.add_argument("--repeats", type=int, default=4)
     p.add_argument("--calls", type=int, default=2)
@@ -92,7 +94,8 @@ def main():
         return best / (args.calls * args.spc), float(losses[-1])
 
     res = {}
-    for name in (args.a, args.b):
+    variants = [v for v in (args.a, args.b, args.c) if v is not None]
+    for name in variants:
         dt, loss = measure(*build(name))
         res[name] = dt
         fps = b * t / dt
