@@ -54,7 +54,12 @@ class FasterRCNNExtractor(nn.Module):
         b, fh, fw, _ = feat.shape
         anchors = jnp.asarray(generate_anchors(
             fh, fw, stride, cfg.anchor_scales, cfg.anchor_ratios))
-        obj, deltas = self.rpn(feat)                         # [B,N], [B,N,4]
+        # full-pool mode takes grid-layout deltas (raw=True) so the plane
+        # path never materializes [B,N,4] (see rpn.select_proposals_batched)
+        obj, deltas = self.rpn(feat, raw=cfg.full_pool_nms)  # [B,N], [B,N,4]
+        deltas_raw = None
+        if cfg.full_pool_nms:
+            deltas, deltas_raw = None, deltas
 
         from nafae_tpu.models.detector.rpn import select_proposals_batched
         pallas_nms = (self.use_pallas_nms or cfg.nms_impl == "pallas"
@@ -67,7 +72,7 @@ class FasterRCNNExtractor(nn.Module):
             topk_impl=("none" if cfg.full_pool_nms
                        else "window" if cfg.topk_window > 1
                        else "approx" if cfg.approx_topk else "exact"),
-            topk_window=cfg.topk_window)
+            topk_window=cfg.topk_window, deltas_raw=deltas_raw)
 
         if self.use_pallas_roi_align:
             from nafae_tpu.ops.pallas.roi_align import roi_align_pallas

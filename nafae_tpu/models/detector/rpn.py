@@ -10,19 +10,29 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from nafae_tpu.models.detector.anchors import decode_boxes
+from nafae_tpu.models.detector.anchors import (decode_boxes,
+                                               decode_boxes_planes,
+                                               decode_delta_planes)
 
 
 
 class RPNHead(nn.Module):
     num_anchors: int
     channels: int = 256
-    dtype: jnp.dtype | None = None   # conv compute dtype; outputs are cast
-                                     # back to f32 — box delta decode and
-                                     # NMS scoring are precision-sensitive
+    dtype: jnp.dtype | None = None   # conv compute dtype; scores are cast
+                                     # back to f32 (NMS scoring / the
+                                     # pre-NMS sort are precision-
+                                     # sensitive). Deltas KEEP the compute
+                                     # dtype: the conv already quantized
+                                     # their values, so a pre-reshape f32
+                                     # cast only doubles the [B,N,4]
+                                     # relayout bytes (~9 us/step at
+                                     # inline config-5) — the decode
+                                     # (anchors.decode_boxes*) upcasts to
+                                     # f32 at entry, bitwise-identical.
 
     @nn.compact
-    def __call__(self, feat):              # [B,H,W,C]
+    def __call__(self, feat, raw: bool = False):   # [B,H,W,C]
         y = nn.relu(nn.Conv(self.channels, (3, 3), padding="SAME",
                             dtype=self.dtype)(feat))
         obj = nn.Conv(self.num_anchors, (1, 1),
@@ -30,8 +40,15 @@ class RPNHead(nn.Module):
         deltas = nn.Conv(self.num_anchors * 4, (1, 1),
                          dtype=self.dtype)(y)                # [B,H,W,A*4]
         b = feat.shape[0]
-        return (obj.reshape(b, -1).astype(jnp.float32),
-                deltas.reshape(b, -1, 4).astype(jnp.float32))
+        obj = obj.reshape(b, -1).astype(jnp.float32)
+        if raw:
+            # grid-layout deltas for the full-pool plane path: channel
+            # index a*4+c matches the generate_anchors order (cell-major,
+            # anchor-minor), so strided channel slices ARE the coordinate
+            # planes — no [B,N,4] materialization (whose layout conversion
+            # cost ~19 us/step at inline config-5, docs/PERF.md).
+            return obj, deltas
+        return obj, deltas.reshape(b, -1, 4)
 
 
 def windowed_topk(scores: jax.Array, k: int, window: int
@@ -74,7 +91,8 @@ def select_proposals_batched(obj_logits: jax.Array, deltas: jax.Array,
                              nms_iou: float = 0.7,
                              nms_impl: str = "jnp",
                              topk_impl: str = "exact",
-                             topk_window: int = 4
+                             topk_window: int = 4,
+                             deltas_raw: jax.Array | None = None
                              ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched proposal selection: obj [B,N], deltas [B,N,4] ->
     (boxes [B,R,4], scores [B,R], keep_valid [B,R]). keep_valid marks the
@@ -96,19 +114,47 @@ def select_proposals_batched(obj_logits: jax.Array, deltas: jax.Array,
     (docs/PARITY.md §3)."""
     k = min(pre_nms_topk, obj_logits.shape[-1])
     if topk_impl == "none":
+        # Full-pool path works in coordinate-PLANE form throughout: the
+        # decode produces four [B,N] planes (XLA fuses the channel slices
+        # of the deltas into the decode math) and the Pallas kernel takes
+        # planes directly — never materializing [B,N,4] boxes, whose
+        # plane-major relayout for the kernel cost ~19 us/step at inline
+        # config-5 shapes (a [16,6000,4] reshape + copy, docs/PERF.md).
         scores = obj_logits                                     # [B,N]
-        boxes = jax.vmap(
-            lambda d: decode_boxes(anchors, d, image_size))(deltas)
-    elif topk_impl == "window":
+        if deltas_raw is not None:
+            # grid-layout deltas [B,H,W,A*4] (RPNHead raw=True): channel
+            # a*4+c matches the anchor order, so stride-4 channel slices
+            # are the per-coordinate delta planes; XLA fuses slice +
+            # upcast + decode into one fusion per plane instead of a
+            # [B,N,4] reshape + plane-major copy.
+            b = deltas_raw.shape[0]
+            d = [deltas_raw[..., c::4].reshape(b, -1) for c in range(4)]
+            planes = decode_delta_planes(anchors, *d, image_size)
+        else:
+            planes = decode_boxes_planes(anchors, deltas, image_size)
+        if nms_impl == "pallas":
+            from nafae_tpu.ops.pallas.nms import nms_pallas_planes
+            keep_idx, keep_valid = nms_pallas_planes(
+                *planes, scores, num_proposals, nms_iou)
+        else:
+            from nafae_tpu.ops.nms import batched_nms
+            keep_idx, keep_valid = batched_nms(
+                jnp.stack(planes, axis=-1), scores, num_proposals, nms_iou)
+        out_boxes = jnp.stack(
+            [jnp.take_along_axis(p, keep_idx, axis=1) for p in planes],
+            axis=-1)                                            # [B,R,4]
+        out_scores = (jnp.take_along_axis(scores, keep_idx, axis=1)
+                      * keep_valid)
+        return out_boxes * keep_valid[..., None], out_scores, keep_valid
+    if topk_impl == "window":
         scores, idx = windowed_topk(obj_logits, k, topk_window)  # [B,k]
     elif topk_impl == "approx":
         scores, idx = jax.lax.approx_max_k(obj_logits, k)       # [B,k]
     else:
         scores, idx = jax.lax.top_k(obj_logits, k)              # [B,k]
-    if topk_impl != "none":
-        boxes = jax.vmap(lambda i, d: decode_boxes(
-            jnp.take(anchors, i, axis=0), d, image_size))(
-            idx, jnp.take_along_axis(deltas, idx[..., None], axis=1))
+    boxes = jax.vmap(lambda i, d: decode_boxes(
+        jnp.take(anchors, i, axis=0), d, image_size))(
+        idx, jnp.take_along_axis(deltas, idx[..., None], axis=1))
     if nms_impl == "pallas":
         from nafae_tpu.ops.pallas.nms import nms_pallas
         keep_idx, keep_valid = nms_pallas(boxes, scores, num_proposals,

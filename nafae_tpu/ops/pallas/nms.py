@@ -86,12 +86,16 @@ def _kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref, idx_ref, valid_ref,
     valid_ref[...] = val_acc
 
 
-def nms_pallas(boxes: jax.Array, scores: jax.Array, num_keep: int,
-               iou_thresh: float = 0.7) -> tuple[jax.Array, jax.Array]:
-    """boxes [B,N,4], scores [B,N] -> (keep_idx [B,num_keep] int32,
-    keep_valid [B,num_keep] f32). Matches ops/nms.batched_nms exactly."""
-    b, n, _ = boxes.shape
-    planes = jnp.moveaxis(boxes, -1, 0)               # [4, B, N]
+def nms_pallas_planes(x1: jax.Array, y1: jax.Array, x2: jax.Array,
+                      y2: jax.Array, scores: jax.Array, num_keep: int,
+                      iou_thresh: float = 0.7
+                      ) -> tuple[jax.Array, jax.Array]:
+    """Coordinate-plane form: x1/y1/x2/y2/scores each [B,N] ->
+    (keep_idx [B,num_keep] int32, keep_valid [B,num_keep] f32).
+
+    This is the kernel's native layout — the full-pool proposal path
+    (rpn.decode_boxes_planes) feeds it without ever building [B,N,4]."""
+    b, n = scores.shape
     kernel = functools.partial(_kernel, N=n, num_keep=num_keep,
                                iou_thresh=iou_thresh)
     full = lambda shape: pl.BlockSpec(shape, lambda: (0,) * len(shape),
@@ -105,5 +109,14 @@ def nms_pallas(boxes: jax.Array, scores: jax.Array, num_keep: int,
             jax.ShapeDtypeStruct((b, num_keep), jnp.float32),
         ],
         interpret=_interpret(),
-    )(planes[0], planes[1], planes[2], planes[3], scores)
+    )(x1, y1, x2, y2, scores)
     return idx, valid
+
+
+def nms_pallas(boxes: jax.Array, scores: jax.Array, num_keep: int,
+               iou_thresh: float = 0.7) -> tuple[jax.Array, jax.Array]:
+    """boxes [B,N,4], scores [B,N] -> (keep_idx [B,num_keep] int32,
+    keep_valid [B,num_keep] f32). Matches ops/nms.batched_nms exactly."""
+    planes = jnp.moveaxis(boxes, -1, 0)               # [4, B, N]
+    return nms_pallas_planes(planes[0], planes[1], planes[2], planes[3],
+                             scores, num_keep, iou_thresh)

@@ -183,6 +183,15 @@ def test_full_pool_selection_matches_exact_topk():
         for a, b in zip(ref, got):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-5)
+    # grid-layout raw deltas (the extractor's full-pool fast path):
+    # [B,H,W,A*4] channel slicing must equal the [B,N,4] reshape
+    raw = jnp.asarray(np.asarray(deltas).reshape(2, 8, 8, -1))
+    got = select_proposals_batched(obj, None, anchors, 64, n, 6, 0.5,
+                                   nms_impl="pallas", topk_impl="none",
+                                   deltas_raw=raw)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_extractor_full_pool_nms_end_to_end():
