@@ -57,6 +57,50 @@ def test_inline_detector_train_step():
                                    atol=2e-6, err_msg=k)
 
 
+def test_inline_detector_mesh_dp_sp():
+    """The inline config-5 step under a DP x SP mesh (frames sharded):
+    each device runs the frozen detector on its local frame shard, the
+    ctx loss crosses shard boundaries via halo exchange, and the result
+    matches the single-device run — the full multi-chip form of the
+    most complete training step the framework has."""
+    from nafae_tpu.models.detector.faster_rcnn import init_detector
+    from nafae_tpu.parallel import make_mesh
+    cfg = load_config(preset_name="config5", overrides=[
+        "model.feat_dim=2048", "model.embed_dim=32", "data.batch_size=2",
+        "data.max_frames=4", "data.num_regions=4", "data.max_words=3",
+        "loss.num_clusters=4", "loss.ctx_window=1", "loss.kmeans_interval=1",
+        "detector.image_size=64", "detector.num_proposals=4",
+        "detector.rpn_pre_nms_topk=16", "train.donate=false",
+        "train.warmup_steps=0",
+    ])
+    cfg.detector.anchor_scales = (16, 32)
+    model, det_params = init_detector(jax.random.PRNGKey(1), cfg.detector)
+    extractor = (model.apply, det_params)
+    rng = np.random.RandomState(0)
+    batch = {
+        "frames": jnp.asarray(rng.rand(2, 4, 64, 64, 3).astype(np.float32)),
+        "word_ids": jnp.asarray(rng.randint(0, 67, (2, 3)).astype(np.int32)),
+        "frame_mask": jnp.ones((2, 4)),
+        "word_mask": jnp.ones((2, 3)),
+        "segment_id": jnp.arange(2, dtype=jnp.int32),
+    }
+    state = TrainState.create(jax.random.PRNGKey(0), cfg)
+    ref_state, ref_metrics = build_train_fn(cfg, None,
+                                            extractor=extractor)(state, batch)
+    cfg.mesh.data_axis, cfg.mesh.frame_axis = 2, 2
+    fn = build_train_fn(cfg, make_mesh(2, 2, devices=jax.devices()[:4]),
+                        extractor=extractor, with_frames=True)
+    mesh_state, mesh_metrics = fn(state, batch)
+    for k in ref_metrics:
+        np.testing.assert_allclose(float(ref_metrics[k]),
+                                   float(mesh_metrics[k]),
+                                   rtol=3e-4, atol=1e-5, err_msg=k)
+    for k in state.params:
+        np.testing.assert_allclose(np.asarray(ref_state.params[k]),
+                                   np.asarray(mesh_state.params[k]),
+                                   atol=2e-6, err_msg=k)
+
+
 def test_robowatch_transfer_eval(synth_root, tmp_path):
     """Train on 'YouCook2' fixtures, evaluate zero-shot on a differently-
     seeded 'RoboWatch' fixture through the identical metric path."""
