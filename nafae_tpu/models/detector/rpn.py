@@ -1,7 +1,11 @@
 """Region Proposal Network (SURVEY.md L137): objectness + deltas -> proposals.
 
-Proposal selection is shape-static for XLA: top-k by objectness (fixed k),
-delta decode, then fixed-iteration NMS (ops/nms.py) down to num_proposals.
+Proposal selection is shape-static for XLA. Two routes:
+- topk: top-k by objectness (fixed k), delta decode, fixed-iteration NMS
+  (ops/nms.py) down to num_proposals — the reference lineage's order.
+- full-pool (topk_impl="none"): decode every anchor as coordinate planes
+  and greedy-NMS the whole pool in the row-parallel Pallas kernel — no
+  sort, textbook-exact, fastest on TPU (docs/PERF.md r2).
 """
 
 from __future__ import annotations
@@ -23,13 +27,12 @@ class RPNHead(nn.Module):
                                      # back to f32 (NMS scoring / the
                                      # pre-NMS sort are precision-
                                      # sensitive). Deltas KEEP the compute
-                                     # dtype: the conv already quantized
-                                     # their values, so a pre-reshape f32
-                                     # cast only doubles the [B,N,4]
-                                     # relayout bytes (~9 us/step at
-                                     # inline config-5) — the decode
-                                     # (anchors.decode_boxes*) upcasts to
-                                     # f32 at entry, bitwise-identical.
+                                     # dtype — the conv already quantized
+                                     # their values, so deferring the f32
+                                     # upcast into the decode fusion
+                                     # (anchors.decode_delta_planes) is
+                                     # bitwise-identical and lets the raw
+                                     # plane path stay bf16 end-to-end.
 
     @nn.compact
     def __call__(self, feat, raw: bool = False):   # [B,H,W,C]
