@@ -166,10 +166,14 @@ def segments_from_robowatch(ann_path: str, video_dir: str,
     out = []
     for vid, meta in sorted(db.items()):
         segments = meta.get("segments") or {"0": meta}
+        if not isinstance(segments, dict):   # e.g. a list release variant
+            segments = {str(i): s for i, s in enumerate(segments)}
         for seg_id, seg in sorted(segments.items()):
-            span = seg.get("segment", [None, None])
+            # `or` (not a .get default): a present-but-null "segment" must
+            # also fall back, per the lenient-parsing contract
+            span = seg.get("segment") or [None, None]
             sentence = seg.get("sentence") or " ".join(
-                str(o.get("label", "")) for o in seg.get("objects", []))
+                str(o.get("label", "")) for o in seg.get("objects") or [])
             out.append({
                 "id": f"{vid}_{seg_id}",
                 "video": os.path.join(video_dir, vid + ext),

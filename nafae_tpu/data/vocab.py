@@ -55,12 +55,19 @@ class Vocab:
         self.word_to_id = {w: i for i, w in enumerate(self.classes)}
         self._phrase_to_id: dict[tuple[str, ...], int] = {}
         self._max_n = 1
+        # two passes: EVERY exact class name is registered before any
+        # auto-plural alias, so a class whose literal name equals another
+        # class's plural (e.g. "pepper" and "peppers" both in the list)
+        # keeps its own id instead of being shadowed by the alias
+        tok_lists = []
         for w, i in self.word_to_id.items():
             toks = tuple(t for t in _SPLIT_RE.split(w.strip()) if t)
             if not toks:
                 continue
             self._max_n = max(self._max_n, len(toks))
             self._phrase_to_id.setdefault(toks, i)
+            tok_lists.append((toks, i))
+        for toks, i in tok_lists:
             for alias in _plural_forms(toks[-1]):
                 self._phrase_to_id.setdefault(toks[:-1] + (alias,), i)
 

@@ -72,18 +72,11 @@ def decode_boxes_planes(anchors: jnp.ndarray, deltas: jnp.ndarray,
 
 def decode_boxes(anchors: jnp.ndarray, deltas: jnp.ndarray,
                  image_size: int) -> jnp.ndarray:
-    """Apply (dx,dy,dw,dh) deltas to anchors; clip to the image. [N,4]->[N,4]."""
-    deltas = deltas.astype(jnp.float32)
-    aw = anchors[:, 2] - anchors[:, 0]
-    ah = anchors[:, 3] - anchors[:, 1]
-    acx = anchors[:, 0] + 0.5 * aw
-    acy = anchors[:, 1] + 0.5 * ah
-    dx, dy, dw, dh = (deltas[:, 0], deltas[:, 1],
-                      jnp.clip(deltas[:, 2], -4.0, 4.0),
-                      jnp.clip(deltas[:, 3], -4.0, 4.0))
-    cx = acx + dx * aw
-    cy = acy + dy * ah
-    w = aw * jnp.exp(dw)
-    h = ah * jnp.exp(dh)
-    boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=1)
-    return jnp.clip(boxes, 0.0, float(image_size))
+    """Apply (dx,dy,dw,dh) deltas to anchors; clip to the image. [N,4]->[N,4].
+
+    Stacked-output convenience over decode_delta_planes (one source of
+    truth for the decode math)."""
+    return jnp.stack(
+        decode_delta_planes(anchors, deltas[..., 0], deltas[..., 1],
+                            deltas[..., 2], deltas[..., 3], image_size),
+        axis=-1)

@@ -94,7 +94,7 @@ def select_proposals_batched(obj_logits: jax.Array, deltas: jax.Array,
                              nms_iou: float = 0.7,
                              nms_impl: str = "jnp",
                              topk_impl: str = "exact",
-                             topk_window: int = 4,
+                             topk_window: int = 1,
                              deltas_raw: jax.Array | None = None
                              ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched proposal selection: obj [B,N], deltas [B,N,4] ->
@@ -175,7 +175,7 @@ def select_proposals(obj_logits: jax.Array, deltas: jax.Array,
                      anchors: jax.Array, image_size: int,
                      pre_nms_topk: int, num_proposals: int,
                      nms_iou: float = 0.7, nms_impl: str = "jnp",
-                     topk_impl: str = "exact", topk_window: int = 4
+                     topk_impl: str = "exact", topk_window: int = 1
                      ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Per-image form of select_proposals_batched (same 3-tuple contract,
     without the leading batch axis)."""

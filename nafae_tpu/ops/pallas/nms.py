@@ -10,12 +10,15 @@ ops/nms.nms (tested).
 Design note (r2 rewrite): the first version ran grid=(B,) with one batch
 row per program — but TPU grid steps execute *serially*, so B=16 rows cost
 16 × num_keep sequential argmax chains and the kernel LOST to the XLA scan
-(+21 us/step at inline config-5 shapes). This version processes ALL rows
-in ONE program on [B, N] blocks: the per-iteration argmax/IoU/suppress are
+(+21 us/step at inline config-5 shapes). This version processes a BLOCK of
+rows per program ([rb, N]): the per-iteration argmax/IoU/suppress are
 row-parallel VPU ops (sublane axis = batch, lane axis = boxes), leaving
-only the inherent num_keep-step sequential dependence. It also scales to
-the full anchor pool (N ≈ 6k), enabling proposal selection WITHOUT the
-[B, N] pre-NMS sort (see models/detector/rpn.py full-pool mode).
+only the inherent num_keep-step sequential dependence. Problems whose five
+input planes fit the VMEM budget run as a single block (the benchmarked
+inline shapes); larger ones tile the batch axis over a serial grid of
+row blocks. It also scales to the full anchor pool (N ≈ 6k-24k), enabling
+proposal selection WITHOUT the [B, N] pre-NMS sort (see
+models/detector/rpn.py full-pool mode).
 """
 
 from __future__ import annotations
@@ -86,6 +89,13 @@ def _kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref, idx_ref, valid_ref,
     valid_ref[...] = val_acc
 
 
+# VMEM byte budget for the five input planes of one block. Rows are
+# independent, so oversize problems tile the batch axis over a serial grid
+# of row blocks (e.g. the config-5 preset's own defaults reach 320 rows x
+# 24000 anchors = 31 MB/plane — far past the ~16 MB VMEM as one block).
+_VMEM_INPUT_BUDGET = 4 * 1024 * 1024
+
+
 def nms_pallas_planes(x1: jax.Array, y1: jax.Array, x2: jax.Array,
                       y2: jax.Array, scores: jax.Array, num_keep: int,
                       iou_thresh: float = 0.7
@@ -96,21 +106,35 @@ def nms_pallas_planes(x1: jax.Array, y1: jax.Array, x2: jax.Array,
     This is the kernel's native layout — the full-pool proposal path
     (rpn.decode_boxes_planes) feeds it without ever building [B,N,4]."""
     b, n = scores.shape
+    per_row = 5 * n * 4
+    if b * per_row <= _VMEM_INPUT_BUDGET:
+        rb = b                       # common case: whole batch, one block
+    else:
+        # row blocks in multiples of the 8-sublane tile; padded rows carry
+        # NEG scores, so they emit valid=0 slots like any dead row
+        rb = min(b, max(8, _VMEM_INPUT_BUDGET // per_row // 8 * 8))
+    pad = (-b) % rb
+    if pad:
+        rows = lambda a, v: jnp.pad(a, ((0, pad), (0, 0)),
+                                    constant_values=v)
+        x1, y1, x2, y2 = (rows(p, 0.0) for p in (x1, y1, x2, y2))
+        scores = rows(scores, NEG)
     kernel = functools.partial(_kernel, N=n, num_keep=num_keep,
                                iou_thresh=iou_thresh)
-    full = lambda shape: pl.BlockSpec(shape, lambda: (0,) * len(shape),
-                                      memory_space=pltpu.VMEM)
+    blk = lambda cols: pl.BlockSpec((rb, cols), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
     idx, valid = pl.pallas_call(
         kernel,
-        in_specs=[full((b, n))] * 5,
-        out_specs=[full((b, num_keep)), full((b, num_keep))],
+        grid=((b + pad) // rb,),
+        in_specs=[blk(n)] * 5,
+        out_specs=[blk(num_keep), blk(num_keep)],
         out_shape=[
-            jax.ShapeDtypeStruct((b, num_keep), jnp.int32),
-            jax.ShapeDtypeStruct((b, num_keep), jnp.float32),
+            jax.ShapeDtypeStruct((b + pad, num_keep), jnp.int32),
+            jax.ShapeDtypeStruct((b + pad, num_keep), jnp.float32),
         ],
         interpret=_interpret(),
     )(x1, y1, x2, y2, scores)
-    return idx, valid
+    return idx[:b], valid[:b]
 
 
 def nms_pallas(boxes: jax.Array, scores: jax.Array, num_keep: int,

@@ -137,6 +137,26 @@ def test_segments_from_robowatch(tmp_path):
         == ["vidC_2", "vidD_0"]
 
 
+def test_segments_from_robowatch_null_and_list_variants(tmp_path):
+    """Lenient-parsing contract (r2 review fix): a present-but-null
+    "segment" span falls back to whole-video, null "objects" synthesizes
+    an empty sentence, and a list-valued "segments" release variant is
+    accepted."""
+    raw = {
+        "vidE": {"segments": {"0": {"segment": None, "objects": None,
+                                    "sentence": "stir the soup"}}},
+        "vidF": {"segments": [{"segment": [1, 4], "objects":
+                               [{"label": "Cup"}]}]},
+    }
+    p = tmp_path / "rw3.json"
+    p.write_text(json.dumps(raw))
+    segs = segments_from_robowatch(str(p), "/rw")
+    assert [s["id"] for s in segs] == ["vidE_0", "vidF_0"]
+    assert segs[0]["start"] is None and segs[0]["end"] is None
+    assert segs[0]["sentence"] == "stir the soup"
+    assert segs[1]["start"] == 1 and "Cup" in segs[1]["sentence"]
+
+
 def test_gt_from_robowatch(tmp_path):
     p = tmp_path / "rw.json"
     p.write_text(json.dumps(ROBOWATCH))

@@ -45,6 +45,19 @@ def test_vocab_multiword(tmp_path):
         == ["pepper_bell"]
 
 
+def test_vocab_exact_name_beats_plural_alias():
+    """A class whose literal name equals another class's auto-plural keeps
+    its own id: exact names are registered before any alias (r2 review
+    fix — a single setdefault pass let 'pepper's alias shadow a literal
+    'peppers' class)."""
+    v = Vocab(["pepper", "peppers", "onion"])
+    assert v.lookup("pepper") == 0
+    assert v.lookup("peppers") == 1          # exact name, not 0's alias
+    assert v.lookup("onions") == 2           # aliases still work
+    assert [v.classes[i] for i in v.extract("add peppers to the onions")] \
+        == ["peppers", "onion"]
+
+
 def test_dataset_shapes(synth_root):
     ds = SegmentDataset(synth_root, "train", max_frames=8, num_regions=6,
                         feat_dim=64, max_words=3)

@@ -214,6 +214,29 @@ def test_nms_pallas_matches_reference():
     np.testing.assert_array_equal(np.asarray(ri)[mask], np.asarray(pi)[mask])
 
 
+def test_nms_pallas_row_blocking(monkeypatch):
+    """Oversize [B,N] problems tile the batch axis over a serial grid of
+    row blocks (r2 review fix: one VMEM block cannot hold the config-5
+    preset's own 320x24000 pool). Force a tiny budget so blocking + row
+    padding engage, and check survivors still match the jnp greedy
+    reference exactly."""
+    import nafae_tpu.ops.pallas.nms as pn
+    from nafae_tpu.ops.nms import batched_nms
+    rng = np.random.RandomState(7)
+    B, N = 11, 64          # 11 % block-rows != 0 -> exercises the padding
+    xy = rng.rand(B, N, 2) * 80
+    wh = rng.rand(B, N, 2) * 40 + 5
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+    scores = jnp.asarray(rng.rand(B, N).astype(np.float32))
+    ri, rv = batched_nms(boxes, scores, 8, 0.5)
+    monkeypatch.setattr(pn, "_VMEM_INPUT_BUDGET", 5 * N * 4 * 4)  # 4 rows
+    pi, pv = pn.nms_pallas(boxes, scores, 8, 0.5)
+    assert pi.shape == (B, 8) and pv.shape == (B, 8)
+    np.testing.assert_array_equal(np.asarray(rv), np.asarray(pv))
+    mask = np.asarray(rv) > 0
+    np.testing.assert_array_equal(np.asarray(ri)[mask], np.asarray(pi)[mask])
+
+
 def test_detector_pallas_kernels_end_to_end():
     from nafae_tpu.config import DetectorConfig
     from nafae_tpu.models.detector.faster_rcnn import FasterRCNNExtractor
