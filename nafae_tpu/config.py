@@ -51,6 +51,10 @@ class LossConfig:
 class DataConfig:
     root: str = "data/youcook2"   # directory with index.jsonl + per-segment .npz
     split: str = "train"
+    classes_file: str = ""        # object-class list (one per line) used to
+                                  # build the Vocab everywhere (extract,
+                                  # GloVe init, visualize); "" = the built-in
+                                  # 67-class stand-in (data/vocab.py)
     max_frames: int = 20          # T bucket (upper bound)
     frame_buckets: tuple = ()     # optional ascending T buckets, e.g. (8, 20):
                                   # each segment pads to the smallest fitting

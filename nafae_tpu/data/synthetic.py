@@ -50,7 +50,10 @@ def generate_synthetic_dataset(
     with all 67 classes and few segments, ranking can be satisfied by
     memorizing segment-specific noise instead of the planted directions).
     """
-    rng = np.random.RandomState(seed + (0 if split == "train" else 10_000))
+    # distinct offset per split — "val" and "test" must not be bit-identical
+    split_off = {"train": 0, "val": 10_000, "test": 20_000}
+    rng = np.random.RandomState(
+        seed + split_off.get(split, 10_000 + sum(map(ord, split))))
     pool = min(class_pool or num_classes, num_classes)
     dirs = _class_directions(num_classes, feat_dim)
     seg_dir = os.path.join(root, split)

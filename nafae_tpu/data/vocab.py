@@ -42,6 +42,15 @@ def _plural_forms(w: str) -> list[str]:
     return out
 
 
+def vocab_from_config(data_cfg) -> "Vocab":
+    """The canonical vocab for a config: data.classes_file when set, else
+    the built-in stand-in class list. Every consumer (extract, GloVe init,
+    visualize) must build its vocab here so word ids stay consistent
+    across extraction, training, and rendering."""
+    cf = getattr(data_cfg, "classes_file", "") or ""
+    return Vocab.from_file(cf) if cf else Vocab()
+
+
 class Vocab:
     """Maps object words/phrases <-> class ids; extracts them from sentences.
 

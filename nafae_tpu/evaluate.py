@@ -53,11 +53,13 @@ def evaluate(params: dict, dataset, batch_size: int, num_classes: int,
         axis = mesh.axis_names[0]
         shard = NamedSharding(mesh, P(axis))
         rep = NamedSharding(mesh, P())
+        # replicate the params ONCE — inside eval_fn it would re-transfer
+        # the whole tree to every device per batch
+        params = jax.device_put(params, rep)
 
         def eval_fn(params, batch, iou_thresh):   # noqa: F811
             batch = {k: jax.device_put(_pad_rows(v, batch_size), shard)
                      for k, v in batch.items()}
-            params = jax.device_put(params, rep)
             return _eval_batch(params, batch, iou_thresh=iou_thresh)
 
     loader = BatchLoader(dataset, batch_size, shuffle=False,

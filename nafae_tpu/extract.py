@@ -102,7 +102,8 @@ def extract_segments(cfg: Config, annotations: list[dict], out_dir: str,
                      params=None, vocab: Vocab | None = None,
                      frame_batch: int = 8) -> str:
     """Run the full extraction pipeline; returns the index.jsonl path."""
-    vocab = vocab or Vocab()
+    from nafae_tpu.data.vocab import vocab_from_config
+    vocab = vocab or vocab_from_config(cfg.data)
     os.makedirs(out_dir, exist_ok=True)
     fn, params = make_extract_fn(cfg, params)
     dc = cfg.detector
@@ -197,14 +198,16 @@ def main(argv=None):
     index = extract_segments(cfg, anns, args.out)
     result = {"index": index, "segments": len(anns)}
     gt = None
+    from nafae_tpu.data.vocab import vocab_from_config
+    vocab = vocab_from_config(cfg.data)
     if args.yc2bb_json:
         from nafae_tpu.data.annotations import gt_from_youcook2bb
-        gt = gt_from_youcook2bb(args.yc2bb_json,
+        gt = gt_from_youcook2bb(args.yc2bb_json, vocab=vocab,
                                 max_words=cfg.data.max_words,
                                 max_frames=cfg.data.max_frames)
     elif args.robowatch_json:
         from nafae_tpu.data.annotations import gt_from_robowatch
-        gt = gt_from_robowatch(args.robowatch_json,
+        gt = gt_from_robowatch(args.robowatch_json, vocab=vocab,
                                max_words=cfg.data.max_words,
                                max_frames=cfg.data.max_frames)
     if gt is not None:

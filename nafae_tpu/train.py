@@ -58,7 +58,12 @@ class TrainState:
                     "loss.kmeans_source='bank' needs a single frame bucket "
                     "(the bank's T dim is static)")
             w, b = cfg.loss.bank_steps, cfg.data.batch_size
-            t, k = cfg.data.max_frames, cfg.data.max_words
+            # T must match the batches the loader actually emits: the
+            # single bucket's size when one is configured (it may be
+            # smaller than max_frames), else max_frames
+            t = (cfg.data.frame_buckets[0] if cfg.data.frame_buckets
+                 else cfg.data.max_frames)
+            k = cfg.data.max_words
             bank = jnp.zeros((w, b, t, k, cfg.model.embed_dim), jnp.float32)
             bank_valid = jnp.zeros((w, b, t, k), jnp.float32)
         return cls(step=jnp.zeros((), jnp.int32), params=params,
@@ -455,9 +460,12 @@ def fit_device_cached(cfg: Config, state, loader, ckpt, logger,
     ds = loader.dataset
     n = len(ds)
     # boxes are eval-only (the train step never reads them) — keep them out
-    # of the cache, they would pin N*T*R*4 floats of HBM for nothing
-    data = {k: np.stack([ds[i][k] for i in range(n)])
-            for k in ds[0] if k != "boxes"}
+    # of the cache, they would pin N*T*R*4 floats of HBM for nothing.
+    # One pass over the dataset (each ds[i] is an npz load + pad).
+    samples = [ds[i] for i in range(n)]
+    data = {k: np.stack([s[k] for s in samples])
+            for k in samples[0] if k != "boxes"}
+    del samples
     tx = make_optimizer(cfg)
     spc = max(1, cfg.train.steps_per_call)
     donate = (0,) if cfg.train.donate else ()   # donate the OLD TrainState
@@ -529,14 +537,18 @@ def fit_device_cached(cfg: Config, state, loader, ckpt, logger,
     t0 = t_start = time.perf_counter()
     metrics = {}
     while done < total:
-        while len(order) < spc * bsz:
+        # the last call shrinks to the remaining step count (scan length =
+        # idxs.shape[0], so a short tail just compiles one extra program)
+        # instead of overshooting cfg.train.steps by up to spc-1 steps
+        take = min(spc, total - done)
+        while len(order) < take * bsz:
             ep = np.arange(n)
             rng.shuffle(ep)
             order.extend(ep.tolist())
-        idxs = np.asarray(order[:spc * bsz], np.int32).reshape(spc, bsz)
-        order = order[spc * bsz:]
+        idxs = np.asarray(order[:take * bsz], np.int32).reshape(take, bsz)
+        order = order[take * bsz:]
         state, metrics = multi(state, idxs, data)
-        done += spc
+        done += take
         gstep = start_step + done
         due = lambda every: every > 0 and gstep % max(every, spc) < spc
         if due(cfg.train.log_every):
@@ -599,9 +611,19 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
                          pipeline=cfg.data.pipeline)
     state = TrainState.create(jax.random.PRNGKey(cfg.train.seed), cfg)
     if cfg.model.word_vectors:
-        from nafae_tpu.data.vocab import Vocab
+        from nafae_tpu.data.vocab import vocab_from_config
         from nafae_tpu.models.grounding import load_word_vectors
-        vecs, hits = load_word_vectors(cfg.model.word_vectors, Vocab(),
+        vocab = vocab_from_config(cfg.data)
+        if len(vocab) != cfg.model.vocab_size:
+            # a silent mismatch would either crash in the optimizer (the
+            # opt_state was sized at vocab_size) or, worse, assign every
+            # word id the wrong vector
+            raise ValueError(
+                f"model.word_vectors: the vocab has {len(vocab)} classes "
+                f"but model.vocab_size={cfg.model.vocab_size}; point "
+                "data.classes_file at the class list the features were "
+                "extracted with (and keep vocab_size in sync)")
+        vecs, hits = load_word_vectors(cfg.model.word_vectors, vocab,
                                        cfg.model.embed_dim)
         state = state.replace(params={**state.params,
                                       "word_emb": jnp.asarray(vecs)})
@@ -646,20 +668,24 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
     # the interval-window test instead (same as fit_device_cached)
     target = cfg.train.steps
     applied = start_step                     # optimizer steps applied so far
+    applied_logged = start_step
     due = lambda every: every > 0 and applied % max(every, spc) < spc
 
     def emit(state, metrics):
-        nonlocal t0
+        nonlocal t0, applied_logged
         if due(cfg.train.log_every):
             m = {k: float(v) for k, v in metrics.items()}
             dt = time.perf_counter() - t0
-            m["frames_per_sec"] = frames_per_batch * max(
-                cfg.train.log_every, spc) / dt
+            # actual steps since the last log — a resume or tail window can
+            # be shorter than the nominal log_every/spc cadence
+            m["frames_per_sec"] = (frames_per_batch
+                                   * (applied - applied_logged) / dt)
             m["step"] = applied
             logger.log(m)
             if log_fn:
                 log_fn(m)
             t0 = time.perf_counter()
+            applied_logged = applied
         if due(cfg.train.ckpt_every):
             ckpt.save(state)
         if eval_fn and due(cfg.train.eval_every):
@@ -669,6 +695,8 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
     # loop exits on `applied >= target`, never on the budget in normal runs
     budget = (target - applied) * 2 + spc * 16
     for _, batch in loader.steps(budget, start_epoch=start_epoch, skip=skip):
+        if applied >= target:
+            break   # e.g. re-running an already-completed checkpoint dir
         if spc > 1:
             # group by frame-bucket shape so every stacked scan is homogeneous
             # (frame_mask exists in both the features and raw-frames layouts)

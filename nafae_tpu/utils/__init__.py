@@ -51,6 +51,16 @@ def apply_platform_override() -> None:
     environment-only way to keep a CLI off the (exclusive) chip. This knob
     applies the override the only way that works — jax.config.update after
     import — before any device is touched."""
+    # The axon plugin registers its backend under the name "tpu", so a
+    # literal JAX_PLATFORMS=axon (the default in some host shells) makes
+    # jax backend init fail outright ("Backend 'axon' is not in the list
+    # of known backends"). jax snapshots the env var into its config at
+    # import, so clearing os.environ alone is too late — reset the config
+    # value itself (and the env, for any subprocesses).
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "axon":
+        os.environ["JAX_PLATFORMS"] = ""
+        import jax
+        jax.config.update("jax_platforms", None)
     plat = os.environ.get("NAFAE_PLATFORM", "").strip().lower()
     if plat:
         import jax

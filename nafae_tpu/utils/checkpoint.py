@@ -99,8 +99,12 @@ def load_eval_params(cfg, checkpoint: str | None = None):
         params = {k: jnp.asarray(v)
                   for k, v in load_converted(checkpoint).items()}
     else:
-        restored = CheckpointManager(
-            checkpoint or cfg.train.ckpt_dir).restore_params_latest()
+        path = checkpoint or cfg.train.ckpt_dir
+        if not os.path.isdir(path):
+            # read path: a missing/typo'd dir must not be created (the
+            # manager ctor would makedirs + drop orbax scaffolding there)
+            return None
+        restored = CheckpointManager(path).restore_params_latest()
         if restored is None:
             return None
         params = restored[0]

@@ -135,8 +135,13 @@ class NativePacker:
             paths.append(dst)
         with open(manifest, "w") as f:
             f.write("\n".join(paths) + "\n")
+        # effective frame count: a single configured bucket may be SMALLER
+        # than max_frames — the packer must emit the same [B, T, ...] the
+        # Python loader does (BatchLoader disables native for multi-bucket)
+        buckets = tuple(getattr(dataset, "frame_buckets", ()) or ())
+        self._t = buckets[-1] if buckets else dataset.max_frames
         self.handle = lib.packer_create(
-            manifest.encode(), dataset.max_frames, dataset.num_regions,
+            manifest.encode(), self._t, dataset.num_regions,
             dataset.feat_dim, dataset.max_words,
             1 if dataset.with_gt else 0, num_threads)
         if not self.handle:
@@ -155,7 +160,7 @@ class NativePacker:
     def _pack_locked(self, idxs) -> dict[str, np.ndarray]:
         ds = self.ds
         n = len(idxs)
-        t, r, d, k = ds.max_frames, ds.num_regions, ds.feat_dim, ds.max_words
+        t, r, d, k = self._t, ds.num_regions, ds.feat_dim, ds.max_words
         feats = np.empty((n, t, r, d), np.float32)
         boxes = np.empty((n, t, r, 4), np.float32)
         word_ids = np.empty((n, k), np.int32)

@@ -131,7 +131,8 @@ def visualize_config(cfg: Config, out_dir: str, params: dict,
             for ln in f:
                 ann = json.loads(ln)
                 videos[str(ann["id"])] = ann
-    vocab = Vocab()
+    from nafae_tpu.data.vocab import vocab_from_config
+    vocab = vocab_from_config(cfg.data)
     os.makedirs(out_dir, exist_ok=True)
     jsonl_path = os.path.join(out_dir, "predictions.jsonl")
     n = min(num_segments, len(ds))

@@ -31,6 +31,26 @@ def test_native_packer_matches_python(synth_root):
         np.testing.assert_array_equal(nb[key], pb[key], err_msg=key)
 
 
+def test_native_packer_single_submax_bucket(synth_root):
+    """A single frame bucket SMALLER than max_frames: the native packer
+    must emit the bucket's [B,T,...] exactly like the Python loader (r2
+    review fix — it previously packed to max_frames, silently training on
+    frames the Python path drops)."""
+    from nafae_tpu.data import SegmentDataset
+    ds = SegmentDataset(synth_root, "val", max_frames=8, num_regions=6,
+                        feat_dim=64, max_words=3, with_gt=True,
+                        frame_buckets=(5,))
+    packer = native_io.NativePacker(ds)
+    idxs = [0, 3, 5, 1]
+    nb = packer.pack(idxs)
+    samples = [ds[i] for i in idxs]
+    pb = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    assert nb["feats"].shape[1] == 5
+    for key in ("feats", "boxes", "word_ids", "frame_mask", "word_mask",
+                "region_mask", "gt_boxes", "gt_mask"):
+        np.testing.assert_array_equal(nb[key], pb[key], err_msg=key)
+
+
 def test_native_packer_ragged_region_mask_with_gt(tmp_path):
     """v3 .nbin layout: ragged region_mask AND GT blocks in one file — the
     packer's offset bookkeeping must match the Python loader bitwise."""

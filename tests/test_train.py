@@ -156,6 +156,19 @@ def test_device_cache_training(synth_root, tmp_path):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_device_cache_exact_step_target(synth_root, tmp_path):
+    """steps not a multiple of steps_per_call: the cached path's last call
+    shrinks its scan to the remainder instead of overshooting (r2 review
+    fix), and a rerun on a completed dir trains zero extra steps."""
+    cfg = _cfg(synth_root, extra=[f"train.ckpt_dir={tmp_path}/dt",
+                                  "train.steps=7", "train.device_cache=true",
+                                  "train.steps_per_call=3"])
+    state, _ = fit(cfg)
+    assert int(state.step) == 7
+    state2, _ = fit(cfg)    # already complete: restore and do nothing
+    assert int(state2.step) == 7
+
+
 def test_fit_reaches_exact_target_with_partial_group(synth_root, tmp_path):
     """steps not a multiple of steps_per_call: the tail applies the leftover
     yielded batches one-by-one so fit() reaches exactly cfg.train.steps —
@@ -168,6 +181,12 @@ def test_fit_reaches_exact_target_with_partial_group(synth_root, tmp_path):
                                    f"train.ckpt_dir={tmp_path}/pt"])
     state2, _ = fit(cfg2)     # resumes from 10, must reach 13 (not spin at 10)
     assert int(state2.step) == 13
+    # re-running a completed dir must train ZERO extra steps (r2 review
+    # fix: the spc==1 apply path used to run one step before checking)
+    cfg3 = _cfg(synth_root, extra=["train.steps=13", "train.steps_per_call=1",
+                                   f"train.ckpt_dir={tmp_path}/pt"])
+    state3, _ = fit(cfg3)
+    assert int(state3.step) == 13
 
 
 def test_device_cache_resume_continues_index_stream(synth_root, tmp_path):

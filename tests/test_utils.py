@@ -199,7 +199,9 @@ def test_convert_detector_resnet50(tmp_path):
 
 def test_platform_override_env(monkeypatch):
     """NAFAE_PLATFORM applies via jax.config (the axon plugin ignores the
-    plain JAX_PLATFORMS env var, so the CLIs need this knob)."""
+    plain JAX_PLATFORMS env var, so the CLIs need this knob); a literal
+    JAX_PLATFORMS=axon in the shell env (the host default!) is sanitized —
+    the plugin registers as 'tpu', so the raw value breaks jax init."""
     import jax
 
     from nafae_tpu.utils import apply_platform_override
@@ -208,8 +210,14 @@ def test_platform_override_env(monkeypatch):
     monkeypatch.setattr(jax.config, "update",
                         lambda k, v: calls.append((k, v)))
     monkeypatch.delenv("NAFAE_PLATFORM", raising=False)
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
     apply_platform_override()
     assert calls == []                      # unset -> no touch
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    apply_platform_override()
+    assert calls == [("jax_platforms", None)]   # sanitized
+    assert os.environ["JAX_PLATFORMS"] == ""
+    calls.clear()
     monkeypatch.setenv("NAFAE_PLATFORM", "cpu")
     apply_platform_override()
     assert calls == [("jax_platforms", "cpu")]
