@@ -41,10 +41,13 @@ def decode_segment(video_path: str, frame_rate: float, max_frames: int,
     videos hold many segments each (end <= 0 reads to EOF)."""
     try:
         from nafae_tpu.utils.native_io import decode_video
+    except (ImportError, OSError, AttributeError):
+        decode_video = None   # native lib absent/misbuilt -> cv2 fallback
+    if decode_video is not None:
+        # a real decode error must propagate: silently mixing decoders
+        # inside one dataset would break frame-selection reproducibility
         return decode_video(video_path, frame_rate, max_frames, image_size,
                             start=start, end=end)
-    except Exception:
-        pass
     import cv2
     cap = cv2.VideoCapture(video_path)
     if not cap.isOpened():

@@ -58,8 +58,14 @@ class Bottleneck(nn.Module):
                     dtype=self.dtype)(x)
         y = FrozenBN(self.features, self.dtype)(y)
         y = nn.relu(y)
+        # explicit symmetric (1,1) padding: identical to SAME at stride 1,
+        # but at stride 2 flax SAME pads (0,1) while the torch reference
+        # lineage pads (1,1) — converted checkpoints would see a shifted
+        # feature grid (r2 review fix; tested vs torch in
+        # test_torch_convert_frcnn.py)
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding="SAME", use_bias=False, dtype=self.dtype)(y)
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype)(y)
         y = FrozenBN(self.features, self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
@@ -88,11 +94,15 @@ class ResNetC4(nn.Module):
     def __call__(self, x):
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        y = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
+        # torch-symmetric padding (conv1 (3,3), pool (1,1)) — flax SAME is
+        # asymmetric at stride 2, which shifts the grid under converted
+        # torch weights (r2 review fix)
+        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype)(x)
         y = FrozenBN(64, self.dtype)(y)
         y = nn.relu(y)
-        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
+        y = nn.max_pool(y, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
         for stage, n_blocks in enumerate(self.blocks):
             feats = 64 * (2 ** stage)
             for b in range(n_blocks):

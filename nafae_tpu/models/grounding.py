@@ -57,12 +57,22 @@ def load_word_vectors(path: str, vocab, embed_dim: int):
             table = {k: z[k] for k in z.files}
     else:
         table = {}
+        bad_dim = None
         with open(path) as f:
             for ln in f:
                 parts = ln.rstrip().split(" ")
-                if len(parts) < embed_dim + 1:
+                if len(parts) < 2:
                     continue
-                table[parts[0]] = np.asarray(parts[1:embed_dim + 1], np.float32)
+                if len(parts) != embed_dim + 1:
+                    bad_dim = len(parts) - 1   # exact match only: silently
+                    continue                   # truncating a longer vector
+                                               # seeds meaningless prefixes
+                table[parts[0]] = np.asarray(parts[1:], np.float32)
+        if not table and bad_dim is not None:
+            raise ValueError(
+                f"{path}: vectors are {bad_dim}-d but embed_dim={embed_dim} "
+                "— set model.embed_dim to match the file (or convert it); "
+                "refusing to truncate")
     hits = 0
     for i, cls in enumerate(vocab.classes):
         vec = table.get(cls)

@@ -84,9 +84,18 @@ def similarity_tensor(w_emb: jax.Array, v_emb: jax.Array,
 
 
 def _cast2(a, b, dtype):
-    if dtype is None or jnp.dtype(dtype) == a.dtype:
+    """Cast both operands to the compute dtype, each independently.
+
+    Per-operand checks matter: callers pass operands in either order and
+    one may already be in the compute dtype (e.g. a Pallas context-mix
+    output) — a short-circuit on one operand's dtype would silently leave
+    the OTHER unquantized (r2 review fix; the SP path diverged from the
+    single-device run in bf16 context mode because of exactly that)."""
+    if dtype is None:
         return a, b
-    return a.astype(dtype), b.astype(dtype)
+    dt = jnp.dtype(dtype)
+    return (a if a.dtype == dt else a.astype(dt),
+            b if b.dtype == dt else b.astype(dt))
 
 
 def mask_regions(s: jax.Array, region_mask: jax.Array | None) -> jax.Array:
@@ -467,7 +476,11 @@ def ground_forward(params: dict, feats: jax.Array, word_ids: jax.Array,
     """
     w_emb = embed_words(word_ids, params["word_emb"])
     v_emb = project_regions(feats, params["w_v"], params["b_v"], dtype=compute_dtype)
-    s = similarity_tensor(w_emb, v_emb)
+    # honor compute_dtype in the sim einsums too (the train step does the
+    # same via similarity_tensor(dtype=cdt)); None/f32 = oracle-parity mode
+    cdt = (None if compute_dtype is None
+           or jnp.dtype(compute_dtype) == jnp.float32 else compute_dtype)
+    s = similarity_tensor(w_emb, v_emb, dtype=cdt)
     a = frame_mil_max(s, frame_mask)
     out = {"w_emb": w_emb, "v_emb": v_emb, "s": s, "a": a}
     frame_logits = None
@@ -477,7 +490,7 @@ def ground_forward(params: dict, feats: jax.Array, word_ids: jax.Array,
         fm_ext = jnp.pad(frame_mask, ((0, 0), (w_, w_)))
         alpha, nbr_valid = region_affinity_ext(v_ext, fm_ext, w_, ctx_temp)
         u = context_mixed_regions(v_ext, alpha, nbr_valid)
-        shat = similarity_tensor(w_emb, u)
+        shat = similarity_tensor(w_emb, u, dtype=cdt)
         ahat = frame_mil_max(shat, frame_mask)
         out.update(alpha=alpha, nbr_valid=nbr_valid, shat=shat, ahat=ahat, u=u)
         if pool == "context":

@@ -12,16 +12,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from nafae_tpu.ops.grounding import PRECISION, l2_normalize
+
 
 
 
 def kmeans_assign(f: jax.Array, centers: jax.Array) -> jax.Array:
     """Cosine assignment c* = argmax_c f·Ĉ[c].  f [..,E], centers [Kc,E] -> [..]."""
-    from nafae_tpu.ops.grounding import l2_normalize
-    from nafae_tpu.ops import grounding as _G
     sims = jnp.einsum("...e,ce->...c", f, l2_normalize(centers),
                       preferred_element_type=jnp.float32,
-                      precision=_G.PRECISION)
+                      precision=PRECISION)
     return jnp.argmax(sims, axis=-1)
 
 
@@ -30,15 +30,13 @@ def _lloyd_step(carry, _, f, valid, axis_name):
     assign = kmeans_assign(f, centers)                        # [N]
     onehot = jax.nn.one_hot(assign, centers.shape[0], dtype=f.dtype)  # [N,Kc]
     onehot = onehot * valid[:, None]
-    from nafae_tpu.ops import grounding as _G
     sums = jnp.einsum("nc,ne->ce", onehot, f,
                       preferred_element_type=jnp.float32,
-                      precision=_G.PRECISION)                 # [Kc,E]
+                      precision=PRECISION)                 # [Kc,E]
     counts = jnp.sum(onehot, axis=0)                          # [Kc]
     if axis_name is not None:
         sums = jax.lax.psum(sums, axis_name)
         counts = jax.lax.psum(counts, axis_name)
-    from nafae_tpu.ops.grounding import l2_normalize
     new = l2_normalize(sums / jnp.maximum(counts, 1.0)[:, None])
     # empty-cluster handling: keep the old (normalized) center
     keep = (counts < 0.5)[:, None]
@@ -54,7 +52,6 @@ def kmeans_lloyd(f: jax.Array, valid: jax.Array, centers: jax.Array,
     f [N,E] flattened selected features, valid [N] (0/1), centers [Kc,E].
     ema: blend toward the OLD centers (docs/MATH.md: C ← norm((1−ρ)C_lloyd + ρC_old)).
     """
-    from nafae_tpu.ops.grounding import l2_normalize
     old = l2_normalize(centers)
     step = lambda c, x: _lloyd_step(c, x, f, valid, axis_name)
     new, _ = jax.lax.scan(step, old, None, length=iters)
@@ -83,7 +80,6 @@ def bank_write(bank: jax.Array, bank_valid: jax.Array, step: jax.Array,
 
 def kmeans_init(key: jax.Array, num_clusters: int, dim: int) -> jax.Array:
     """Random unit-norm initial centers."""
-    from nafae_tpu.ops.grounding import l2_normalize
     return l2_normalize(jax.random.normal(key, (num_clusters, dim)))
 
 
@@ -94,7 +90,6 @@ def kmeans_plusplus_init(key: jax.Array, f: jax.Array, valid: jax.Array,
     f [N,E], valid [N]. Uses the Gumbel-max trick for the weighted draw so the
     whole init is one jitted fori_loop (no host round-trips).
     """
-    from nafae_tpu.ops.grounding import l2_normalize
     n, e = f.shape
     neg = -1e30
 

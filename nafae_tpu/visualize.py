@@ -63,8 +63,13 @@ def segment_records(sample: dict, pred: dict, vocab, seg_id: str,
     for k, wid in enumerate(word_ids):
         if wm[k] == 0:
             continue
+        rm = sample.get("region_mask")
         for t in range(len(fm)):
             if fm[t] == 0:
+                continue
+            if rm is not None and not np.any(rm[t] > 0):
+                # frame kept zero proposals: the argmax over all-NEG scores
+                # would emit a degenerate region-0 [0,0,0,0] box at -1e9
                 continue
             r = int(pred["r_star"][k, t])
             rec = {

@@ -180,3 +180,20 @@ def test_cross_scores_accepts_precomputed_u():
     g_got = jax.grad(lambda ve: jnp.sum(jnp.cos(rows(ve, u=make_u(ve)))))(v)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_cast2_per_operand():
+    """_cast2 quantizes EACH operand independently of the other's dtype —
+    a short-circuit on one operand left the other unquantized when call
+    sites passed (already-bf16, f32) (r2 review fix; the SP context path
+    diverged from single-device in bf16 mode)."""
+    import jax.numpy as jnp
+
+    from nafae_tpu.ops.grounding import _cast2
+    f = jnp.ones((3,), jnp.float32) * 1.001
+    h = f.astype(jnp.bfloat16)
+    for x, y in ((f, h), (h, f), (f, f), (h, h)):
+        a, b = _cast2(x, y, jnp.bfloat16)
+        assert a.dtype == jnp.bfloat16 and b.dtype == jnp.bfloat16
+    a, b = _cast2(f, h, None)
+    assert a.dtype == jnp.float32 and b.dtype == jnp.bfloat16

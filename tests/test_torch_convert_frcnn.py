@@ -192,3 +192,61 @@ def test_load_detector_weights_dispatch(tmp_path):
     np.testing.assert_allclose(
         rpn_k, np.transpose(sd["module.RCNN_rpn.RPN_Conv.weight"].numpy(),
                             (2, 3, 1, 0)))
+
+
+def test_backbone_matches_torch_resnet():
+    """Converted ResNetC4 reproduces a functional torch resnet50 conv1..layer3
+    forward elementwise — pins the stride-2 padding alignment (r2 review
+    fix: flax SAME pads (0,1)/(2,3) where torch pads symmetrically, which
+    shifted the feature grid under converted checkpoints)."""
+    import torch
+    import torch.nn.functional as F
+
+    import jax
+    from nafae_tpu.models.detector.resnet import ResNetC4
+    from nafae_tpu.utils.torch_convert import (RESNET50_BLOCKS,
+                                               convert_detector_resnet50)
+
+    rng = np.random.RandomState(11)
+    sd = make_resnet50_sd(rng)
+    x = rng.rand(1, 32, 32, 3).astype(np.float32)
+
+    t = lambda k: torch.from_numpy(sd[k])
+
+    def bn(y, p):
+        return F.batch_norm(y, t(f"{p}.running_mean"), t(f"{p}.running_var"),
+                            t(f"{p}.weight"), t(f"{p}.bias"),
+                            training=False, eps=1e-5)
+
+    def bottleneck(y, p, stride):
+        res = y
+        z = F.relu(bn(F.conv2d(y, t(f"{p}.conv1.weight")), f"{p}.bn1"))
+        z = F.relu(bn(F.conv2d(z, t(f"{p}.conv2.weight"), stride=stride,
+                               padding=1), f"{p}.bn2"))
+        z = bn(F.conv2d(z, t(f"{p}.conv3.weight")), f"{p}.bn3")
+        if f"{p}.downsample.0.weight" in sd:
+            res = bn(F.conv2d(y, t(f"{p}.downsample.0.weight"),
+                              stride=stride), f"{p}.downsample.1")
+        return F.relu(z + res)
+
+    ty = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    ty = F.relu(bn(F.conv2d(ty, t("conv1.weight"), stride=2, padding=3),
+                   "bn1"))
+    ty = F.max_pool2d(ty, 3, stride=2, padding=1)
+    for stage, nb in enumerate(RESNET50_BLOCKS, start=1):
+        for b in range(nb):
+            ty = bottleneck(ty, f"layer{stage}.{b}",
+                            stride=2 if (b == 0 and stage > 1) else 1)
+    ref = np.transpose(ty.numpy(), (0, 2, 3, 1))             # NHWC [1,2,2,1024]
+
+    # convert via the real converter (it expects the full detector tree)
+    from nafae_tpu.config import DetectorConfig
+    from nafae_tpu.models.detector.faster_rcnn import init_detector
+    cfg = DetectorConfig(image_size=32, num_proposals=2, rpn_pre_nms_topk=8,
+                         anchor_scales=(8,), anchor_ratios=(1.0,))
+    det_model, det_params = init_detector(jax.random.PRNGKey(0), cfg)
+    out = convert_detector_resnet50(sd, det_params)
+    got = np.asarray(ResNetC4().apply(
+        {"params": out["params"]["backbone"]}, x))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
