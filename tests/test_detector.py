@@ -217,6 +217,56 @@ def test_extractor_full_pool_nms_end_to_end():
                                atol=1e-3)
 
 
+def test_roi_align_matches_naive_loop_oracle():
+    """ops/roi_align vs an independent naive-loop oracle implementing the
+    textbook Mask R-CNN bilinear sampling (torchvision aligned=True
+    convention: pixel-center offset -0.5; plus the lineage's min-1 box
+    clamp). Pins the convention externally — the existing tests only
+    checked the matmul/Pallas forms against the gather form."""
+    from nafae_tpu.ops.roi_align import roi_align
+
+    rng = np.random.RandomState(2)
+    H = W = 10
+    C = 3
+    feat = rng.randn(H, W, C).astype(np.float32)
+    boxes = np.array([[4.0, 4.0, 28.0, 20.0],
+                      [0.0, 0.0, 40.0, 40.0],
+                      [10.0, 12.0, 11.0, 12.5],    # sub-pixel after scaling
+                      [30.0, 30.0, 39.0, 39.0]], np.float32)
+    out, scale, sr = 4, 0.25, 2
+
+    def naive(feat, box):
+        x1, y1, x2, y2 = box * scale
+        bw = max(x2 - x1, 1.0)
+        bh = max(y2 - y1, 1.0)
+        cw, ch = bw / out, bh / out
+        res = np.zeros((out, out, C), np.float32)
+        for oy in range(out):
+            for ox in range(out):
+                acc = np.zeros(C, np.float32)
+                for iy in range(sr):
+                    for ix in range(sr):
+                        py = y1 + (oy + (iy + 0.5) / sr) * ch - 0.5
+                        px = x1 + (ox + (ix + 0.5) / sr) * cw - 0.5
+                        py = min(max(py, 0.0), H - 1.0)
+                        px = min(max(px, 0.0), W - 1.0)
+                        y0, x0 = int(np.floor(py)), int(np.floor(px))
+                        y1i, x1i = min(y0 + 1, H - 1), min(x0 + 1, W - 1)
+                        wy, wx = py - y0, px - x0
+                        acc += ((1 - wy) * (1 - wx) * feat[y0, x0]
+                                + (1 - wy) * wx * feat[y0, x1i]
+                                + wy * (1 - wx) * feat[y1i, x0]
+                                + wy * wx * feat[y1i, x1i])
+                res[oy, ox] = acc / (sr * sr)
+        return res
+
+    ref = np.stack([naive(feat, b) for b in boxes])
+    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes),
+                               out_size=out, spatial_scale=scale,
+                               sampling_ratio=sr))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_extractor_bfloat16_mode():
     """detector.dtype=bfloat16 (VERDICT r1 #8): params stay f32 (same tree
     as the f32 module — converters/checkpoints unchanged), outputs are f32
