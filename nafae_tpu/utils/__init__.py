@@ -36,6 +36,12 @@ def enable_compilation_cache() -> None:
         return
     import jax
     try:
+        if jax.default_backend() == "cpu":
+            # XLA:CPU AOT artifacts bake in the COMPILING machine's CPU
+            # features — loading them on a different host warns about
+            # possible SIGILL. CPU compiles are fast anyway; the cache
+            # only pays for itself on the remote-compile TPU path.
+            return
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
