@@ -139,7 +139,11 @@ def main(argv=None):
     p = argparse.ArgumentParser("nafae_tpu.evaluate")
     p.add_argument("--preset", default="config1")
     p.add_argument("--config", default=None)
-    p.add_argument("--override", nargs="*", default=[])
+    p.add_argument("--override", nargs="*", action="extend",
+                   default=None)   # repeated flags ACCUMULATE: the
+                                   # config scripts pass their own
+                                   # --override before the user's
+
     p.add_argument("--split", default="val")
     p.add_argument("--checkpoint", default=None,
                    help="explicit checkpoint (reference: test.py --checkpoint)"
@@ -151,7 +155,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     from nafae_tpu.utils import cli_startup
     cli_startup()
-    cfg = load_config(args.config, args.preset, args.override)
+    cfg = load_config(args.config, args.preset, args.override or [])
     params = None
     if args.checkpoint and args.checkpoint.endswith(".npz"):
         from nafae_tpu.utils.checkpoint import load_eval_params

@@ -157,7 +157,11 @@ def main(argv=None):
     p = argparse.ArgumentParser("nafae_tpu.extract")
     p.add_argument("--preset", default="config5")
     p.add_argument("--config", default=None)
-    p.add_argument("--override", nargs="*", default=[])
+    p.add_argument("--override", nargs="*", action="extend",
+                   default=None)   # repeated flags ACCUMULATE: the
+                                   # config scripts pass their own
+                                   # --override before the user's
+
     p.add_argument("--annotations",
                    help="segments.jsonl (id, video, sentence, split)")
     p.add_argument("--youcook2-json",
@@ -182,7 +186,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     from nafae_tpu.utils import cli_startup
     cli_startup()
-    cfg = load_config(args.config, args.preset, args.override)
+    cfg = load_config(args.config, args.preset, args.override or [])
     if args.ckpt:
         cfg.detector.weights = args.ckpt
     if args.youcook2_json:

@@ -749,7 +749,11 @@ def main(argv=None):
     p = argparse.ArgumentParser("nafae_tpu.train")
     p.add_argument("--preset", default="config2")
     p.add_argument("--config", default=None, help="JSON config file")
-    p.add_argument("--override", nargs="*", default=[])
+    p.add_argument("--override", nargs="*", action="extend",
+                   default=None)   # repeated flags ACCUMULATE: the
+                                   # config scripts pass their own
+                                   # --override before the user's
+
     p.add_argument("--mesh", action="store_true",
                    help="shard over all local devices (DP)")
     p.add_argument("--debug-nans", action="store_true",
@@ -762,7 +766,7 @@ def main(argv=None):
     cli_startup()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
-    cfg = load_config(args.config, args.preset, args.override)
+    cfg = load_config(args.config, args.preset, args.override or [])
     mesh = make_mesh(cfg.mesh.data_axis, cfg.mesh.frame_axis,
                      cfg.mesh.data_axis_name,
                      cfg.mesh.frame_axis_name) if args.mesh else None

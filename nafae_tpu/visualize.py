@@ -194,7 +194,11 @@ def main(argv=None):
     p = argparse.ArgumentParser("nafae_tpu.visualize")
     p.add_argument("--preset", default="config1")
     p.add_argument("--config", default=None)
-    p.add_argument("--override", nargs="*", default=[])
+    p.add_argument("--override", nargs="*", action="extend",
+                   default=None)   # repeated flags ACCUMULATE: the
+                                   # config scripts pass their own
+                                   # --override before the user's
+
     p.add_argument("--split", default="val")
     p.add_argument("--checkpoint", default=None,
                    help="orbax ckpt dir or converted .npz (default: "
@@ -210,7 +214,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     from nafae_tpu.utils import cli_startup
     cli_startup()
-    cfg = load_config(args.config, args.preset, args.override)
+    cfg = load_config(args.config, args.preset, args.override or [])
     path = visualize_config(cfg, args.out, _load_params(cfg, args.checkpoint),
                             split=args.split,
                             num_segments=args.num_segments,
