@@ -110,7 +110,8 @@ def bench_jax(s, iters=256, warmup=1, kernels="auto", dtype="bfloat16",
         return jax.lax.scan(body, state, None, length=steps_per_call)
 
     state = TrainState.create(jax.random.PRNGKey(0), cfg)
-    for _ in range(warmup):
+    state, losses = multi(state, batch)          # compile + first warm call
+    for _ in range(max(0, warmup - 1)):
         state, losses = multi(state, batch)
     loss = float(losses[-1])
     ncalls = max(1, iters // steps_per_call)
@@ -185,34 +186,33 @@ def bench_jax_eval(s, iters=256, steps_per_call=256):
     return s["B"] * s["T"] / dt, dt
 
 
-def bench_inline(iters=1024, steps_per_call=256, image_size=320, b=2, t=8,
-                 kernels="auto"):
-    """Config-5 inline step: frames -> frozen Faster R-CNN -> fused losses,
-    one XLA program (the BASELINE north star's "feature+loss fused" form).
-    Synthetic frames stand in for decoded video; decode runs in loader
-    workers off the measured path. Returns frames/sec/chip."""
+def make_inline_setup(overrides=(), b=2, t=8, image_size=320,
+                      steps_per_call=64, seed=0):
+    """Shared config-5 INLINE harness (bench --mode e2e, scripts/ab_inline,
+    scripts/profile_step): returns (cfg, device batch, jitted scan-spc
+    `multi(state, batch)`). One definition so the measured program and
+    batch cannot drift between the bench and the A/B/profiling tools.
+
+    Defaults encode the production knobs (see docs/PERF.md r2 for the
+    A/Bs): bf16 model + bf16 detector activations (626 -> 477 us/step),
+    full-pool greedy NMS in the row-parallel Pallas kernel via the preset
+    (no pre-NMS sort, 463 -> 386 us/step). `overrides` append last, so a
+    variant can flip any of them.
+    """
     import jax
 
     from nafae_tpu.config import load_config
     from nafae_tpu.models.detector.faster_rcnn import init_detector
-    from nafae_tpu.train import TrainState, make_optimizer, make_train_step
+    from nafae_tpu.train import make_optimizer, make_train_step
 
-    steps_per_call = max(1, min(steps_per_call, iters))
     cfg = load_config(preset_name="config5", overrides=[
         f"data.batch_size={b}", f"data.max_frames={t}",
         f"detector.image_size={image_size}",
-        "loss.kmeans_interval=100", f"train.kernels={kernels}",
+        "loss.kmeans_interval=100", "train.kernels=auto",
         "model.dtype=bfloat16", "model.matmul_precision=default",
-        # bf16 detector activations: within-process A/B 626 -> 477 us/step
-        # (scripts/ab_inline.py; frozen BN makes it safe, docs/PERF.md)
         "detector.dtype=bfloat16",
-        # full-pool greedy NMS in the row-parallel Pallas kernel: no
-        # pre-NMS sort at all (the sort was 22% of device time) and the
-        # ~120-launch XLA NMS scan becomes one program. A/B 463 -> 386
-        # us/step; selection is textbook-exact (docs/PERF.md r2).
-        "detector.full_pool_nms=true", "detector.nms_impl=auto",
-    ])
-    rng = np.random.RandomState(0)
+    ] + list(overrides))
+    rng = np.random.RandomState(seed)
     batch = {
         "frames": rng.rand(b, t, image_size, image_size, 3).astype(np.float32),
         "word_ids": rng.randint(0, 67, (b, 4)).astype(np.int32),
@@ -232,18 +232,42 @@ def bench_inline(iters=1024, steps_per_call=256, image_size=320, b=2, t=8,
             return st, metrics["loss"]
         return jax.lax.scan(body, state, None, length=steps_per_call)
 
+    return cfg, batch, multi
+
+
+def measure_inline(cfg, batch, multi, steps_per_call, ncalls=1, repeats=4):
+    """Best-of-`repeats` timing of `ncalls` multi() calls, bounded by a
+    real device->host fetch (the scan protocol — see bench_jax's timing
+    notes). Returns (sec/step, last loss)."""
+    import jax
+
+    from nafae_tpu.train import TrainState
+
     state = TrainState.create(jax.random.PRNGKey(0), cfg)
-    state, losses = multi(state, batch)
-    ncalls = max(1, iters // steps_per_call)
+    state, losses = multi(state, batch)          # compile + warm
     best = float("inf")
-    for _ in range(4):
+    for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(ncalls):
             state, losses = multi(state, batch)
         float(np.asarray(state.params["b_v"])[0])
         best = min(best, time.perf_counter() - t0)
-    dt = best / (ncalls * steps_per_call)
-    return b * t / dt, dt, float(losses[-1])
+    return best / (ncalls * steps_per_call), float(losses[-1])
+
+
+def bench_inline(iters=1024, steps_per_call=256, image_size=320, b=2, t=8,
+                 kernels="auto"):
+    """Config-5 inline step: frames -> frozen Faster R-CNN -> fused losses,
+    one XLA program (the BASELINE north star's "feature+loss fused" form).
+    Synthetic frames stand in for decoded video; decode runs in loader
+    workers off the measured path. Returns frames/sec/chip."""
+    steps_per_call = max(1, min(steps_per_call, iters))
+    cfg, batch, multi = make_inline_setup(
+        overrides=[f"train.kernels={kernels}"], b=b, t=t,
+        image_size=image_size, steps_per_call=steps_per_call)
+    dt, loss = measure_inline(cfg, batch, multi, steps_per_call,
+                              ncalls=max(1, iters // steps_per_call))
+    return b * t / dt, dt, loss
 
 
 def bench_torch(s, iters=3, warmup=1):

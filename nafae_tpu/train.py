@@ -588,9 +588,11 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
         if not cfg.data.annotations:
             raise ValueError("data.from_videos needs data.annotations "
                              "(segments.jsonl)")
+        from nafae_tpu.data.vocab import vocab_from_config
         ds = VideoSegmentDataset(cfg.data.annotations, cfg.data.max_frames,
                                  cfg.detector.image_size, cfg.data.max_words,
-                                 frame_rate=cfg.detector.frame_rate)
+                                 frame_rate=cfg.detector.frame_rate,
+                                 vocab=vocab_from_config(cfg.data))
         det_model, det_params = init_detector(
             jax.random.PRNGKey(cfg.train.seed), cfg.detector)
         if cfg.detector.weights:

@@ -91,7 +91,11 @@ def write_nbin(path: str, feats: np.ndarray, boxes: np.ndarray,
     t, r, d = feats.shape
     k = len(word_ids)
     with_gt = gt_boxes is not None
-    with open(path, "wb") as f:
+    # write to a temp file + atomic rename: a process killed mid-write must
+    # not leave a truncated .nbin whose fresh mtime defeats the rebuild
+    # check forever (the C++ loader rejects truncation with rc=2)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         hdr = np.asarray([_MAGIC, 3, t, r, d, k], np.int32)
         hdr.tofile(f)
         feats.astype(np.float32).tofile(f)
@@ -104,6 +108,7 @@ def write_nbin(path: str, feats: np.ndarray, boxes: np.ndarray,
         if with_gt:
             gt_boxes.astype(np.float32).tofile(f)
             gt_mask.astype(np.float32).tofile(f)
+    os.replace(tmp, path)
 
 
 class NativePacker:

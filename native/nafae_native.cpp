@@ -154,6 +154,23 @@ struct Packer {
       std::fclose(f);
       return false;
     }
+    // sanity-check dims BEFORE sizing any allocation: a corrupt header
+    // passing the magic check would otherwise throw bad_alloc inside this
+    // worker thread and std::terminate() the whole process
+    if (h.version < 1 || h.version > 3 || h.T < 0 || h.R < 0 || h.K < 0 ||
+        h.D < 0 || h.T > 1000000 || h.R > 1000000 || h.K > 1000000 ||
+        h.D > 1000000 ||
+        static_cast<size_t>(h.R) * static_cast<size_t>(h.D) > (1u << 30)) {
+      std::fclose(f);
+      return false;
+    }
+    // feat dim must match exactly: the Python loader keeps the file's D
+    // (a mismatch fails loudly downstream), so silently truncating/padding
+    // here would break the bitwise native==python invariant
+    if (h.D != D) {
+      std::fclose(f);
+      return false;
+    }
     int t = std::min(h.T, T), r = std::min(h.R, R), k = std::min(h.K, K);
     size_t b = static_cast<size_t>(task.sample);
     // feats: row-by-row copy with padding
@@ -225,25 +242,33 @@ struct Packer {
         for (int ri = 0; ri < r; ++ri)
           region_mask[(b * T + ti) * R + ri] = 1.0f;
     }
-    // optional GT block
+    // optional GT block. Truncation anywhere inside it is an ERROR, not
+    // "no GT": reading a damaged cache as gt_mask=0 would silently drop
+    // the segment's annotated pairs from the accuracy denominator.
     if (with_gt && h.version >= 2 && gt_boxes && gt_mask) {
       long gt_off = after_wids;
       std::fseek(f, gt_off, SEEK_SET);
       int32_t has_gt = 0;
-      if (std::fread(&has_gt, sizeof(int32_t), 1, f) == 1 && has_gt) {
+      if (std::fread(&has_gt, sizeof(int32_t), 1, f) != 1) {
+        std::fclose(f);
+        return false;
+      }
+      if (has_gt) {
         std::vector<float> gb(static_cast<size_t>(h.K) * h.T * 4);
         std::vector<float> gm(static_cast<size_t>(h.K) * h.T);
-        if (std::fread(gb.data(), sizeof(float), gb.size(), f) == gb.size() &&
-            std::fread(gm.data(), sizeof(float), gm.size(), f) == gm.size()) {
-          for (int ki = 0; ki < k; ++ki)
-            for (int ti = 0; ti < t; ++ti) {
-              std::memcpy(gt_boxes + ((b * K + ki) * T + ti) * 4,
-                          gb.data() + (static_cast<size_t>(ki) * h.T + ti) * 4,
-                          sizeof(float) * 4);
-              gt_mask[(b * K + ki) * T + ti] =
-                  gm[static_cast<size_t>(ki) * h.T + ti];
-            }
+        if (std::fread(gb.data(), sizeof(float), gb.size(), f) != gb.size() ||
+            std::fread(gm.data(), sizeof(float), gm.size(), f) != gm.size()) {
+          std::fclose(f);
+          return false;
         }
+        for (int ki = 0; ki < k; ++ki)
+          for (int ti = 0; ti < t; ++ti) {
+            std::memcpy(gt_boxes + ((b * K + ki) * T + ti) * 4,
+                        gb.data() + (static_cast<size_t>(ki) * h.T + ti) * 4,
+                        sizeof(float) * 4);
+            gt_mask[(b * K + ki) * T + ti] =
+                gm[static_cast<size_t>(ki) * h.T + ti];
+          }
       }
     }
     std::fclose(f);

@@ -15,9 +15,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -46,57 +43,19 @@ def main():
 
     from nafae_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
-    from nafae_tpu.config import load_config
-    from nafae_tpu.models.detector.faster_rcnn import init_detector
-    from nafae_tpu.train import TrainState, make_optimizer, make_train_step
+    import bench   # shared inline harness — bench.make_inline_setup keeps
+                   # the measured program identical to `bench --mode e2e`
 
-    b, t, sz = args.batch, args.frames, args.image_size
-    rng = np.random.RandomState(0)
-    batch = {
-        "frames": rng.rand(b, t, sz, sz, 3).astype(np.float32),
-        "word_ids": rng.randint(0, 67, (b, 4)).astype(np.int32),
-        "frame_mask": np.ones((b, t), np.float32),
-        "word_mask": np.ones((b, 4), np.float32),
-        "segment_id": np.arange(b, dtype=np.int32),
-    }
-    batch = {k: jax.device_put(v) for k, v in batch.items()}
-
-    def build(overrides):
-        cfg = load_config(preset_name="config5", overrides=[
-            f"data.batch_size={b}", f"data.max_frames={t}",
-            f"detector.image_size={sz}", "loss.kmeans_interval=100",
-            "train.kernels=auto", "model.dtype=bfloat16",
-            "model.matmul_precision=default",
-        ] + [o for o in overrides.split(",") if o])
-        det_model, det_params = init_detector(jax.random.PRNGKey(0),
-                                              cfg.detector)
-        step = make_train_step(cfg, make_optimizer(cfg),
-                               extractor=(det_model.apply, det_params))
-
-        @jax.jit
-        def multi(state, batch):
-            def body(st, _):
-                st, m = step(st, batch)
-                return st, m["loss"]
-            return jax.lax.scan(body, state, None, length=args.spc)
-        return cfg, multi
-
-    def measure(cfg, multi):
-        state = TrainState.create(jax.random.PRNGKey(0), cfg)
-        state, losses = multi(state, batch)         # compile + warm
-        best = float("inf")
-        for _ in range(args.repeats):
-            t0 = time.perf_counter()
-            for _ in range(args.calls):
-                state, losses = multi(state, batch)
-            float(np.asarray(state.params["b_v"])[0])   # real fetch bound
-            best = min(best, time.perf_counter() - t0)
-        return best / (args.calls * args.spc), float(losses[-1])
-
+    b, t = args.batch, args.frames
     res = {}
     variants = [v for v in (args.a, args.b, args.c) if v is not None]
     for name in variants:
-        dt, loss = measure(*build(name))
+        cfg, batch, multi = bench.make_inline_setup(
+            overrides=[o for o in name.split(",") if o], b=b, t=t,
+            image_size=args.image_size, steps_per_call=args.spc)
+        dt, loss = bench.measure_inline(cfg, batch, multi, args.spc,
+                                        ncalls=args.calls,
+                                        repeats=args.repeats)
         res[name] = dt
         fps = b * t / dt
         print(f"[{name}]: {dt * 1e6:.1f} us/step = {fps:,.0f} frames/s "

@@ -102,30 +102,16 @@ def main():
     from nafae_tpu.train import TrainState, make_optimizer, make_train_step
 
     if args.inline:
+        # shared harness: the traced program is exactly bench --mode e2e's
         sh = {k: int(v) for k, v in
               (kv.split("=") for kv in args.inline_shapes.split(","))}
-        b, t, sz = sh["B"], sh["T"], args.image_size
-        cfg = load_config(preset_name="config5", overrides=[
-            f"data.batch_size={b}", f"data.max_frames={t}",
-            f"detector.image_size={sz}", "loss.kmeans_interval=100",
-            f"train.kernels={args.kernels}",
-            f"model.dtype={args.dtype}", "model.matmul_precision=default",
-            f"detector.dtype={args.det_dtype}",
-        ])
-        rng = np.random.RandomState(0)
-        batch = {
-            "frames": rng.rand(b, t, sz, sz, 3).astype(np.float32),
-            "word_ids": rng.randint(0, 67, (b, 4)).astype(np.int32),
-            "frame_mask": np.ones((b, t), np.float32),
-            "word_mask": np.ones((b, 4), np.float32),
-            "segment_id": np.arange(b, dtype=np.int32),
-        }
-        batch = {k: jax.device_put(v) for k, v in batch.items()}
-        from nafae_tpu.models.detector.faster_rcnn import init_detector
-        det_model, det_params = init_detector(jax.random.PRNGKey(0),
-                                              cfg.detector)
-        step = make_train_step(cfg, make_optimizer(cfg),
-                               extractor=(det_model.apply, det_params))
+        cfg, batch, multi = bench.make_inline_setup(
+            overrides=[f"train.kernels={args.kernels}",
+                       f"model.dtype={args.dtype}",
+                       f"detector.dtype={args.det_dtype}"],
+            b=sh["B"], t=sh["T"], image_size=args.image_size,
+            steps_per_call=args.spc)
+        step = None
     else:
         cfg = load_config(preset_name="config4", overrides=[
             f"model.feat_dim={s['D']}", f"model.embed_dim={s['E']}",
@@ -137,12 +123,13 @@ def main():
         batch = {k: jax.device_put(v) for k, v in bench.make_batch(s).items()}
         step = make_train_step(cfg, make_optimizer(cfg))
 
-    @jax.jit
-    def multi(state, batch):
-        def body(st, _):
-            st, metrics = step(st, batch)
-            return st, metrics["loss"]
-        return jax.lax.scan(body, state, None, length=args.spc)
+    if step is not None:                          # config-4 path
+        @jax.jit
+        def multi(state, batch):
+            def body(st, _):
+                st, metrics = step(st, batch)
+                return st, metrics["loss"]
+            return jax.lax.scan(body, state, None, length=args.spc)
 
     state = TrainState.create(jax.random.PRNGKey(0), cfg)
     t0 = time.perf_counter()

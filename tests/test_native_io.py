@@ -51,6 +51,39 @@ def test_native_packer_single_submax_bucket(synth_root):
         np.testing.assert_array_equal(nb[key], pb[key], err_msg=key)
 
 
+def test_native_packer_rejects_damaged_cache(synth_root):
+    """A .nbin truncated inside the GT block, or with a feat dim that
+    disagrees with the dataset, must raise (r2 review fix: truncation at
+    the GT flag used to read as 'no GT', silently shrinking the eval
+    accuracy denominator; a D mismatch used to memcpy a truncated
+    prefix)."""
+    import pytest
+
+    from nafae_tpu.data import SegmentDataset
+    ds = SegmentDataset(synth_root, "val", max_frames=8, num_regions=6,
+                        feat_dim=64, max_words=3, with_gt=True)
+    packer = native_io.NativePacker(ds)
+    packer.pack([0])                                    # cache built, sane
+    cache = os.path.join(ds.dir, "nbin_cache")
+    victim = os.path.join(cache, ds.index[0]["id"] + ".nbin")
+    blob = open(victim, "rb").read()
+    # truncate just after the region-mask block (inside/at the GT flag):
+    # recompute the GT block size from the header and chop it + the flag
+    t, r, d, k = np.frombuffer(blob[8:24], np.int32)
+    gt_bytes = 4 + 4 * (k * t * 4 + k * t)
+    open(victim, "wb").write(blob[:len(blob) - gt_bytes])
+    os.utime(victim)                                    # keep it "fresh"
+    with pytest.raises(IOError):
+        packer.pack([0])
+    # wrong feat dim in the header -> error, not silent truncation
+    hdr = np.frombuffer(blob[:24], np.int32).copy()
+    hdr[4] = d * 2
+    open(victim, "wb").write(hdr.tobytes() + blob[24:])
+    os.utime(victim)
+    with pytest.raises(IOError):
+        packer.pack([0])
+
+
 def test_native_packer_ragged_region_mask_with_gt(tmp_path):
     """v3 .nbin layout: ragged region_mask AND GT blocks in one file — the
     packer's offset bookkeeping must match the Python loader bitwise."""
