@@ -52,7 +52,13 @@ def decode_segment(video_path: str, frame_rate: float, max_frames: int,
     cap = cv2.VideoCapture(video_path)
     if not cap.isOpened():
         raise IOError(f"cannot open {video_path}")
-    fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    # degenerate-rate clamps MUST match the native decoder
+    # (nafae_native.cpp decode_video_seg) or the two backends select
+    # different frames for the same annotation: fps <= 1e-3 -> 25.0 (not
+    # just falsy-0), sample_fps <= 0 -> 1.0
+    fps = cap.get(cv2.CAP_PROP_FPS)
+    if not fps or fps <= 1e-3:
+        fps = 25.0
     # int(x + 0.5) matches the native decoder's static_cast<long>(x + 0.5)
     # (Python round() is banker's rounding — would pick a different frame at
     # exact .5 boundaries and break native/fallback reproducibility)
@@ -60,7 +66,7 @@ def decode_segment(video_path: str, frame_rate: float, max_frames: int,
     if first > 0:
         cap.set(cv2.CAP_PROP_POS_FRAMES, first)
     last = int(end * fps + 0.5) if end > 0 else -1
-    step = max(fps / max(frame_rate, 1e-6), 1e-6)
+    step = fps / (frame_rate if frame_rate > 0 else 1.0)
     frames, nxt, i = [], 0.0, 0
     while len(frames) < max_frames:
         if last >= 0 and first + i > last:
