@@ -49,6 +49,57 @@ def test_dp_matches_single_device(synth_root):
                                atol=1e-5)
 
 
+def test_dp_collectives_stay_small(synth_root):
+    """Communication audit of the compiled 8-device DP step: the design
+    claim is that only the word embeddings and the score diagonal cross
+    ICI (plus grad/k-means psums) — never region/feature tensors. Parse
+    the optimized HLO's collective ops and bound each one's payload:
+    per-device feats here are 1x8x6x2048 f32 = 393 KB, so a 128 KB cap
+    fails loudly if a refactor ever all-gathers activations. At the real
+    D=2048/T=20/R=20 shapes the guarded mistake would be ~13 MB/step."""
+    cfg = _cfg(synth_root, extra=["data.feat_dim=2048", "model.feat_dim=2048"])
+    rng = np.random.RandomState(0)
+    b, t, r, k = 8, 8, 6, 3
+    batch = {
+        "feats": rng.randn(b, t, r, 2048).astype(np.float32),
+        "boxes": np.abs(rng.rand(b, t, r, 4)).astype(np.float32),
+        "word_ids": rng.randint(0, 67, (b, k)).astype(np.int32),
+        "frame_mask": np.ones((b, t), np.float32),
+        "word_mask": np.ones((b, k), np.float32),
+        "region_mask": np.ones((b, t, r), np.float32),
+        "segment_id": np.arange(b, dtype=np.int32),
+    }
+    state = TrainState.create(jax.random.PRNGKey(0), cfg)
+    fn = build_train_fn(cfg, make_mesh())
+    txt = fn.lower(state, batch).compile().as_text()
+    import re
+    sizes = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "f16": 2, "pred": 1,
+             "f64": 8, "s64": 8}
+    offenders, seen = [], 0
+    for ln in txt.splitlines():
+        m = re.search(
+            r"= (.*?)\s*(all-gather|all-reduce|reduce-scatter|"
+            r"collective-permute|all-to-all)\(", ln)
+        if m is None:
+            continue
+        payload = 0
+        for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", m.group(1)):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            payload += n * sizes.get(dt, 4)
+        seen += 1
+        # cap: above the legit DP param-grad psums (w_v [2048,32] f32
+        # = 262 KB is inherent to data parallelism) and far below a
+        # region-feature gather (13 MB here)
+        if payload > 1024 * 1024:
+            offenders.append((m.group(2), m.group(1)[:80], payload))
+    assert seen >= 5, f"only {seen} collectives found — really sharded?"
+    assert not offenders, (
+        f"oversized collectives in the DP step: {offenders}")
+
+
 def test_loss_decreases(synth_root, tmp_path):
     cfg = _cfg(synth_root, extra=[f"train.ckpt_dir={tmp_path}/ck",
                                   "train.steps=30", "train.lr=0.003"])
