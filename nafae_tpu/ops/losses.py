@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from nafae_tpu.ops.kmeans import kmeans_assign
+
 
 def ranking_loss(score_mat: jax.Array, margin: float) -> jax.Array:
     """Max-margin triplet loss over the B×B in-batch score matrix.
@@ -100,7 +102,6 @@ def cluster_loss(f: jax.Array, valid: jax.Array,
 
     f [..,E], valid [..], centers [Kc,E]. Returns (loss, assignments [..]).
     """
-    from nafae_tpu.ops.kmeans import kmeans_assign
     assign = kmeans_assign(f, centers)                             # [..]
     target = jax.lax.stop_gradient(jnp.take(centers, assign, axis=0))
     sq = jnp.sum((f - target) ** 2, axis=-1)                       # [..]

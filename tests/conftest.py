@@ -7,23 +7,26 @@ before the CPU client initializes (lazily, at first device use).
 """
 
 import os
+import re
 
+# force EXACTLY 8 virtual devices: a leftover smaller value in the shell
+# (e.g. =4 from an ad-hoc run) would fail the 8-device mesh tests with
+# confusing device-count errors instead of being corrected here
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+m = re.search(r"--xla_force_host_platform_device_count=(\d+)", flags)
+if m is None:
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+elif int(m.group(1)) < 8:
+    flags = flags.replace(m.group(0),
+                          "--xla_force_host_platform_device_count=8")
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-import numpy as np  # noqa: E402
 import pytest  # noqa: E402
-
-
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.RandomState(0)
 
 
 @pytest.fixture(scope="session")

@@ -18,8 +18,13 @@ def normalize(x, dim=-1, eps=1e-8):
 
 
 def forward(params, feats, word_ids, frame_mask, word_mask,
-            temp=0.1, pool="attention", ctx_window=0, ctx_temp=0.1):
-    """Naive loop implementation. All inputs torch tensors (float64 ok)."""
+            temp=0.1, pool="attention", ctx_window=0, ctx_temp=0.1,
+            region_mask=None):
+    """Naive loop implementation. All inputs torch tensors (float64 ok).
+
+    region_mask [B,T,R] (docs/MATH.md region-mask semantics): invalid
+    region slots are filled with NEG before any max/argmax, and excluded
+    from the context affinity softmax."""
     emb, w_v, b_v = params["word_emb"], params["w_v"], params["b_v"]
     B, T, R, D = feats.shape
     K = word_ids.shape[1]
@@ -32,7 +37,10 @@ def forward(params, feats, word_ids, frame_mask, word_mask,
         for k in range(K):
             for t in range(T):
                 for r in range(R):
-                    s[b, k, t, r] = (w_emb[b, k] * v_emb[b, t, r]).sum()
+                    if region_mask is not None and region_mask[b, t, r] <= 0:
+                        s[b, k, t, r] = NEG
+                    else:
+                        s[b, k, t, r] = (w_emb[b, k] * v_emb[b, t, r]).sum()
 
     a = torch.zeros(B, K, T, dtype=feats.dtype)
     for b in range(B):
@@ -43,7 +51,8 @@ def forward(params, feats, word_ids, frame_mask, word_mask,
     out = {"w_emb": w_emb, "v_emb": v_emb, "s": s, "a": a}
     if ctx_window > 0:
         shat, nbr_valid = context_similarity(s, v_emb, frame_mask,
-                                             ctx_window, ctx_temp)
+                                             ctx_window, ctx_temp,
+                                             region_mask=region_mask)
         ahat = torch.zeros_like(a)
         for b in range(B):
             for k in range(K):
@@ -69,8 +78,13 @@ def forward(params, feats, word_ids, frame_mask, word_mask,
     return out
 
 
-def context_similarity(s, v_emb, frame_mask, window, temp):
-    """Naive windowed context similarity. s [B,K,T,R], v_emb [B,T,R,E]."""
+def context_similarity(s, v_emb, frame_mask, window, temp, region_mask=None):
+    """Naive windowed context similarity. s [B,K,T,R], v_emb [B,T,R,E].
+
+    region_mask: invalid NEIGHBOR regions are excluded from the affinity
+    softmax (weight exactly 0 — the masked-logit softmax of the jnp path
+    underflows to 0 in f32); ŝ is still produced for every center region,
+    the ctx loss's region_mask term excludes invalid centers."""
     B, K, T, R = s.shape
     shat = torch.zeros_like(s)
     offsets = [o for o in range(-window, window + 1) if o != 0]
@@ -91,7 +105,17 @@ def context_similarity(s, v_emb, frame_mask, window, temp):
                 acc = torch.zeros(K, dtype=s.dtype)
                 for oi, tp in valid_os:
                     aff = v_emb[b, tp] @ v_emb[b, t, r]      # [R']
+                    if region_mask is not None:
+                        aff = torch.where(region_mask[b, tp] > 0, aff,
+                                          torch.full_like(aff, NEG))
                     alpha = torch.softmax(aff / temp, dim=0)
+                    if region_mask is not None:
+                        alpha = alpha * (region_mask[b, tp] > 0)
+                        # masked softmax weight on invalid slots is an exact
+                        # 0 after underflow; zeroing keeps the NEG-filled
+                        # s entries out of the mix in f64 too
+                        sc = alpha.sum().clamp(min=1e-30)
+                        alpha = alpha / sc
                     acc += s[b, :, tp, :] @ alpha            # [K]
                 shat[b, :, t, r] = acc / len(valid_os)
     return shat, nbr_valid
@@ -125,7 +149,8 @@ def ranking_loss(mat, margin):
     return total / max(n, 1)
 
 
-def context_loss(s, shat, word_mask, frame_mask, nbr_valid):
+def context_loss(s, shat, word_mask, frame_mask, nbr_valid,
+                 region_mask=None):
     B, K, T, R = s.shape
     num, den = torch.zeros((), dtype=s.dtype), 0.0
     for b in range(B):
@@ -133,8 +158,12 @@ def context_loss(s, shat, word_mask, frame_mask, nbr_valid):
             for t in range(T):
                 if (word_mask[b, k] > 0 and frame_mask[b, t] > 0
                         and nbr_valid[b, t].sum() > 0):
-                    num = num + ((s[b, k, t] - shat[b, k, t]) ** 2).sum()
-                    den += R
+                    for r in range(R):
+                        if region_mask is not None \
+                                and region_mask[b, t, r] <= 0:
+                            continue   # NEG-filled slot: excluded from both
+                        num = num + (s[b, k, t, r] - shat[b, k, t, r]) ** 2
+                        den += 1.0
     return num / max(den, 1.0)
 
 
