@@ -51,13 +51,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nafae_tpu.ops.pallas.fused_ground import (_interpret, _round_up, _sds,
-                                               _vma_needs_fallback, _vma_of)
-
-
-def _prec(dtype):
-    return (jax.lax.Precision.DEFAULT if jnp.dtype(dtype) == jnp.bfloat16
-            else jax.lax.Precision.HIGHEST)
+from nafae_tpu.ops.pallas.fused_ground import (_interpret, _round_up,
+                                               _score_precision as _prec,
+                                               _sds, _vma_needs_fallback,
+                                               _vma_of)
 
 
 def _band(m_rows, n_t, r_pad, r, w):
@@ -114,8 +111,7 @@ def _sel_dot(a, sel, dot_dtype):
     rounding differs, which is the opted-in reduced-precision contract.
     (The previous always-HIGHEST form cost 6 MXU passes per selector
     matmul even in bf16 mode.)"""
-    prec = (jax.lax.Precision.DEFAULT if jnp.dtype(dot_dtype) == jnp.bfloat16
-            else jax.lax.Precision.HIGHEST)
+    prec = _prec(dot_dtype)
     return jax.lax.dot_general(a.astype(dot_dtype), sel,
                                (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,

@@ -138,7 +138,10 @@ def _rollmax_kernel(w_ref, v_ref, fm_ref, rm_ref, sel_ref, a_ref, idx_ref,
     while s >= 1:                                          # windowed tree max
         v2 = pltpu.roll(v, N - s, 1)                       # circular left by s
         i2 = pltpu.roll(ix, N - s, 1)
-        take = v2 > v
+        # ties keep the SMALLER region index so argmax matches jnp.argmax
+        # (first max) — `v2 > v` alone kept whichever candidate sat in the
+        # current lane, which can be the higher index after earlier rounds
+        take = (v2 > v) | ((v2 == v) & (i2 < ix))
         v = jnp.where(take, v2, v)
         ix = jnp.where(take, i2, ix)
         s //= 2
@@ -155,18 +158,27 @@ def _rollmax_kernel(w_ref, v_ref, fm_ref, rm_ref, sel_ref, a_ref, idx_ref,
     idx_ref[0] = idx.astype(jnp.int32)
 
 
-_ROLLMAX_ELEM_BUDGET = 256 * 640  # max M_pad*N elements per live VMEM buffer
-
-
-def _rollmax_lanes(m_pad: int, t: int, r_pad: int, i: int) -> int:
-    """Videos per tile such that the roll pipeline's ~8 live [M_pad, N]
-    f32/i32 buffers fit the 16MB scoped VMEM even inside a large jitted
-    train step. Budget measured at M_pad=256, N=640 (in-context OK; 2x
-    either dimension OOMs — e.g. B=128 gives M=1024 and 31MB>16MB).
-    Returns 0 when even one video exceeds the budget (caller must use the
-    lane-grouped kernel instead)."""
-    n_max = _ROLLMAX_ELEM_BUDGET // max(m_pad, 1)
-    return min(i, n_max // (t * r_pad))
+def _rollmax_lanes(m_pad: int, t: int, r_pad: int, i: int,
+                   e: int = 256) -> int:
+    """Videos per tile such that the whole program fits the 16MB scoped
+    VMEM even inside a large jitted train step: ~8 live [M_pad, N] f32/i32
+    roll buffers PLUS the N-scaled inputs — the [N, E] v block and the
+    [N, N/r_pad] selector matrix (r2 review fix: bounding only M_pad*N
+    let a small-M call, e.g. single-caption eval with M_pad=16, pick a
+    huge tile whose selector alone was 13 MB). 12 MB element budget — at
+    the empirically-validated M_pad=256/N=640 production point this model
+    gives 5.9 MB and picks the same it=1; the B=128 OOM case (M=1024)
+    correctly returns 0 (caller uses the lane-grouped kernel)."""
+    budget_elems = 3 * 1024 * 1024        # 12 MB of f32
+    best = 0
+    for it in range(1, i + 1):
+        n = it * t * r_pad
+        cost = 8 * m_pad * n + n * e + n * (n // r_pad)
+        if cost <= budget_elems:
+            best = it
+        else:
+            break
+    return min(i, best)
 
 
 def _cross_mil_fwd_rollmax(w_flat, v, fm, rm, dtype=None):
@@ -175,7 +187,7 @@ def _cross_mil_fwd_rollmax(w_flat, v, fm, rm, dtype=None):
     i, t, r, _ = v.shape
     r_pad = 32
     m_pad = _round_up(m, 8)
-    it = _rollmax_lanes(m_pad, t, r_pad, i)                # videos per tile
+    it = _rollmax_lanes(m_pad, t, r_pad, i, e)             # videos per tile
     i_pad = _round_up(i, it)
     if r_pad != r:
         v = jnp.pad(v, ((0, 0), (0, 0), (0, r_pad - r), (0, 0)))
@@ -246,7 +258,7 @@ def _cross_mil_fwd_impl(w_flat: jax.Array, v: jax.Array, fm: jax.Array,
         a = jnp.max(s, axis=-1)
         a = jnp.where(fm[:, None, :] > 0, a, 0.0)
         return a, jnp.argmax(s, axis=-1).astype(jnp.int32)
-    if r <= 32 and _rollmax_lanes(_round_up(m, 8), t, 32, i) >= 1:
+    if r <= 32 and _rollmax_lanes(_round_up(m, 8), t, 32, i, e) >= 1:
         return _cross_mil_fwd_rollmax(w_flat, v, fm, rm)
     # lane-grouped fallback: one video per grid step, frames in 128-lane
     # groups — VMEM-light, used for R > 32 or when M*T*R_pad exceeds the

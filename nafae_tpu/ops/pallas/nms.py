@@ -30,11 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG = -1e9
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from nafae_tpu.ops.pallas.fused_ground import NEG, _interpret
 
 
 def _kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref, idx_ref, valid_ref,
@@ -61,7 +57,10 @@ def _kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref, idx_ref, valid_ref,
         bidx = jnp.min(jnp.where(is_max, lane, N), axis=1,
                        keepdims=True)                           # [B, 1]
         onehot = lane == bidx                                   # [B, N]
-        valid = bval > NEG / 2                                  # [B, 1]
+        valid = bval > NEG      # strict, matching ops/nms.py exactly: a
+                                # row exhausts when its masked max IS the
+                                # NEG fill (scores in (-1e9, -5e8] stay
+                                # valid, as in the jnp reference)
 
         def pick(vec):
             """vec[row, bidx[row]] via masked reduce (no dynamic_slice)."""

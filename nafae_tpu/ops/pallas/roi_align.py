@@ -20,9 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from nafae_tpu.ops.pallas.fused_ground import _interpret
 
 
 def _weights(lo, hi, size: int, out_size: int, sr: int):

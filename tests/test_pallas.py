@@ -37,6 +37,32 @@ def test_cross_mil_matches_reference(shapes):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_cross_mil_rollmax_tie_breaks_like_argmax():
+    """Duplicate region embeddings force exact score ties; the rollmax
+    kernel's tree-max must resolve them to the FIRST (lowest) region index
+    like jnp.argmax, or the max-subgradient routes through the wrong
+    region (r2 review fix: `v2 > v` kept whichever candidate sat in the
+    current lane). Checked on the kernel's saved argmax directly —
+    gradients can't distinguish (jnp.max's VJP SPLITS ties, the kernel's
+    custom VJP routes whole to its saved index by design)."""
+    from nafae_tpu.ops.pallas.fused_ground import _cross_mil_fwd_rollmax
+    I, J, K, T, R, E = 2, 2, 2, 3, 20, 16
+    rng = np.random.RandomState(0)
+    v_np = rng.randn(I, T, R, E).astype(np.float32)
+    v_np[:, :, 16] = v_np[:, :, 8]      # exact tie within every frame
+    v_np[:, :, 13] = v_np[:, :, 3]
+    w = jnp.asarray(rng.randn(J * K, E).astype(np.float32))
+    v = jnp.asarray(v_np)
+    fm = jnp.ones((I, T), jnp.float32)
+    rm = jnp.ones((I, T, R), jnp.float32)
+    a_pl, idx_pl = _cross_mil_fwd_rollmax(w, v, fm, rm)
+    s = jnp.einsum("me,itre->imtr", w, v)
+    np.testing.assert_allclose(np.asarray(a_pl), np.asarray(jnp.max(s, -1)),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx_pl),
+                                  np.asarray(jnp.argmax(s, -1)))
+
+
 def test_cross_mil_gradients_match():
     I, J, K, T, R, E = 4, 4, 3, 5, 6, 16
     rng = np.random.RandomState(0)
