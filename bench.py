@@ -32,9 +32,33 @@ def _require_tpu():
     release ("No hardware is found" → silent CPU fallback, which would make
     the bench report CPU numbers as chip throughput). A failed init is
     cached in-process, so retry by re-exec'ing this script, bounded.
-    CPU runs must be explicit: NAFAE_BENCH_ALLOW_CPU=1."""
+    CPU runs must be explicit: NAFAE_BENCH_ALLOW_CPU=1.
+
+    Outage mode: backend init can also HANG outright (observed: a 5h+
+    tunnel outage blocked jax.devices() indefinitely instead of failing).
+    The hang is a GIL-released network wait, so a watchdog thread can
+    still run — after 240 s it counts the attempt and re-execs."""
+    import threading
+    done = threading.Event()
+
+    def _watchdog():
+        if done.wait(240):
+            return
+        tries = int(os.environ.get("_NAFAE_BENCH_TRIES", "0"))
+        print(f"bench: TPU init hung >240 s (attempt {tries + 1}/25); "
+              "re-exec", file=sys.stderr)
+        sys.stderr.flush()
+        if tries >= 25:
+            os._exit(1)
+        os.environ["_NAFAE_BENCH_TRIES"] = str(tries + 1)
+        time.sleep(75)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
-    if jax.default_backend() == "tpu":
+    backend = jax.default_backend()
+    done.set()
+    if backend == "tpu":
         return
     if os.environ.get("NAFAE_BENCH_ALLOW_CPU") == "1":
         print("bench: WARNING measuring on CPU backend", file=sys.stderr)
