@@ -11,12 +11,31 @@ def maybe_require_tpu() -> None:
     Guards against the chip-loss failure mode: an exclusive chip that
     refuses acquisition makes jax fall back to CPU *silently*, and a
     training run would otherwise report CPU numbers as chip throughput.
+
+    Hang mode: during tunnel outages backend init can BLOCK indefinitely
+    instead of failing (observed 5h+). The wait releases the GIL, so a
+    watchdog thread can still exit 3 after 240 s — keeping the tpu_run.sh
+    retry contract alive for hangs, not just failures.
     """
     if os.environ.get("NAFAE_REQUIRE_TPU") == "1":
+        import threading
+        done = threading.Event()
+
+        def _watchdog():
+            if not done.wait(240):
+                print("NAFAE_REQUIRE_TPU=1 but jax backend init hung "
+                      ">240 s; exiting 3 for the tpu_run.sh retry loop",
+                      file=sys.stderr)
+                sys.stderr.flush()
+                os._exit(3)
+
+        threading.Thread(target=_watchdog, daemon=True).start()
         import jax
-        if jax.default_backend() != "tpu":
+        backend = jax.default_backend()
+        done.set()
+        if backend != "tpu":
             print("NAFAE_REQUIRE_TPU=1 but jax backend is "
-                  f"{jax.default_backend()!r}; exiting 3 for the "
+                  f"{backend!r}; exiting 3 for the "
                   "tpu_run.sh retry loop", file=sys.stderr)
             sys.exit(3)
 
