@@ -70,5 +70,62 @@ def test_bench_main_json_contract():
     assert r.returncode == 0, r.stderr[-2000:]
     line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
     out = json.loads(line)
-    assert set(out) == {"metric", "value", "unit", "vs_baseline"}
+    # the 4 driver keys are required; extra perf fields (mfu, flops,
+    # step_us) are allowed
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(out)
     assert out["value"] > 0
+    assert out["flops_per_step"] > 0
+    assert out["mfu"] is None  # CPU run: MFU only reported on TPU
+
+
+def test_bench_emits_error_json_on_deadline():
+    """A bench killed by its own deadline (the outage backstop: the driver's
+    SIGTERM cannot interrupt a GIL-held C call, so a watchdog thread emits)
+    still prints ONE parseable JSON line with the driver keys + an error."""
+    env = dict(os.environ)
+    env["NAFAE_BENCH_ALLOW_CPU"] = "1"
+    env["NAFAE_BENCH_DEADLINE"] = "4"
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "bench.py", "--quick"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."), timeout=120)
+    line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(out)
+    # nothing measured in 4s -> value null + error recorded
+    assert out["value"] is None
+    assert "error" in out
+
+
+def test_inline_scan_not_hoisted():
+    """The frozen detector's inputs are loop-invariant across the bench
+    scan; without the carry-dependent frames guard XLA hoists the whole
+    detector out of the loop and the 'inline' rate measures one detector
+    pass amortized over steps_per_call (the r2 108k-f/s inflation). With
+    the guard, scanning 8x the steps must cost several times more."""
+    import time as _time
+
+    import jax
+
+    from nafae_tpu.train import TrainState
+
+    times = {}
+    for spc in (1, 8):
+        cfg, batch, multi = bench.make_inline_setup(
+            b=1, t=2, image_size=64, steps_per_call=spc,
+            overrides=["detector.image_size=64",
+                       "detector.num_proposals=4",
+                       "detector.rpn_pre_nms_topk=16"])
+        state = TrainState.create(jax.random.PRNGKey(0), cfg)
+        st, losses = multi(state, batch)
+        jax.block_until_ready(losses)
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            st, losses = multi(st, batch)
+            jax.block_until_ready(losses)
+            best = min(best, _time.perf_counter() - t0)
+        times[spc] = best
+    # hoisted: ratio ~1.9 at these shapes; honest: ~8. Threshold well apart.
+    assert times[8] / times[1] > 3.5, times
