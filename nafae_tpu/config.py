@@ -17,7 +17,13 @@ class ModelConfig:
     vocab_size: int = 67          # YouCook2-BB object classes (SURVEY.md L46)
     feat_dim: int = 2048          # RoI feature dim D
     embed_dim: int = 256          # joint space dim E
-    frame_pool: str = "attention"  # "attention" | "mean" | "context"
+    frame_pool: str = "attention"  # "attention" (softmax on the mean word
+                                   # score) | "mean" | "context" (softmax on
+                                   # the ctx-supported score) | "learned"
+                                   # (softmax on a learned linear scorer of
+                                   # pooled region embeddings — docs/MATH.md
+                                   # step 5 [CHOICE]; adds params
+                                   # attn_w/attn_b)
     frame_attn_temp: float = 0.1   # τ_f in docs/MATH.md §Forward
     dtype: str = "float32"         # compute dtype for the sim einsum ("bfloat16" on TPU)
     matmul_precision: str = "highest"  # "default" = fast bf16 MXU passes everywhere
@@ -27,7 +33,14 @@ class ModelConfig:
 @dataclass
 class LossConfig:
     margin: float = 0.1           # Δ, ranking loss
+    rank_norm: str = "pairs"      # hinge-sum normalizer (docs/MATH.md
+                                  # §Ranking [CHOICE]): "pairs" (ordered
+                                  # pairs i≠j) | "hinges" (2·pairs) |
+                                  # "batch" (B)
     ctx_weight: float = 0.0       # λ_ctx (config 3+)
+    ctx_target: str = "stopgrad"  # ctx-loss gradient flow (docs/MATH.md
+                                  # §Contextual [CHOICE]): "stopgrad"
+                                  # (teacher ŝ) | "live" | "symmetric"
     ctx_window: int = 3           # half-width w of the temporal window
     ctx_temp: float = 0.1         # τ_a affinity temperature
     cluster_weight: float = 0.0   # λ_clu (config 4+)
@@ -83,7 +96,7 @@ class TrainConfig:
     weight_decay: float = 1e-5
     warmup_steps: int = 100
     optimizer: str = "adam"       # "adam" | "sgd"
-    grad_clip: float = 1.0
+    grad_clip: float = 1.0        # global-norm clip; <=0 disables
     seed: int = 0
     ckpt_dir: str = "ckpt"
     ckpt_every: int = 500

@@ -39,11 +39,19 @@ def init_params(key: jax.Array, cfg: ModelConfig,
     else:
         word_emb = jax.random.normal(
             k_emb, (cfg.vocab_size, cfg.embed_dim)) * scale_emb
-    return {
+    params = {
         "word_emb": word_emb,
         "w_v": jax.random.normal(k_proj, (cfg.feat_dim, cfg.embed_dim)) * scale_proj,
         "b_v": jnp.zeros((cfg.embed_dim,)),
     }
+    if cfg.frame_pool == "learned":
+        # learned frame-attention scorer (docs/MATH.md step 5 [CHOICE]):
+        # g[b,t] = mean_r(v̂)·attn_w — bias-free (softmax shift-invariance
+        # makes a bias a dead parameter; see ops.grounding.learned_frame_logits)
+        k_attn = jax.random.fold_in(k_proj, 1)
+        params["attn_w"] = jax.random.normal(
+            k_attn, (cfg.embed_dim,)) * scale_emb
+    return params
 
 
 def load_word_vectors(path: str, vocab, embed_dim: int):
@@ -110,6 +118,10 @@ class GroundingModel(nn.Module):
                 (c.feat_dim, c.embed_dim)),
             "b_v": self.param("b_v", nn.initializers.zeros, (c.embed_dim,)),
         }
+        if c.frame_pool == "learned":
+            params["attn_w"] = self.param(
+                "attn_w", nn.initializers.normal(1.0 / c.embed_dim ** 0.5),
+                (c.embed_dim,))
         return ground_forward(
             params, feats, word_ids, frame_mask, word_mask,
             temp=c.frame_attn_temp, pool=c.frame_pool,

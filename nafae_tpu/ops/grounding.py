@@ -138,12 +138,44 @@ def _masked_word_mean(x: jax.Array, word_mask: jax.Array) -> jax.Array:
     return num / den[..., None]
 
 
+def learned_frame_logits(v_emb: jax.Array, frame_mask: jax.Array,
+                         region_mask: jax.Array | None,
+                         attn_w: jax.Array) -> jax.Array:
+    """Learned per-frame attention logits (docs/MATH.md step 5,
+    `frame_pool="learned"`): a linear scorer on the frame's pooled region
+    embedding, g[b,t] = v̄[b,t]·attn_w with v̄ the masked mean of v̂ over
+    valid regions. Deliberately BIAS-FREE: the softmax over frames is
+    shift-invariant, so a bias would be a dead parameter whose zero
+    gradient is pure float noise — which adam then amplifies to full step
+    size, breaking DP-vs-single-device exactness. Sentence-INDEPENDENT
+    (unlike the word-score form), so the cross-batch ranking reuses one
+    [B,T] table for all sentences.
+
+    v_emb [B,T,R,E]; region_mask [B,T,R] or None; attn_w [E].
+    Invalid frames' logits are garbage — frame_attention masks them.
+    """
+    if region_mask is not None:
+        num = jnp.sum(v_emb * region_mask[..., None].astype(v_emb.dtype),
+                      axis=-2)
+        den = jnp.maximum(jnp.sum(region_mask, axis=-1), 1.0)
+    else:
+        num = jnp.sum(v_emb, axis=-2)
+        den = jnp.asarray(float(v_emb.shape[-2]))
+    vbar = num.astype(jnp.float32) / den[..., None]              # [B,T,E]
+    g = jnp.einsum("bte,e->bt", vbar, attn_w.astype(jnp.float32),
+                   preferred_element_type=jnp.float32,
+                   precision=PRECISION)
+    return g * frame_mask
+
+
 def video_scores(a: jax.Array, word_mask: jax.Array, frame_mask: jax.Array,
                  temp: float, pool: str,
                  frame_logits: jax.Array | None = None) -> tuple[jax.Array, jax.Array]:
     """a [..,K,T] -> (S [..], β [..,T]).  frame_logits overrides g (context pooling)."""
     g = frame_logits if frame_logits is not None else _masked_word_mean(a, word_mask)
-    beta = frame_attention(g, frame_mask, temp, "attention" if pool == "context" else pool)
+    beta = frame_attention(g, frame_mask, temp,
+                           "attention" if pool in ("context", "learned")
+                           else pool)
     s_w = jnp.sum(beta[..., None, :] * a, axis=-1)           # [.., K]
     s = jnp.sum(s_w * word_mask, axis=-1) / jnp.maximum(
         jnp.sum(word_mask, axis=-1), 1.0)
@@ -406,7 +438,8 @@ def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
                  impl: str = "jnp", dtype=None,
                  region_mask: jax.Array | None = None,
                  ctx_impl: str | None = None,
-                 u: jax.Array | None = None) -> jax.Array:
+                 u: jax.Array | None = None,
+                 frame_logits: jax.Array | None = None) -> jax.Array:
     """Full B×B score matrix S[i,j] = score(video i, sentence j) for ranking.
 
     The reference scores positives/negatives with per-sample loops (SURVEY.md
@@ -418,9 +451,13 @@ def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
     follow impl. u: precomputed context-mixed embeddings (context_mix on the
     same v_emb/masks) — the train step passes its copy so the kernel runs
     once per step (XLA cannot CSE the two custom-calls itself).
+    frame_logits: precomputed sentence-independent per-frame logits [I,T]
+    (the `pool="learned"` scorer) — broadcast over sentences j.
     """
     fm = frame_mask[:, None, :]                               # video i frames [I,1,T]
     wm = word_mask[None, :, :]                                # sentence j words [1,J,K]
+    g_learned = (frame_logits[:, None, :]                     # [I,1,T] -> bcast J
+                 if frame_logits is not None else None)
     ctx_pool = pool == "context" and ctx_window > 0
     if ctx_pool and u is None:
         # context pooling: ŝ factors through the (sentence-independent)
@@ -438,7 +475,7 @@ def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
         from nafae_tpu.ops.pallas.fused_ground import cross_mil
         a = cross_mil(w_emb, v_emb, frame_mask, region_mask,
                       dtype=dtype)                            # [I,J,K,T]
-        frame_logits = None
+        frame_logits = g_learned
         if ctx_pool:
             ahat = cross_mil(w_emb, u, frame_mask, region_mask, dtype=dtype)
             frame_logits = _masked_word_mean(ahat, wm)
@@ -452,7 +489,7 @@ def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
                    preferred_element_type=jnp.float32, precision=PRECISION)        # [I,J,K,T,R]
     s = mask_regions(s, region_mask)
     a = frame_mil_max(s, fm)                                  # [I,J,K,T]
-    frame_logits = None
+    frame_logits = g_learned
     if ctx_pool:
         we2, ue = _cast2(w_emb, u, dtype)
         shat = jnp.einsum("jke,itre->ijktr", we2, ue,
@@ -467,10 +504,15 @@ def ground_forward(params: dict, feats: jax.Array, word_ids: jax.Array,
                    frame_mask: jax.Array, word_mask: jax.Array,
                    temp: float = 0.1, pool: str = "attention",
                    ctx_window: int = 0, ctx_temp: float = 0.1,
-                   compute_dtype=jnp.float32) -> dict:
+                   compute_dtype=jnp.float32,
+                   region_mask: jax.Array | None = None) -> dict:
     """Full single-video forward pass (diagonal path; used by eval & losses).
 
-    params: {"word_emb": [V,E], "w_v": [D,E], "b_v": [E]}.
+    params: {"word_emb": [V,E], "w_v": [D,E], "b_v": [E]} (+ "attn_w" [E]
+    when pool="learned" — docs/MATH.md step 5 [CHOICE]).
+    region_mask [B,T,R]: fills invalid region slots with NEG before every
+    max (docs/MATH.md mask semantics); None = all regions of valid frames
+    valid (the historical default of this entry point).
     Returns dict with v_emb, w_emb, s, a, beta, score, and (if ctx_window>0)
     alpha, nbr_valid, shat, ahat.
     """
@@ -480,7 +522,7 @@ def ground_forward(params: dict, feats: jax.Array, word_ids: jax.Array,
     # same via similarity_tensor(dtype=cdt)); None/f32 = oracle-parity mode
     cdt = (None if compute_dtype is None
            or jnp.dtype(compute_dtype) == jnp.float32 else compute_dtype)
-    s = similarity_tensor(w_emb, v_emb, dtype=cdt)
+    s = mask_regions(similarity_tensor(w_emb, v_emb, dtype=cdt), region_mask)
     a = frame_mil_max(s, frame_mask)
     out = {"w_emb": w_emb, "v_emb": v_emb, "s": s, "a": a}
     frame_logits = None
@@ -488,13 +530,20 @@ def ground_forward(params: dict, feats: jax.Array, word_ids: jax.Array,
         w_ = ctx_window
         v_ext = jnp.pad(v_emb, ((0, 0), (w_, w_), (0, 0), (0, 0)))
         fm_ext = jnp.pad(frame_mask, ((0, 0), (w_, w_)))
-        alpha, nbr_valid = region_affinity_ext(v_ext, fm_ext, w_, ctx_temp)
+        rm_ext = (jnp.pad(region_mask, ((0, 0), (w_, w_), (0, 0)))
+                  if region_mask is not None else None)
+        alpha, nbr_valid = region_affinity_ext(v_ext, fm_ext, w_, ctx_temp,
+                                               rm_ext=rm_ext)
         u = context_mixed_regions(v_ext, alpha, nbr_valid)
-        shat = similarity_tensor(w_emb, u, dtype=cdt)
+        shat = mask_regions(similarity_tensor(w_emb, u, dtype=cdt),
+                            region_mask)
         ahat = frame_mil_max(shat, frame_mask)
         out.update(alpha=alpha, nbr_valid=nbr_valid, shat=shat, ahat=ahat, u=u)
         if pool == "context":
             frame_logits = _masked_word_mean(ahat, word_mask)
+    if pool == "learned":
+        frame_logits = learned_frame_logits(
+            v_emb, frame_mask, region_mask, params["attn_w"])
     score, beta = video_scores(a, word_mask, frame_mask, temp, pool,
                                frame_logits=frame_logits)
     out.update(score=score, beta=beta)

@@ -14,25 +14,69 @@ import jax.numpy as jnp
 from nafae_tpu.ops.kmeans import kmeans_assign
 
 
-def ranking_loss(score_mat: jax.Array, margin: float) -> jax.Array:
+def rank_denominator(b: int, norm: str) -> int:
+    """Normalizer for the ranking-loss hinge sum (docs/MATH.md §Ranking
+    [CHOICE], flag `loss.rank_norm`): "pairs" (default) divides by the
+    #ordered pairs i≠j (each contributing TWO hinges — the historical
+    form), "hinges" by the #hinge terms 2·B·(B−1) (a true per-hinge mean),
+    "batch" by B (the 2019-era sum-then-/batch convention)."""
+    if norm == "pairs":
+        return max(b * (b - 1), 1)
+    if norm == "hinges":
+        return max(2 * b * (b - 1), 1)
+    if norm == "batch":
+        return max(b, 1)
+    raise ValueError(f"unknown rank_norm {norm!r}; "
+                     "choose pairs | hinges | batch")
+
+
+def ranking_loss(score_mat: jax.Array, margin: float,
+                 norm: str = "pairs") -> jax.Array:
     """Max-margin triplet loss over the B×B in-batch score matrix.
 
     score_mat[i,j] = score(video i, sentence j). Diagonal = positives.
-    L = mean over ordered pairs i≠j of relu(Δ + S[i,j] − S[i,i])
-                                     + relu(Δ + S[j,i] − S[i,i]).
+    L = (1/denom) Σ over ordered pairs i≠j of relu(Δ + S[i,j] − S[i,i])
+                                            + relu(Δ + S[j,i] − S[i,i]),
+    denom per `norm` (rank_denominator).
     """
     b = score_mat.shape[0]
     pos = jnp.diagonal(score_mat)                                  # [B]
     off = 1.0 - jnp.eye(b, dtype=score_mat.dtype)
     wrong_sent = jax.nn.relu(margin + score_mat - pos[:, None]) * off
     wrong_vid = jax.nn.relu(margin + score_mat - pos[None, :]) * off
-    npairs = jnp.maximum(b * (b - 1), 1)
-    return (jnp.sum(wrong_sent) + jnp.sum(wrong_vid)) / npairs
+    return (jnp.sum(wrong_sent) + jnp.sum(wrong_vid)) / rank_denominator(
+        b, norm)
+
+
+def ctx_squared_error(s: jax.Array, shat: jax.Array,
+                      target: str = "stopgrad") -> jax.Array:
+    """Per-element squared error of the ctx loss, by gradient-flow mode
+    (docs/MATH.md §Contextual [CHOICE], flag `loss.ctx_target`). All three
+    have the SAME value (s−ŝ)²; they differ only in which side the gradient
+    flows through:
+
+    - "stopgrad" (default): ŝ is a teacher — d/ds only.
+    - "live": no stop-gradient — d/ds and d/dŝ of the full quadratic
+      (each side feels the other; risks collapse to a constant).
+    - "symmetric": ½(s−sg ŝ)² + ½(ŝ−sg s)² — each side pulled toward the
+      other as a frozen target (half the "live" gradient magnitude per
+      side, no collapse direction through the pair interaction).
+    """
+    if target == "stopgrad":
+        return (s - jax.lax.stop_gradient(shat)) ** 2
+    if target == "live":
+        return (s - shat) ** 2
+    if target == "symmetric":
+        return 0.5 * ((s - jax.lax.stop_gradient(shat)) ** 2
+                      + (shat - jax.lax.stop_gradient(s)) ** 2)
+    raise ValueError(f"unknown ctx_target {target!r}; "
+                     "choose stopgrad | live | symmetric")
 
 
 def context_loss_terms(s: jax.Array, shat: jax.Array, word_mask: jax.Array,
                        frame_mask: jax.Array, nbr_valid: jax.Array,
-                       region_mask: jax.Array | None = None
+                       region_mask: jax.Array | None = None,
+                       target: str = "stopgrad"
                        ) -> tuple[jax.Array, jax.Array]:
     """(numerator, denominator) of L_ctx — the mesh-able form: the train step
     psums num/den across the data/frame axes before dividing (exact global
@@ -41,7 +85,7 @@ def context_loss_terms(s: jax.Array, shat: jax.Array, word_mask: jax.Array,
     otherwise enter (s-ŝ)² and blow the loss up)."""
     has_ctx = (jnp.sum(nbr_valid, axis=-1) > 0).astype(s.dtype)    # [B,T]
     m = (word_mask[:, :, None] * frame_mask[:, None, :] * has_ctx[:, None, :])
-    sq = (s - jax.lax.stop_gradient(shat)) ** 2                    # [B,K,T,R]
+    sq = ctx_squared_error(s, shat, target)                        # [B,K,T,R]
     if region_mask is None:
         return jnp.sum(sq * m[..., None]), jnp.sum(m) * s.shape[-1]
     m4 = m[..., None] * region_mask[:, None, :, :]
@@ -50,15 +94,17 @@ def context_loss_terms(s: jax.Array, shat: jax.Array, word_mask: jax.Array,
 
 def context_loss(s: jax.Array, shat: jax.Array, word_mask: jax.Array,
                  frame_mask: jax.Array, nbr_valid: jax.Array,
-                 region_mask: jax.Array | None = None) -> jax.Array:
-    """L_ctx = masked mean (s − sg[ŝ])² over valid (b,k,t,r).
+                 region_mask: jax.Array | None = None,
+                 target: str = "stopgrad") -> jax.Array:
+    """L_ctx = masked mean (s − ŝ)² over valid (b,k,t,r); gradient flow per
+    `target` (ctx_squared_error).
 
     Frames with no valid neighbor (sum_o nbr_valid == 0) contribute zero.
     s, shat: [B,K,T,R]; word_mask [B,K]; frame_mask [B,T]; nbr_valid [B,T,O];
     region_mask [B,T,R] (pass it whenever s was region-masked).
     """
     num, den = context_loss_terms(s, shat, word_mask, frame_mask, nbr_valid,
-                                  region_mask)
+                                  region_mask, target)
     return num / jnp.maximum(den, 1.0)
 
 

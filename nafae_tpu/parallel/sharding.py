@@ -22,12 +22,16 @@ from nafae_tpu.ops import grounding as G
 
 def ranking_loss_rows(rows: jax.Array, diag_global: jax.Array,
                       row_offset: int | jax.Array, margin: float,
-                      axis_name: str | None = None) -> jax.Array:
+                      axis_name: str | None = None,
+                      norm: str = "pairs") -> jax.Array:
     """Ranking loss from a row shard `rows` [B_loc, B_glob] + global diagonal.
 
     row_offset: global index of local row 0. With axis_name, the per-device
     partial sums are psum-reduced so every device returns the GLOBAL loss.
+    norm: hinge-sum normalizer over the GLOBAL batch (losses.rank_denominator).
     """
+    from nafae_tpu.ops.losses import rank_denominator
+
     b_loc, b_glob = rows.shape
     gidx = row_offset + jnp.arange(b_loc)                    # global ids of my rows
     is_diag = (jnp.arange(b_glob)[None, :] == gidx[:, None]).astype(rows.dtype)
@@ -38,8 +42,7 @@ def ranking_loss_rows(rows: jax.Array, diag_global: jax.Array,
     total = jnp.sum(wrong_sent) + jnp.sum(wrong_vid)
     if axis_name is not None:
         total = jax.lax.psum(total, axis_name)
-    npairs = jnp.maximum(b_glob * (b_glob - 1), 1)
-    return total / npairs
+    return total / rank_denominator(b_glob, norm)
 
 
 def gather_words(w_emb: jax.Array, word_mask: jax.Array,

@@ -112,20 +112,25 @@ def sp_cross_scores(w_emb: jax.Array, word_mask: jax.Array,
                     ctx_window: int = 0, ctx_temp: float = 0.1,
                     dtype=None, region_mask: jax.Array | None = None,
                     ctx_impl: str = "offset",
-                    u: jax.Array | None = None) -> jax.Array:
+                    u: jax.Array | None = None,
+                    frame_logits: jax.Array | None = None) -> jax.Array:
     """Frame-sharded cross_scores. v_emb [I,Tl,R,E] local frames; w_emb/
     word_mask are the (data-axis-gathered) global sentences. Returns
     rows [I_loc, J_glob], identical across frame shards. u: precomputed
-    context-mixed embeddings (skips the internal halo + context_mix)."""
+    context-mixed embeddings (skips the internal halo + context_mix).
+    frame_logits: precomputed per-LOCAL-frame logits [I,Tl] (the
+    pool="learned" scorer); the online softmax normalizes over global T."""
     fm = frame_mask[:, None, :]
     wm = word_mask[None, :, :]
+    g_learned = (frame_logits[:, None, :]
+                 if frame_logits is not None else None)
     we, ve = G._cast2(w_emb, v_emb, dtype)
     s = jnp.einsum("jke,itre->ijktr", we, ve,
                    preferred_element_type=jnp.float32,
                    precision=G.PRECISION)                     # [I,J,K,Tl,R]
     s = G.mask_regions(s, region_mask)
     a = G.frame_mil_max(s, fm)
-    frame_logits = None
+    frame_logits = g_learned
     if pool == "context" and ctx_window > 0:
         if u is None:
             v_ext = halo_exchange(v_emb, ctx_window, frame_axis)
@@ -142,7 +147,8 @@ def sp_cross_scores(w_emb: jax.Array, word_mask: jax.Array,
         ahat = G.frame_mil_max(shat, fm)
         frame_logits = G._masked_word_mean(ahat, wm)
     return sp_video_scores(a, wm, fm, temp,
-                           "attention" if pool == "context" else pool,
+                           "attention" if pool in ("context", "learned")
+                           else pool,
                            frame_axis, frame_logits=frame_logits)[0]
 
 

@@ -83,6 +83,8 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         opt = optax.sgd(sched, momentum=0.9)
     else:
         opt = optax.adamw(sched, weight_decay=cfg.train.weight_decay)
+    if cfg.train.grad_clip <= 0:       # 0 disables clipping (clip_by_global_
+        return opt                     # norm(0.0) would zero every update)
     return optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip), opt)
 
 
@@ -173,6 +175,10 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
                                      else "offset")
 
     # --- ranking over the global batch (row-shard decomposition) -------------
+    g_learned = None
+    if mc.frame_pool == "learned":
+        g_learned = G.learned_frame_logits(v_emb, fm, rm,
+                                           params["attn_w"])
     if data_axis is not None:
         gw, gwm = S.gather_words(w_emb, wm, data_axis)
     else:
@@ -183,13 +189,14 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
                                   mc.frame_pool, frame_axis, ctx_window,
                                   lc.ctx_temp, dtype=cdt, region_mask=rm,
                                   ctx_impl="pallas" if pallas_ctx
-                                  else "offset", u=u)
+                                  else "offset", u=u,
+                                  frame_logits=g_learned)
     else:
         rows = G.cross_scores(gw, gwm, v_emb, fm, mc.frame_attn_temp,
                               mc.frame_pool, ctx_window, lc.ctx_temp,
                               impl="pallas" if pallas_mil else "jnp", dtype=cdt,
                               region_mask=rm, ctx_impl="pallas" if pallas_ctx
-                              else "offset", u=u)
+                              else "offset", u=u, frame_logits=g_learned)
     b_loc, b_glob = rows.shape
     gidx = row_offset + jnp.arange(b_loc)
     diag_local = jnp.sum(rows * (jnp.arange(b_glob)[None, :] == gidx[:, None]),
@@ -197,7 +204,7 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
     diag_global = (S.gather_diag(diag_local, data_axis)
                    if data_axis is not None else diag_local)
     l_rank = S.ranking_loss_rows(rows, diag_global, row_offset, lc.margin,
-                                 data_axis)
+                                 data_axis, norm=lc.rank_norm)
     total = l_rank
     score_pos = _global_mean(jnp.sum(diag_local),
                              jnp.asarray(diag_local.shape[0], jnp.float32),
@@ -213,7 +220,9 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
     # so it rides only the experimental kernels="pallas" mode; "auto" keeps
     # the jnp path below.
     diag_out = None
-    if (DIAG_KERNEL and pallas_mil and ctx_on
+    # the fused diag kernel hard-codes the stopgrad ctx target; other
+    # ctx_target modes take the jnp path below
+    if (DIAG_KERNEL and pallas_mil and ctx_on and lc.ctx_target == "stopgrad"
             and lc.ctx_weight > 0 and lc.cluster_weight > 0):
         from nafae_tpu.ops.pallas.fused_diag import diag_epilogue_pallas
         has_ctx = (jnp.sum(nbr_valid, axis=-1) > 0).astype(fm.dtype)
@@ -246,7 +255,8 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
         shat = G.mask_regions(G.similarity_tensor(w_emb, u, dtype=cdt), rm)
         if lc.ctx_weight > 0:
             l_ctx = _global_mean(
-                *L.context_loss_terms(s, shat, wm, fm, nbr_valid, rm),
+                *L.context_loss_terms(s, shat, wm, fm, nbr_valid, rm,
+                                      target=lc.ctx_target),
                 all_axes)
             total = total + lc.ctx_weight * l_ctx
             aux["l_ctx"] = l_ctx

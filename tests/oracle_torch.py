@@ -60,21 +60,42 @@ def forward(params, feats, word_ids, frame_mask, word_mask,
                     ahat[b, k, t] = shat[b, k, t].max() if frame_mask[b, t] > 0 else 0.0
         out.update(shat=shat, nbr_valid=nbr_valid, ahat=ahat)
 
+    # list-append + stack (not in-place index writes) so torch autograd can
+    # differentiate through the oracle — the [CHOICE]-variant tests check
+    # GRADIENTS against jax.grad, not just values
     g_src = out["ahat"] if (pool == "context" and ctx_window > 0) else a
-    score = torch.zeros(B, dtype=feats.dtype)
-    beta = torch.zeros(B, T, dtype=feats.dtype)
+    score_rows, beta_rows = [], []
     for b in range(B):
         kv = word_mask[b].sum().clamp(min=1.0)
-        g = (g_src[b] * word_mask[b, :, None]).sum(0) / kv   # [T]
+        if pool == "learned":
+            # docs/MATH.md step 5 [CHOICE] "learned": linear scorer on the
+            # frame's pooled region embedding
+            g_vals = []
+            for t in range(T):
+                if frame_mask[b, t] <= 0:
+                    g_vals.append(torch.zeros((), dtype=feats.dtype))
+                    continue
+                vb = torch.zeros(v_emb.shape[-1], dtype=feats.dtype)
+                n = 0.0
+                for r in range(R):
+                    if region_mask is None or region_mask[b, t, r] > 0:
+                        vb = vb + v_emb[b, t, r]
+                        n += 1.0
+                vb = vb / max(n, 1.0)
+                g_vals.append((vb * params["attn_w"]).sum())
+            g = torch.stack(g_vals)
+        else:
+            g = (g_src[b] * word_mask[b, :, None]).sum(0) / kv   # [T]
         if pool == "mean":
-            beta[b] = frame_mask[b] / frame_mask[b].sum().clamp(min=1.0)
+            beta_b = frame_mask[b] / frame_mask[b].sum().clamp(min=1.0)
         else:
             logits = torch.where(frame_mask[b] > 0, g / temp,
                                  torch.full_like(g, NEG))
-            beta[b] = torch.softmax(logits, dim=0) * frame_mask[b]
-        s_w = (beta[b][None, :] * a[b]).sum(-1)              # [K]
-        score[b] = (s_w * word_mask[b]).sum() / kv
-    out.update(score=score, beta=beta)
+            beta_b = torch.softmax(logits, dim=0) * frame_mask[b]
+        s_w = (beta_b[None, :] * a[b]).sum(-1)               # [K]
+        score_rows.append((s_w * word_mask[b]).sum() / kv)
+        beta_rows.append(beta_b)
+    out.update(score=torch.stack(score_rows), beta=torch.stack(beta_rows))
     return out
 
 
@@ -136,7 +157,7 @@ def cross_scores(params, feats, word_ids, frame_mask, word_mask,
     return mat
 
 
-def ranking_loss(mat, margin):
+def ranking_loss(mat, margin, norm="pairs"):
     B = mat.shape[0]
     total, n = torch.zeros((), dtype=mat.dtype), 0
     for i in range(B):
@@ -146,11 +167,16 @@ def ranking_loss(mat, margin):
             total = total + torch.relu(margin + mat[i, j] - mat[i, i])
             total = total + torch.relu(margin + mat[j, i] - mat[i, i])
             n += 1  # docs/MATH.md: normalize by ordered pairs, two hinges each
-    return total / max(n, 1)
+    denom = {"pairs": max(n, 1), "hinges": max(2 * n, 1),
+             "batch": max(B, 1)}[norm]
+    return total / denom
 
 
 def context_loss(s, shat, word_mask, frame_mask, nbr_valid,
-                 region_mask=None):
+                 region_mask=None, target="stopgrad"):
+    """Gradient flow per `target` (docs/MATH.md [CHOICE], loss.ctx_target):
+    torch .detach() mirrors jax stop_gradient so autograd through this
+    oracle cross-checks each variant's gradients, not just the value."""
     B, K, T, R = s.shape
     num, den = torch.zeros((), dtype=s.dtype), 0.0
     for b in range(B):
@@ -162,7 +188,15 @@ def context_loss(s, shat, word_mask, frame_mask, nbr_valid,
                         if region_mask is not None \
                                 and region_mask[b, t, r] <= 0:
                             continue   # NEG-filled slot: excluded from both
-                        num = num + (s[b, k, t, r] - shat[b, k, t, r]) ** 2
+                        sv, hv = s[b, k, t, r], shat[b, k, t, r]
+                        if target == "stopgrad":
+                            sq = (sv - hv.detach()) ** 2
+                        elif target == "live":
+                            sq = (sv - hv) ** 2
+                        else:          # symmetric
+                            sq = 0.5 * ((sv - hv.detach()) ** 2
+                                        + (hv - sv.detach()) ** 2)
+                        num = num + sq
                         den += 1.0
     return num / max(den, 1.0)
 

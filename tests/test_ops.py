@@ -197,3 +197,23 @@ def test_cast2_per_operand():
         assert a.dtype == jnp.bfloat16 and b.dtype == jnp.bfloat16
     a, b = _cast2(f, h, None)
     assert a.dtype == jnp.float32 and b.dtype == jnp.bfloat16
+
+
+def test_kmeans_ema():
+    """EMA blend (docs/MATH.md §Visual-clustering [CHOICE], loss.kmeans_ema):
+    kmeans_lloyd(ema=ρ) == normalize((1−ρ)·lloyd(ema=0) + ρ·normalize(old))."""
+    import jax
+
+    from nafae_tpu.ops.grounding import l2_normalize
+    from nafae_tpu.ops.kmeans import kmeans_lloyd
+
+    rng = np.random.RandomState(11)
+    f = jnp.asarray(rng.randn(40, 8).astype(np.float32))
+    valid = jnp.asarray((rng.rand(40) > 0.2).astype(np.float32))
+    old = jnp.asarray(rng.randn(5, 8).astype(np.float32))
+    pure = kmeans_lloyd(f, valid, old, iters=3, ema=0.0)
+    blended = kmeans_lloyd(f, valid, old, iters=3, ema=0.25)
+    expect = l2_normalize(0.75 * pure + 0.25 * l2_normalize(old))
+    np.testing.assert_allclose(np.asarray(blended), np.asarray(expect),
+                               rtol=1e-5, atol=1e-6)
+    assert float(jnp.abs(blended - pure).max()) > 1e-3
