@@ -36,11 +36,23 @@ class FasterRCNNExtractor(nn.Module):
     def setup(self):
         dt = (None if self.cfg.dtype == "float32"
               else jnp.dtype(self.cfg.dtype))
-        self.backbone = ResNetC4(dtype=dt)
+        if self.cfg.backbone == "vgg16":
+            # SURVEY.md L136 "VGG16 or ResNet-101 — VERIFY": the VGG lineage
+            # is config-switchable (conv5_3 stride-16 features, fc6/fc7 RoI
+            # head -> 4096-d; pair with model.feat_dim=4096)
+            from nafae_tpu.models.detector.vgg import (VGG16Features,
+                                                       VGG16RoIHead)
+            self.backbone = VGG16Features(dtype=dt)
+            self.head = VGG16RoIHead(dtype=dt)
+        elif self.cfg.backbone == "resnet50":
+            self.backbone = ResNetC4(dtype=dt)
+            self.head = ResNetC5Head(dtype=dt)
+        else:
+            raise ValueError(f"unknown detector.backbone "
+                             f"{self.cfg.backbone!r}; resnet50 | vgg16")
         a = len(self.cfg.anchor_scales) * len(self.cfg.anchor_ratios)
         self.rpn = RPNHead(num_anchors=a, channels=self.cfg.rpn_channels,
                            dtype=dt)
-        self.head = ResNetC5Head(dtype=dt)
         if self.with_detections:
             from nafae_tpu.models.detector.heads import DetectionHead
             self.det_head = DetectionHead(self.num_classes)

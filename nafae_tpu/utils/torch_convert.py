@@ -130,6 +130,38 @@ def _copy_bottleneck(dst, src, conv, bn, flat):
         bn(dst["FrozenBN_3"], f"{src}.downsample.1")
 
 
+def convert_detector_vgg16(state_dict: dict, params: dict) -> dict:
+    """Map a torchvision-style vgg16 state_dict onto the VGG detector params.
+
+    Covers the VGG16Features backbone (features.{i} convs, the
+    models/detector/vgg.py layer table) and the fc6/fc7 RoI head
+    (classifier.0 / classifier.3). The fc6 weight flattens the 7x7x512 crop
+    in torch (c,h,w) order while flax flattens (h,w,c) — the input axis is
+    permuted so converted checkpoints are elementwise-equal (tested).
+    RPN/detection-head params are left as-is. Returns a NEW params tree.
+    """
+    from nafae_tpu.models.detector.vgg import VGG16_CONV_LAYERS
+
+    flat = _to_numpy_dict(state_dict)
+    out = jax.tree.map(np.array, params)
+    bb = out["params"]["backbone"]
+    for i, (li, _) in enumerate(VGG16_CONV_LAYERS):
+        src = f"features.{li}"
+        bb[f"Conv_{i}"]["kernel"] = np.transpose(
+            flat[src + ".weight"], (2, 3, 1, 0)).astype(np.float32)
+        bb[f"Conv_{i}"]["bias"] = flat[src + ".bias"].astype(np.float32)
+    head = out["params"]["head"]
+    w6 = flat["classifier.0.weight"]                # [4096, 512*7*7] (c,h,w)
+    w6 = (w6.reshape(4096, 512, 7, 7).transpose(0, 2, 3, 1)  # -> (h,w,c)
+          .reshape(4096, -1).T)                     # -> [7*7*512, 4096]
+    head["Dense_0"]["kernel"] = w6.astype(np.float32)
+    head["Dense_0"]["bias"] = flat["classifier.0.bias"].astype(np.float32)
+    head["Dense_1"]["kernel"] = flat["classifier.3.weight"].T.astype(
+        np.float32)
+    head["Dense_1"]["bias"] = flat["classifier.3.bias"].astype(np.float32)
+    return jax.tree.map(jnp_asarray, out)
+
+
 # faster-rcnn.pytorch lineage (SURVEY.md L136-139: the reference's external
 # detector repo): RCNN_base wraps conv1+bn1+layer1-3, RCNN_top wraps layer4.
 FASTER_RCNN_BASE_RENAMES = {
@@ -175,15 +207,29 @@ def convert_faster_rcnn(state_dict: dict, params: dict,
     The RPN conv in this lineage is 512-wide: init the model with
     DetectorConfig(rpn_channels=512). Source anchors differ from ours only
     by integer rounding of the base boxes (sub-pixel).
+
+    Backbone lineage is auto-detected: RCNN_base.0.weight shaped
+    [64,3,3,3] (a 3x3 conv on RGB) is the vgg16 variant (RCNN_base =
+    vgg.features[:-1], RCNN_top.{0,3} = fc6/fc7) — init the model with
+    DetectorConfig(backbone="vgg16", rpn_channels=512).
     """
     flat = _normalize_sd(_to_numpy_dict(state_dict))
-    tv = {}
-    for k, v in flat.items():
-        for src, dst in FASTER_RCNN_BASE_RENAMES.items():
-            if k.startswith(src):
-                tv[dst + k[len(src):]] = v
-                break
-    out = convert_detector_resnet50(tv, params)
+    if flat["RCNN_base.0.weight"].shape == (64, 3, 3, 3):      # vgg16 lineage
+        tv = {}
+        for k, v in flat.items():
+            if k.startswith("RCNN_base."):
+                tv["features." + k[len("RCNN_base."):]] = v
+            elif k.startswith("RCNN_top."):                    # 0=fc6, 3=fc7
+                tv["classifier." + k[len("RCNN_top."):]] = v
+        out = convert_detector_vgg16(tv, params)
+    else:
+        tv = {}
+        for k, v in flat.items():
+            for src, dst in FASTER_RCNN_BASE_RENAMES.items():
+                if k.startswith(src):
+                    tv[dst + k[len(src):]] = v
+                    break
+        out = convert_detector_resnet50(tv, params)
     out = jax.tree.map(np.array, out)
     a = num_scales * num_ratios
     perm = anchor_permutation(num_scales, num_ratios)
@@ -234,8 +280,9 @@ def load_detector_weights(pth_path: str, params: dict,
     """Load a detector .pth and dispatch on its lineage.
 
     faster-rcnn.pytorch checkpoints (RCNN_base.* keys, usually nested under
-    'model') get the full conversion incl. RPN + detection head; plain
-    torchvision resnet50 state dicts seed only the backbone/C5.
+    'model') get the full conversion incl. RPN + detection head (resnet or
+    vgg16 backbone, auto-detected); plain torchvision resnet50/vgg16 state
+    dicts seed only the backbone + RoI head.
     """
     import torch
     obj = torch.load(pth_path, map_location="cpu", weights_only=True)
@@ -247,6 +294,8 @@ def load_detector_weights(pth_path: str, params: dict,
     flat = _normalize_sd(_to_numpy_dict(obj))
     if any(k.startswith("RCNN_base.") for k in flat):
         return convert_faster_rcnn(flat, params, num_scales, num_ratios)
+    if "features.0.weight" in flat:        # torchvision vgg16
+        return convert_detector_vgg16(flat, params)
     return convert_detector_resnet50(flat, params)
 
 

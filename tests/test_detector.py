@@ -346,3 +346,41 @@ def test_nms_matches_greedy_large_pool():
     nvalid = int(keep_valid.sum())
     assert list(np.asarray(keep_idx))[:nvalid] == ref[:nvalid]
     assert nvalid == min(20, len(ref))
+
+
+def test_inline_train_step_vgg_backbone():
+    """Config-5 inline step with detector.backbone=vgg16 (SURVEY.md L136):
+    frames -> VGG conv5_3 -> RPN -> NMS -> RoIAlign -> fc6/fc7 -> 4096-d
+    feats -> grounding losses, one program; loss finite, params move."""
+    import numpy as np
+
+    from nafae_tpu.config import load_config
+    from nafae_tpu.models.detector.faster_rcnn import init_detector
+    from nafae_tpu.train import TrainState, build_train_fn
+
+    cfg = load_config(preset_name="config5", overrides=[
+        "detector.backbone=vgg16", "model.feat_dim=4096",
+        "model.embed_dim=16", "data.batch_size=2", "data.max_frames=2",
+        "data.num_regions=4", "data.max_words=3", "loss.num_clusters=4",
+        "loss.ctx_window=1", "loss.kmeans_interval=1",
+        "detector.image_size=32", "detector.num_proposals=4",
+        "detector.rpn_pre_nms_topk=8", "train.warmup_steps=0",
+    ])
+    cfg.detector.anchor_scales = (8, 16)
+    det_model, det_params = init_detector(jax.random.PRNGKey(1), cfg.detector)
+    rng = np.random.RandomState(0)
+    batch = {
+        "frames": rng.rand(2, 2, 32, 32, 3).astype(np.float32),
+        "word_ids": rng.randint(0, 67, (2, 3)).astype(np.int32),
+        "frame_mask": np.ones((2, 2), np.float32),
+        "word_mask": np.ones((2, 3), np.float32),
+        "segment_id": np.arange(2, dtype=np.int32),
+    }
+    state = TrainState.create(jax.random.PRNGKey(0), cfg)
+    w0 = np.asarray(state.params["w_v"])
+    assert w0.shape[0] == 4096
+    fn = build_train_fn(cfg, None, extractor=(det_model.apply, det_params),
+                        with_frames=True)
+    s1, m1 = fn(state, batch)
+    assert np.isfinite(float(m1["loss"]))
+    assert np.abs(np.asarray(s1.params["w_v"]) - w0).max() > 0.0
