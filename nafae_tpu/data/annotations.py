@@ -22,8 +22,11 @@ reference parses segment annotations + the 67-class vocabulary):
 
 The reference mount was empty at build time (SURVEY provenance warning), so
 these schemas are reconstructed from the public releases' documentation;
-parsers are lenient (missing keys skip rather than crash) and fully covered
-by schema-fixture tests.
+parsers are lenient by default (missing keys skip rather than crash) and
+fully covered by schema-fixture tests. Every parser also takes strict=True
+(extract CLI: --strict) which raises SchemaError on unknown/missing fields —
+run the official files through strict mode once to surface schema drift
+loudly before trusting a silent lenient pass.
 """
 
 from __future__ import annotations
@@ -38,19 +41,45 @@ from nafae_tpu.data.vocab import Vocab
 _SUBSET_TO_SPLIT = {"training": "train", "validation": "val", "testing": "test"}
 
 
+class SchemaError(ValueError):
+    """Strict-mode schema violation (VERDICT r2 #5): a missing/unknown field
+    that the lenient default would silently skip. Strict mode exists so that
+    when the REAL release files arrive, schema drift from these reconstructed
+    parsers fails loudly instead of quietly dropping segments/GT tracks."""
+
+
 def segments_from_youcook2(ann_path: str, video_dir: str,
                            ext: str = ".mp4",
-                           subset: str | None = None) -> list[dict]:
-    """YouCook2 annotations -> extract-CLI segment list."""
+                           subset: str | None = None,
+                           strict: bool = False) -> list[dict]:
+    """YouCook2 annotations -> extract-CLI segment list.
+
+    strict: every video must carry a known "subset" and an "annotations"
+    list; every annotation must have "id", "sentence", and a 2-element
+    "segment" — SchemaError otherwise (lenient default: fall back / skip).
+    """
     with open(ann_path) as f:
         db = json.load(f)["database"]
     out = []
     for vid, meta in sorted(db.items()):
+        if strict and meta.get("subset") not in _SUBSET_TO_SPLIT:
+            raise SchemaError(f"{vid}: subset {meta.get('subset')!r} not in "
+                              f"{sorted(_SUBSET_TO_SPLIT)}")
         split = _SUBSET_TO_SPLIT.get(meta.get("subset", ""), "train")
         if subset and split != subset:
             continue
+        if strict and not isinstance(meta.get("annotations"), list):
+            raise SchemaError(f"{vid}: missing 'annotations' list")
         video = os.path.join(video_dir, vid + ext)
         for ann in meta.get("annotations", []):
+            if strict:
+                missing = {"id", "segment", "sentence"} - set(ann)
+                if missing:
+                    raise SchemaError(f"{vid}: annotation missing "
+                                      f"{sorted(missing)}: {ann}")
+                if len(ann["segment"]) != 2:
+                    raise SchemaError(f"{vid}: segment {ann['segment']!r} "
+                                      "is not [start, end]")
             seg = ann.get("segment", [None, None])
             out.append({
                 "id": f"{vid}_{ann.get('id', len(out))}",
@@ -64,7 +93,8 @@ def segments_from_youcook2(ann_path: str, video_dir: str,
 
 
 def gt_from_youcook2bb(bb_path: str, vocab: Vocab | None = None,
-                       max_words: int = 8, max_frames: int = 20) -> dict:
+                       max_words: int = 8, max_frames: int = 20,
+                       strict: bool = False) -> dict:
     """YouCook2-BB annotations -> {segment_id: {gt_boxes, gt_mask, word_ids}}.
 
     gt_boxes [K, T, 4] xyxy NORMALIZED to [0,1] via the release's annotation
@@ -76,6 +106,10 @@ def gt_from_youcook2bb(bb_path: str, vocab: Vocab | None = None,
     visible (not outside) and a box exists; word_ids [K] from the 67-class
     vocab (unknown labels skipped). Multiple instances of one class occupy
     separate K slots (per-annotation-track protocol).
+
+    strict: rwidth/rheight, "segments", and per-segment "objects" must be
+    present; unknown labels, track overflow past max_words, and malformed
+    box entries raise SchemaError instead of being skipped.
     """
     vocab = vocab or Vocab()
     with open(bb_path) as f:
@@ -83,9 +117,17 @@ def gt_from_youcook2bb(bb_path: str, vocab: Vocab | None = None,
     out = {}
     for vid, meta in sorted(db.items()):
         scale = _resolution_scale(meta)
+        if strict and scale is None:
+            raise SchemaError(f"{vid}: missing rwidth/rheight (annotation "
+                              "resolution) — GT cannot be normalized")
+        if strict and not isinstance(meta.get("segments"), dict):
+            raise SchemaError(f"{vid}: missing 'segments' dict")
         for seg_id, seg in sorted(meta.get("segments", {}).items()):
+            where = f"{vid}/segments/{seg_id}"
+            if strict and not seg.get("objects"):
+                raise SchemaError(f"{where}: missing/empty 'objects'")
             g = _objects_gt(seg.get("objects", []), vocab, max_words,
-                            max_frames, scale)
+                            max_frames, scale, strict=strict, where=where)
             if g is not None:
                 out[f"{vid}_{seg_id}"] = g
     return out
@@ -100,24 +142,37 @@ def _resolution_scale(meta: dict) -> np.ndarray | None:
 
 
 def _objects_gt(objects: list, vocab: Vocab, max_words: int, max_frames: int,
-                scale: np.ndarray | None) -> dict | None:
+                scale: np.ndarray | None, strict: bool = False,
+                where: str = "") -> dict | None:
     """Object tracks -> {gt_boxes, gt_mask, word_ids, normalized} or None.
 
     Shared by the YC2-BB and RoboWatch parsers (identical per-track layout).
     Boxes may be {'x1','y1','x2','y2','outside'} dicts or bare
-    [x1,y1,x2,y2(,outside)] lists (lenient across release variants).
+    [x1,y1,x2,y2(,outside)] lists (lenient across release variants). strict:
+    unknown labels, overflow past max_words (a silently-dropped GT track
+    would distort eval), and malformed box entries raise SchemaError.
     """
     gt_boxes = np.zeros((max_words, max_frames, 4), np.float32)
     gt_mask = np.zeros((max_words, max_frames), np.float32)
     word_ids = []
     for obj in objects:
         cls = vocab.lookup(str(obj.get("label", "")))
-        if cls is None or len(word_ids) >= max_words:
+        if cls is None:
+            if strict:
+                raise SchemaError(f"{where}: unknown label "
+                                  f"{obj.get('label')!r} (not in the vocab; "
+                                  "check data.classes_file)")
+            continue
+        if len(word_ids) >= max_words:
+            if strict:
+                raise SchemaError(f"{where}: more than max_words={max_words} "
+                                  "object tracks — raise data.max_words")
             continue
         k = len(word_ids)
         word_ids.append(cls)
         for t, box in enumerate(obj.get("boxes", [])[:max_frames]):
-            coords = _box_coords(box)
+            coords = _box_coords(box, strict=strict,
+                                 where=f"{where}/{obj.get('label')}[{t}]")
             if coords is None:
                 continue
             gt_boxes[k, t] = coords
@@ -131,8 +186,13 @@ def _objects_gt(objects: list, vocab: Vocab, max_words: int, max_frames: int,
             "normalized": scale is not None}
 
 
-def _box_coords(box) -> tuple | None:
-    """One per-frame box entry -> (x1,y1,x2,y2) or None (absent/outside)."""
+def _box_coords(box, strict: bool = False, where: str = "") -> tuple | None:
+    """One per-frame box entry -> (x1,y1,x2,y2) or None (absent/outside).
+
+    strict: a PRESENT but malformed entry (not a dict/4-list, or a visible
+    dict missing a coordinate) raises SchemaError; empty/outside stays None
+    (a legitimately absent box, not schema drift).
+    """
     if not box:
         return None
     if isinstance(box, dict):
@@ -144,12 +204,19 @@ def _box_coords(box) -> tuple | None:
             return None
         coords = tuple(box[:4])
     else:
+        if strict:
+            raise SchemaError(f"{where}: malformed box entry {box!r}")
         return None
-    return None if None in coords else coords
+    if None in coords:
+        if strict:
+            raise SchemaError(f"{where}: box missing coordinates {box!r}")
+        return None
+    return coords
 
 
 def segments_from_robowatch(ann_path: str, video_dir: str,
-                            ext: str = ".mp4") -> list[dict]:
+                            ext: str = ".mp4",
+                            strict: bool = False) -> list[dict]:
     """RoboWatch transfer annotations -> extract-CLI segment list (eval-only).
 
     SURVEY.md L132: the NAFAE authors annotated a RoboWatch subset with boxes
@@ -159,6 +226,10 @@ def segments_from_robowatch(ann_path: str, video_dir: str,
     video is one segment), optional "segment"/"sentence" keys. Without a
     sentence the object labels are joined so word extraction still yields
     the annotated classes. All segments land in the "val" split.
+
+    strict: each segment must carry a sentence or a non-empty object list
+    (else word extraction yields nothing and the segment silently evals as
+    empty), and a present "segment" span must be [start, end].
     """
     with open(ann_path) as f:
         raw = json.load(f)
@@ -174,6 +245,13 @@ def segments_from_robowatch(ann_path: str, video_dir: str,
             span = seg.get("segment") or [None, None]
             sentence = seg.get("sentence") or " ".join(
                 str(o.get("label", "")) for o in seg.get("objects") or [])
+            if strict:
+                if not sentence.strip():
+                    raise SchemaError(f"{vid}/{seg_id}: no 'sentence' and no "
+                                      "object labels — nothing to ground")
+                if len(span) != 2:
+                    raise SchemaError(f"{vid}/{seg_id}: segment {span!r} is "
+                                      "not [start, end]")
             out.append({
                 "id": f"{vid}_{seg_id}",
                 "video": os.path.join(video_dir, vid + ext),
@@ -186,12 +264,16 @@ def segments_from_robowatch(ann_path: str, video_dir: str,
 
 
 def gt_from_robowatch(ann_path: str, vocab: Vocab | None = None,
-                      max_words: int = 8, max_frames: int = 20) -> dict:
+                      max_words: int = 8, max_frames: int = 20,
+                      strict: bool = False) -> dict:
     """RoboWatch transfer annotations -> GT dict (gt_from_youcook2bb contract).
 
     Same per-track tensor layout as YC2-BB; accepts the "database" wrapper or
     a bare mapping, per-video "segments" or a flat whole-video object list,
-    and dict- or list-form boxes. Merge with merge_gt_into_features.
+    and dict- or list-form boxes. Merge with merge_gt_into_features. strict:
+    segments without objects, unknown labels, track overflow, and malformed
+    boxes raise SchemaError (the structural wrapper variants stay accepted —
+    they ARE the schema, per the authors'-release docs).
     """
     vocab = vocab or Vocab()
     with open(ann_path) as f:
@@ -202,8 +284,11 @@ def gt_from_robowatch(ann_path: str, vocab: Vocab | None = None,
         scale = _resolution_scale(meta)
         segments = meta.get("segments") or {"0": meta}
         for seg_id, seg in sorted(segments.items()):
+            where = f"{vid}/{seg_id}"
+            if strict and not seg.get("objects"):
+                raise SchemaError(f"{where}: missing/empty 'objects'")
             g = _objects_gt(seg.get("objects", []), vocab, max_words,
-                            max_frames, scale)
+                            max_frames, scale, strict=strict, where=where)
             if g is not None:
                 out[f"{vid}_{seg_id}"] = g
     return out

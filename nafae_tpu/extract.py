@@ -174,6 +174,9 @@ def main(argv=None):
                    help="official youcookii_annotations_trainval.json")
     p.add_argument("--video-dir", default=".",
                    help="video directory for --youcook2-json")
+    p.add_argument("--video-ext", default=".mp4",
+                   help="video filename extension for --youcook2-json/"
+                        "--robowatch-json (the release ids carry none)")
     p.add_argument("--subset", default=None,
                    help="train|val|test filter for --youcook2-json")
     p.add_argument("--yc2bb-json",
@@ -188,6 +191,10 @@ def main(argv=None):
                    help="torch detector .pth to convert and load "
                         "(faster-rcnn.pytorch lineage or torchvision "
                         "resnet50; shorthand for detector.weights)")
+    p.add_argument("--strict", action="store_true",
+                   help="annotation parsers raise SchemaError on unknown/"
+                        "missing fields instead of skipping (run official "
+                        "files through this once to surface schema drift)")
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
     from nafae_tpu.utils import cli_startup
@@ -198,13 +205,17 @@ def main(argv=None):
     if args.youcook2_json:
         from nafae_tpu.data.annotations import segments_from_youcook2
         anns = segments_from_youcook2(args.youcook2_json, args.video_dir,
-                                      subset=args.subset)
+                                      ext=args.video_ext,
+                                      subset=args.subset,
+                                      strict=args.strict)
     elif args.annotations:
         with open(args.annotations) as f:
             anns = [json.loads(ln) for ln in f if ln.strip()]
     elif args.robowatch_json:
         from nafae_tpu.data.annotations import segments_from_robowatch
-        anns = segments_from_robowatch(args.robowatch_json, args.video_dir)
+        anns = segments_from_robowatch(args.robowatch_json, args.video_dir,
+                                       ext=args.video_ext,
+                                       strict=args.strict)
     else:
         p.error("one of --annotations / --youcook2-json / --robowatch-json "
                 "is required")
@@ -217,12 +228,14 @@ def main(argv=None):
         from nafae_tpu.data.annotations import gt_from_youcook2bb
         gt = gt_from_youcook2bb(args.yc2bb_json, vocab=vocab,
                                 max_words=cfg.data.max_words,
-                                max_frames=cfg.data.max_frames)
+                                max_frames=cfg.data.max_frames,
+                                strict=args.strict)
     elif args.robowatch_json:
         from nafae_tpu.data.annotations import gt_from_robowatch
         gt = gt_from_robowatch(args.robowatch_json, vocab=vocab,
                                max_words=cfg.data.max_words,
-                               max_frames=cfg.data.max_frames)
+                               max_frames=cfg.data.max_frames,
+                               strict=args.strict)
     if gt is not None:
         from nafae_tpu.data.annotations import merge_gt_into_features
         result["gt_merged"] = merge_gt_into_features(

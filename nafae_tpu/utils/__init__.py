@@ -68,6 +68,14 @@ def enable_compilation_cache() -> None:
         print(f"compilation cache disabled: {e}", file=sys.stderr)
 
 
+def _configured_platforms():
+    """Current jax_platforms CONFIG value (the boot snapshot of the env var
+    unless something in-process overrode it). Separate function so tests can
+    stub it — jax.config exposes it as an unpatchable class property."""
+    import jax
+    return jax.config.jax_platforms
+
+
 def apply_platform_override() -> None:
     """Honor NAFAE_PLATFORM=cpu|tpu for CLI runs.
 
@@ -81,11 +89,15 @@ def apply_platform_override() -> None:
     # jax backend init fail outright ("Backend 'axon' is not in the list
     # of known backends"). jax snapshots the env var into its config at
     # import, so clearing os.environ alone is too late — reset the config
-    # value itself (and the env, for any subprocesses).
+    # value itself (and the env, for any subprocesses). Gate on the CONFIG
+    # value, not just the env var: if something earlier in the process
+    # (tests/conftest.py) already overrode the snapshot to "cpu", resetting
+    # to None here would undo that and hang a CPU test run on TPU init.
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "axon":
         os.environ["JAX_PLATFORMS"] = ""
         import jax
-        jax.config.update("jax_platforms", None)
+        if (_configured_platforms() or "").strip().lower() == "axon":
+            jax.config.update("jax_platforms", None)
     plat = os.environ.get("NAFAE_PLATFORM", "").strip().lower()
     if plat:
         import jax

@@ -4,7 +4,9 @@ import json
 
 import numpy as np
 
-from nafae_tpu.data.annotations import (gt_from_robowatch,
+import pytest
+
+from nafae_tpu.data.annotations import (SchemaError, gt_from_robowatch,
                                         gt_from_youcook2bb,
                                         merge_gt_into_features,
                                         segments_from_robowatch,
@@ -199,3 +201,99 @@ def test_merge_robowatch_gt_roundtrip(tmp_path):
     assert s["gt_mask"].sum() == 1
     v = Vocab()
     assert int(s["word_ids"][0]) == v.word_to_id["bowl"]
+
+
+# ---------------------------------------------------------------------------
+# strict mode (VERDICT r2 #5): unknown/missing schema fields raise loudly
+# instead of being silently skipped — the schema-drift tripwire for when the
+# real release files arrive.
+
+def _write(tmp_path, name, obj):
+    p = tmp_path / name
+    p.write_text(json.dumps(obj))
+    return str(p)
+
+
+def test_strict_passes_on_clean_fixtures(tmp_path):
+    """The canonical fixtures ARE the expected schema minus known warts —
+    strict accepts them once the warts are removed."""
+    yc2 = _write(tmp_path, "yc2.json", YC2)
+    assert len(segments_from_youcook2(yc2, "/v", strict=True)) == 3
+    clean_bb = json.loads(json.dumps(YC2BB))
+    objs = clean_bb["database"]["vidB"]["segments"]["0"]["objects"]
+    del objs[1]                     # the deliberately-unknown label
+    bb = _write(tmp_path, "bb.json", clean_bb)
+    assert set(gt_from_youcook2bb(bb, strict=True)) == {"vidB_0"}
+    rw = _write(tmp_path, "rw.json", ROBOWATCH)
+    assert len(segments_from_robowatch(rw, "/v", strict=True)) == 2
+
+
+def test_strict_youcook2_schema_drift(tmp_path):
+    bad_subset = {"database": {"v": {"subset": "train",    # not "training"
+                                     "annotations": []}}}
+    with pytest.raises(SchemaError, match="subset"):
+        segments_from_youcook2(_write(tmp_path, "a.json", bad_subset),
+                               "/v", strict=True)
+    no_anns = {"database": {"v": {"subset": "training"}}}
+    with pytest.raises(SchemaError, match="annotations"):
+        segments_from_youcook2(_write(tmp_path, "b.json", no_anns),
+                               "/v", strict=True)
+    bad_seg = {"database": {"v": {"subset": "training", "annotations": [
+        {"id": 0, "segment": [1], "sentence": "x"}]}}}
+    with pytest.raises(SchemaError, match="segment"):
+        segments_from_youcook2(_write(tmp_path, "c.json", bad_seg),
+                               "/v", strict=True)
+    missing_sentence = {"database": {"v": {"subset": "training",
+                                           "annotations": [
+        {"id": 0, "segment": [1, 2]}]}}}
+    with pytest.raises(SchemaError, match="sentence"):
+        segments_from_youcook2(_write(tmp_path, "d.json", missing_sentence),
+                               "/v", strict=True)
+    # lenient default: unknown subset falls back to train, missing
+    # annotations parse as empty
+    assert segments_from_youcook2(_write(tmp_path, "a.json", bad_subset),
+                                  "/v") == []
+    assert len(segments_from_youcook2(
+        _write(tmp_path, "d.json", missing_sentence), "/v")) == 1
+
+
+def test_strict_yc2bb_schema_drift(tmp_path):
+    with pytest.raises(SchemaError, match="unknown label"):
+        gt_from_youcook2bb(_write(tmp_path, "bb.json", YC2BB), strict=True)
+    no_res = {"database": {"v": {"segments": {"0": {"objects": [
+        {"label": "pan", "boxes": [[1, 2, 3, 4]]}]}}}}}
+    with pytest.raises(SchemaError, match="rwidth"):
+        gt_from_youcook2bb(_write(tmp_path, "r.json", no_res), strict=True)
+    overflow = {"database": {"v": {"rwidth": 10, "rheight": 10,
+        "segments": {"0": {"objects": [
+            {"label": "pan", "boxes": []},
+            {"label": "bowl", "boxes": []}]}}}}}
+    with pytest.raises(SchemaError, match="max_words"):
+        gt_from_youcook2bb(_write(tmp_path, "o.json", overflow),
+                           max_words=1, strict=True)
+    bad_box = {"database": {"v": {"rwidth": 10, "rheight": 10,
+        "segments": {"0": {"objects": [
+            {"label": "pan", "boxes": [{"x1": 1, "y1": 2, "x2": 3}]}]}}}}}
+    with pytest.raises(SchemaError, match="coordinates"):
+        gt_from_youcook2bb(_write(tmp_path, "x.json", bad_box), strict=True)
+    # lenient default: the malformed box is skipped quietly — the track
+    # survives but with no visible frame
+    g = gt_from_youcook2bb(_write(tmp_path, "x.json", bad_box))
+    assert g["v_0"]["gt_mask"].sum() == 0
+
+
+def test_strict_robowatch_schema_drift(tmp_path):
+    nothing_to_ground = {"v": {"segments": {"0": {}}}}
+    with pytest.raises(SchemaError, match="nothing to ground"):
+        segments_from_robowatch(_write(tmp_path, "n.json",
+                                       nothing_to_ground), "/v", strict=True)
+    with pytest.raises(SchemaError, match="unknown label"):
+        gt_from_robowatch(_write(tmp_path, "rw.json", ROBOWATCH),
+                          strict=True)
+    no_objects = {"v": {"segments": {"0": {"sentence": "x"}}}}
+    with pytest.raises(SchemaError, match="objects"):
+        gt_from_robowatch(_write(tmp_path, "no.json", no_objects),
+                          strict=True)
+    # lenient default: parses the same files without raising
+    assert len(segments_from_robowatch(
+        _write(tmp_path, "rw.json", ROBOWATCH), "/v")) == 2

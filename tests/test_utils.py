@@ -201,7 +201,10 @@ def test_platform_override_env(monkeypatch):
     """NAFAE_PLATFORM applies via jax.config (the axon plugin ignores the
     plain JAX_PLATFORMS env var, so the CLIs need this knob); a literal
     JAX_PLATFORMS=axon in the shell env (the host default!) is sanitized —
-    the plugin registers as 'tpu', so the raw value breaks jax init."""
+    the plugin registers as 'tpu', so the raw value breaks jax init. The
+    sanitize step is gated on the CONFIG still holding the boot snapshot:
+    an earlier in-process override (tests/conftest.py forcing cpu) must NOT
+    be undone, or a CPU test run hangs on TPU init (r3 fix)."""
     import jax
 
     from nafae_tpu.utils import apply_platform_override
@@ -213,11 +216,20 @@ def test_platform_override_env(monkeypatch):
     monkeypatch.delenv("JAX_PLATFORMS", raising=False)
     apply_platform_override()
     assert calls == []                      # unset -> no touch
+    import nafae_tpu.utils as U
     monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setattr(U, "_configured_platforms",
+                        lambda: "axon")     # the boot snapshot of the env
     apply_platform_override()
     assert calls == [("jax_platforms", None)]   # sanitized
     assert os.environ["JAX_PLATFORMS"] == ""
     calls.clear()
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setattr(U, "_configured_platforms",
+                        lambda: "cpu")      # conftest-style explicit cpu
+    apply_platform_override()
+    assert calls == []                      # respected, not reset to auto
+    assert os.environ["JAX_PLATFORMS"] == ""
     monkeypatch.setenv("NAFAE_PLATFORM", "cpu")
     apply_platform_override()
     assert calls == [("jax_platforms", "cpu")]
