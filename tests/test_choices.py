@@ -176,6 +176,33 @@ def test_train_step_learned_pool_runs(synth_root):
                                    err_msg=k)
 
 
+def test_train_step_learned_pool_dp_sp_mesh(synth_root):
+    """frame_pool=learned under a DP×SP (4×2) mesh: the per-LOCAL-frame
+    learned logits must flow through sp_video_scores' online softmax and
+    reproduce the single-device step exactly (loss + all params, incl.
+    attn_w's gradient path through the frame shards)."""
+    from nafae_tpu.config import load_config
+    from nafae_tpu.parallel import make_mesh
+    from nafae_tpu.train import TrainState, build_train_fn
+    from tests.test_train import OV, _first_batch
+
+    cfg = load_config(preset_name="config4", overrides=OV + [
+        f"data.root={synth_root}", "model.frame_pool=learned",
+        "train.warmup_steps=0", "mesh.frame_axis=2"])
+    batch = _first_batch(synth_root, cfg)
+    s1, m1 = build_train_fn(cfg, None)(
+        TrainState.create(jax.random.PRNGKey(0), cfg), batch)
+    mesh = make_mesh(4, 2, devices=jax.devices()[:8])
+    s2, m2 = build_train_fn(cfg, mesh)(
+        TrainState.create(jax.random.PRNGKey(0), cfg), batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-4, atol=1e-5)
+    for k in s1.params:
+        np.testing.assert_allclose(np.asarray(s1.params[k]),
+                                   np.asarray(s2.params[k]), atol=1e-6,
+                                   err_msg=k)
+
+
 def test_train_step_ctx_target_and_rank_norm_variants(synth_root):
     """Variant flags change gradients/scale but keep the step finite; the
     stopgrad/live distinction shows up in the params after one step."""
