@@ -25,6 +25,12 @@ class ModelConfig:
                                    # step 5 [CHOICE]; adds params
                                    # attn_w/attn_b)
     frame_attn_temp: float = 0.1   # τ_f in docs/MATH.md §Forward
+    similarity: str = "cosine"     # word-region similarity form (docs/
+                                   # MATH.md step 3 [CHOICE]): "cosine"
+                                   # (ŵ·v̂) | "bilinear" (ŵᵀ·M·v̂, learned
+                                   # M [E,E] identity-initialized — the
+                                   # BASELINE "bilinear similarity matrix"
+                                   # reading; adds param m_sim)
     dtype: str = "float32"         # compute dtype for the sim einsum ("bfloat16" on TPU)
     matmul_precision: str = "highest"  # "default" = fast bf16 MXU passes everywhere
     word_vectors: str = ""         # optional GloVe-style init file for word_emb

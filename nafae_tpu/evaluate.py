@@ -25,7 +25,8 @@ from nafae_tpu.ops.iou import grounding_hits
 
 @functools.partial(jax.jit, static_argnames=("iou_thresh",))
 def _eval_batch(params: dict, batch: dict, iou_thresh: float = 0.5):
-    w_emb = G.embed_words(batch["word_ids"], params["word_emb"])
+    w_emb = G.embed_words(batch["word_ids"], params["word_emb"],
+                          m_sim=params.get("m_sim"))
     v_emb = G.project_regions(batch["feats"], params["w_v"], params["b_v"])
     s = G.mask_regions(G.similarity_tensor(w_emb, v_emb),
                        batch.get("region_mask"))

@@ -51,6 +51,15 @@ def init_params(key: jax.Array, cfg: ModelConfig,
         k_attn = jax.random.fold_in(k_proj, 1)
         params["attn_w"] = jax.random.normal(
             k_attn, (cfg.embed_dim,)) * scale_emb
+    if cfg.similarity == "bilinear":
+        # bilinear similarity s = ŵᵀ·M·v̂ (docs/MATH.md step 3 [CHOICE]):
+        # IDENTITY init, so a bilinear model starts exactly at the cosine
+        # form (same losses, same goldens at step 0) and learns the metric
+        # from there — folded into the word side (ops.grounding.embed_words)
+        params["m_sim"] = jnp.eye(cfg.embed_dim, dtype=jnp.float32)
+    elif cfg.similarity != "cosine":
+        raise ValueError(f"unknown model.similarity {cfg.similarity!r}; "
+                         "cosine | bilinear")
     return params
 
 
@@ -122,6 +131,10 @@ class GroundingModel(nn.Module):
             params["attn_w"] = self.param(
                 "attn_w", nn.initializers.normal(1.0 / c.embed_dim ** 0.5),
                 (c.embed_dim,))
+        if c.similarity == "bilinear":
+            params["m_sim"] = self.param(
+                "m_sim", lambda _, shape: jnp.eye(shape[0], dtype=jnp.float32),
+                (c.embed_dim, c.embed_dim))
         return ground_forward(
             params, feats, word_ids, frame_mask, word_mask,
             temp=c.frame_attn_temp, pool=c.frame_pool,

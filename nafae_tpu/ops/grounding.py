@@ -46,9 +46,22 @@ def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-8) -> jax.Array:
     return x * jax.lax.rsqrt(jnp.sum(x * x, axis=axis, keepdims=True) + eps)
 
 
-def embed_words(word_ids: jax.Array, emb: jax.Array) -> jax.Array:
-    """word_ids [B,K] int32, emb [V,E] -> normalized ŵ [B,K,E]."""
-    return l2_normalize(jnp.take(emb, word_ids, axis=0))
+def embed_words(word_ids: jax.Array, emb: jax.Array,
+                m_sim: jax.Array | None = None) -> jax.Array:
+    """word_ids [B,K] int32, emb [V,E] -> normalized ŵ [B,K,E].
+
+    m_sim [E,E] (docs/MATH.md step 3 [CHOICE], model.similarity="bilinear"):
+    the bilinear form s = ŵᵀ·M·v̂ folded into the word side, w̃ = ŵ@M —
+    every downstream similarity consumer (diag/cross einsums, Pallas
+    cross_mil, SP shards, ctx ŝ) then works unchanged on w̃. Identity init
+    makes bilinear ≡ cosine at step 0 (models/grounding.init_params).
+    """
+    w = l2_normalize(jnp.take(emb, word_ids, axis=0))
+    if m_sim is not None:
+        w = jnp.einsum("bke,ef->bkf", w, m_sim.astype(jnp.float32),
+                       preferred_element_type=jnp.float32,
+                       precision=PRECISION)
+    return w
 
 
 def project_regions(feats: jax.Array, w_v: jax.Array, b_v: jax.Array,
@@ -509,14 +522,16 @@ def ground_forward(params: dict, feats: jax.Array, word_ids: jax.Array,
     """Full single-video forward pass (diagonal path; used by eval & losses).
 
     params: {"word_emb": [V,E], "w_v": [D,E], "b_v": [E]} (+ "attn_w" [E]
-    when pool="learned" — docs/MATH.md step 5 [CHOICE]).
+    when pool="learned" — docs/MATH.md step 5 [CHOICE]; + "m_sim" [E,E]
+    when model.similarity="bilinear" — step 3 [CHOICE]).
     region_mask [B,T,R]: fills invalid region slots with NEG before every
     max (docs/MATH.md mask semantics); None = all regions of valid frames
     valid (the historical default of this entry point).
     Returns dict with v_emb, w_emb, s, a, beta, score, and (if ctx_window>0)
     alpha, nbr_valid, shat, ahat.
     """
-    w_emb = embed_words(word_ids, params["word_emb"])
+    w_emb = embed_words(word_ids, params["word_emb"],
+                        m_sim=params.get("m_sim"))
     v_emb = project_regions(feats, params["w_v"], params["b_v"], dtype=compute_dtype)
     # honor compute_dtype in the sim einsums too (the train step does the
     # same via similarity_tensor(dtype=cdt)); None/f32 = oracle-parity mode

@@ -141,7 +141,8 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
     ctx_window = lc.ctx_window if ctx_on else 0
 
     cdt = None if mc.dtype == "float32" else jnp.dtype(mc.dtype)
-    w_emb = G.embed_words(batch["word_ids"], params["word_emb"])
+    w_emb = G.embed_words(batch["word_ids"], params["word_emb"],
+                          m_sim=params.get("m_sim"))
     v_emb = G.project_regions(feats, params["w_v"], params["b_v"],
                               dtype=jnp.dtype(mc.dtype))
     if cdt is not None:

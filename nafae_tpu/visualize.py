@@ -39,7 +39,7 @@ def predict_segment(params: dict, sample: dict) -> dict:
     """Argmax-region predictions for one padded sample (the eval path's
     argmax, SURVEY.md L196-197). Returns arrays keyed r_star/score [K,T]."""
     w_emb = G.embed_words(jnp.asarray(sample["word_ids"][None]),
-                          params["word_emb"])
+                          params["word_emb"], m_sim=params.get("m_sim"))
     v_emb = G.project_regions(jnp.asarray(sample["feats"][None],
                                           jnp.float32),
                               params["w_v"], params["b_v"])

@@ -35,12 +35,16 @@ def forward(params, feats, word_ids, frame_mask, word_mask,
     s = torch.zeros(B, K, T, R, dtype=feats.dtype)
     for b in range(B):
         for k in range(K):
+            # bilinear similarity (docs/MATH.md step 3 [CHOICE],
+            # model.similarity="bilinear"): s = ŵᵀ·M·v̂
+            wk = (w_emb[b, k] @ params["m_sim"] if "m_sim" in params
+                  else w_emb[b, k])
             for t in range(T):
                 for r in range(R):
                     if region_mask is not None and region_mask[b, t, r] <= 0:
                         s[b, k, t, r] = NEG
                     else:
-                        s[b, k, t, r] = (w_emb[b, k] * v_emb[b, t, r]).sum()
+                        s[b, k, t, r] = (wk * v_emb[b, t, r]).sum()
 
     a = torch.zeros(B, K, T, dtype=feats.dtype)
     for b in range(B):

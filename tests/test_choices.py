@@ -4,6 +4,7 @@ Each [CHOICE] point is config-switchable so reaching reference parity (when
 the mount appears) is a hyperparameter sweep, not a rewrite:
 
 - model.frame_pool="learned": linear scorer on pooled region embeddings
+- model.similarity: cosine | bilinear (learned M [E,E], identity init)
 - loss.ctx_target: stopgrad | live | symmetric (same value, different grads)
 - loss.rank_norm: pairs | hinges | batch
 - loss.kmeans_ema: tested in test_ops.py::test_kmeans_ema
@@ -225,3 +226,90 @@ def test_train_step_ctx_target_and_rank_norm_variants(synth_root):
         outs[tgt] = np.asarray(s1.params["w_v"])
     # same loss VALUE; different gradient -> different updated params
     assert np.abs(outs["stopgrad"] - outs["live"]).max() > 0.0
+
+
+def _bilinear_params(seed=21):
+    params, feats, word_ids, fm, wm = make_inputs(seed=seed)
+    rng = np.random.RandomState(seed + 50)
+    e = params["b_v"].shape[0]
+    params["m_sim"] = (np.eye(e) + 0.3 * rng.randn(e, e)).astype(np.float32)
+    return params, feats, word_ids, fm, wm
+
+
+def test_bilinear_similarity_matches_oracle():
+    """model.similarity=bilinear (MATH.md step 3 [CHOICE]): values AND
+    gradients of the full forward vs the torch oracle."""
+    params, feats, word_ids, fm, wm = _bilinear_params()
+
+    jout = G.ground_forward(params, jnp.asarray(feats), jnp.asarray(word_ids),
+                            jnp.asarray(fm), jnp.asarray(wm),
+                            temp=0.1, pool="attention", ctx_window=2)
+    tout = O.forward({k: to_torch(v) for k, v in params.items()},
+                     to_torch(feats), to_torch(word_ids), to_torch(fm),
+                     to_torch(wm), temp=0.1, pool="attention", ctx_window=2)
+    for k in ("s", "shat", "score", "beta"):
+        np.testing.assert_allclose(np.asarray(jout[k]), tout[k].numpy(),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+    def jloss(p):
+        out = G.ground_forward(p, jnp.asarray(feats), jnp.asarray(word_ids),
+                               jnp.asarray(fm), jnp.asarray(wm),
+                               temp=0.1, pool="attention")
+        return jnp.sum(out["score"])
+
+    jgrad = jax.grad(jloss)({k: jnp.asarray(v) for k, v in params.items()})
+    tparams = {k: to_torch(v).clone().requires_grad_(True)
+               for k, v in params.items()}
+    tout = O.forward(tparams, to_torch(feats), to_torch(word_ids),
+                     to_torch(fm), to_torch(wm), temp=0.1, pool="attention")
+    tout["score"].sum().backward()
+    for k in ("m_sim", "w_v", "word_emb"):
+        np.testing.assert_allclose(np.asarray(jgrad[k]),
+                                   tparams[k].grad.numpy(),
+                                   rtol=1e-3, atol=1e-5, err_msg=k)
+
+
+def test_bilinear_identity_equals_cosine():
+    """Identity m_sim reproduces the cosine form (the init contract:
+    a bilinear model starts exactly at cosine)."""
+    params, feats, word_ids, fm, wm = make_inputs(seed=22)
+    base = G.ground_forward(params, jnp.asarray(feats),
+                            jnp.asarray(word_ids), jnp.asarray(fm),
+                            jnp.asarray(wm), temp=0.1, pool="attention")
+    params_i = dict(params)
+    params_i["m_sim"] = np.eye(params["b_v"].shape[0], dtype=np.float32)
+    bi = G.ground_forward(params_i, jnp.asarray(feats),
+                          jnp.asarray(word_ids), jnp.asarray(fm),
+                          jnp.asarray(wm), temp=0.1, pool="attention")
+    np.testing.assert_allclose(np.asarray(bi["score"]),
+                               np.asarray(base["score"]), rtol=1e-6,
+                               atol=1e-7)
+
+
+def test_train_step_bilinear_runs_and_matches_mesh(synth_root):
+    """config-4 step with similarity=bilinear: m_sim exists (identity
+    init), gets a nonzero update, and the 8-device DP mesh run matches
+    the single-device run exactly."""
+    from nafae_tpu.config import load_config
+    from nafae_tpu.parallel import make_mesh
+    from nafae_tpu.train import TrainState, build_train_fn
+    from tests.test_train import OV, _first_batch
+
+    cfg = load_config(preset_name="config4", overrides=OV + [
+        f"data.root={synth_root}", "model.similarity=bilinear",
+        "train.warmup_steps=0"])
+    batch = _first_batch(synth_root, cfg)
+    state = TrainState.create(jax.random.PRNGKey(0), cfg)
+    m0 = np.asarray(state.params["m_sim"])
+    np.testing.assert_allclose(m0, np.eye(m0.shape[0]))   # identity init
+    s1, m1 = build_train_fn(cfg, None)(state, batch)
+    assert np.isfinite(float(m1["loss"]))
+    assert np.abs(np.asarray(s1.params["m_sim"]) - m0).max() > 0.0
+    s8, m8 = build_train_fn(cfg, make_mesh())(
+        TrainState.create(jax.random.PRNGKey(0), cfg), batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=2e-4, atol=1e-5)
+    for k in s1.params:
+        np.testing.assert_allclose(np.asarray(s1.params[k]),
+                                   np.asarray(s8.params[k]), atol=1e-6,
+                                   err_msg=k)
