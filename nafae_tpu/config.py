@@ -20,10 +20,10 @@ class ModelConfig:
     frame_pool: str = "attention"  # "attention" (softmax on the mean word
                                    # score) | "mean" | "context" (softmax on
                                    # the ctx-supported score) | "learned"
-                                   # (softmax on a learned linear scorer of
-                                   # pooled region embeddings — docs/MATH.md
-                                   # step 5 [CHOICE]; adds params
-                                   # attn_w/attn_b)
+                                   # (softmax on a learned bias-free linear
+                                   # scorer of pooled region embeddings —
+                                   # docs/MATH.md step 5 [CHOICE]; adds
+                                   # param attn_w)
     frame_attn_temp: float = 0.1   # τ_f in docs/MATH.md §Forward
     similarity: str = "cosine"     # word-region similarity form (docs/
                                    # MATH.md step 3 [CHOICE]): "cosine"

@@ -48,6 +48,13 @@ class SchemaError(ValueError):
     parsers fails loudly instead of quietly dropping segments/GT tracks."""
 
 
+def _is_span(seg) -> bool:
+    """True iff seg is a [start, end] pair. isinstance-gated: a scalar or a
+    2-char string also survives a bare len()==2 check (or TypeErrors out of
+    it) — strict mode must raise SchemaError, not TypeError, on those."""
+    return isinstance(seg, (list, tuple)) and len(seg) == 2
+
+
 def segments_from_youcook2(ann_path: str, video_dir: str,
                            ext: str = ".mp4",
                            subset: str | None = None,
@@ -77,10 +84,12 @@ def segments_from_youcook2(ann_path: str, video_dir: str,
                 if missing:
                     raise SchemaError(f"{vid}: annotation missing "
                                       f"{sorted(missing)}: {ann}")
-                if len(ann["segment"]) != 2:
+                if not _is_span(ann["segment"]):
                     raise SchemaError(f"{vid}: segment {ann['segment']!r} "
                                       "is not [start, end]")
             seg = ann.get("segment", [None, None])
+            if not _is_span(seg):      # lenient: malformed span -> whole video
+                seg = [None, None]
             out.append({
                 "id": f"{vid}_{ann.get('id', len(out))}",
                 "video": video,
@@ -243,13 +252,15 @@ def segments_from_robowatch(ann_path: str, video_dir: str,
             # `or` (not a .get default): a present-but-null "segment" must
             # also fall back, per the lenient-parsing contract
             span = seg.get("segment") or [None, None]
+            if not strict and not _is_span(span):   # lenient: malformed ->
+                span = [None, None]                 # whole video
             sentence = seg.get("sentence") or " ".join(
                 str(o.get("label", "")) for o in seg.get("objects") or [])
             if strict:
                 if not sentence.strip():
                     raise SchemaError(f"{vid}/{seg_id}: no 'sentence' and no "
                                       "object labels — nothing to ground")
-                if len(span) != 2:
+                if not _is_span(span):
                     raise SchemaError(f"{vid}/{seg_id}: segment {span!r} is "
                                       "not [start, end]")
             out.append({

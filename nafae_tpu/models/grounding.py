@@ -19,6 +19,22 @@ from nafae_tpu.config import ModelConfig
 from nafae_tpu.ops.grounding import ground_forward
 
 
+FRAME_POOLS = ("attention", "mean", "context", "learned")
+SIMILARITIES = ("cosine", "bilinear")
+
+
+def _validate_choices(cfg: ModelConfig) -> None:
+    """Fail fast on typo'd [CHOICE] flags: frame_attention treats every
+    non-"mean" pool as softmax attention, so e.g. frame_pool="contxt" would
+    otherwise SILENTLY train the default variant and mislabel a sweep."""
+    if cfg.frame_pool not in FRAME_POOLS:
+        raise ValueError(f"unknown model.frame_pool {cfg.frame_pool!r}; "
+                         f"choose one of {' | '.join(FRAME_POOLS)}")
+    if cfg.similarity not in SIMILARITIES:
+        raise ValueError(f"unknown model.similarity {cfg.similarity!r}; "
+                         f"choose one of {' | '.join(SIMILARITIES)}")
+
+
 def init_params(key: jax.Array, cfg: ModelConfig,
                 word_vectors=None) -> dict:
     """Initialize the functional parameter tree {word_emb, w_v, b_v}.
@@ -27,6 +43,7 @@ def init_params(key: jax.Array, cfg: ModelConfig,
     for the 67 object words — the reference lineage optionally seeds its word
     embedding this way, SURVEY.md L133). Loaded via load_word_vectors().
     """
+    _validate_choices(cfg)
     k_emb, k_proj = jax.random.split(key)
     scale_emb = 1.0 / jnp.sqrt(cfg.embed_dim)
     scale_proj = 1.0 / jnp.sqrt(cfg.feat_dim)
@@ -57,9 +74,6 @@ def init_params(key: jax.Array, cfg: ModelConfig,
         # form (same losses, same goldens at step 0) and learns the metric
         # from there — folded into the word side (ops.grounding.embed_words)
         params["m_sim"] = jnp.eye(cfg.embed_dim, dtype=jnp.float32)
-    elif cfg.similarity != "cosine":
-        raise ValueError(f"unknown model.similarity {cfg.similarity!r}; "
-                         "cosine | bilinear")
     return params
 
 
@@ -118,6 +132,7 @@ class GroundingModel(nn.Module):
     @nn.compact
     def __call__(self, feats, word_ids, frame_mask, word_mask):
         c = self.cfg
+        _validate_choices(c)
         params = {
             "word_emb": self.param(
                 "word_emb", nn.initializers.normal(1.0 / c.embed_dim ** 0.5),

@@ -92,6 +92,13 @@ def convert_detector_resnet50(state_dict: dict, params: dict) -> dict:
     [out,in,kh,kw] -> [kh,kw,in,out]; BN maps weight/bias/running_mean/
     running_var -> scale/bias/mean/var (FrozenBN). Returns a NEW params tree.
     """
+    if "Bottleneck_0" not in params["params"].get("head", {}):
+        # symmetric to the vgg16 guard: a resnet-lineage checkpoint aimed at
+        # a vgg params tree must fail with the fix, not a KeyError
+        raise ValueError(
+            "checkpoint is the resnet50 lineage but the detector params "
+            "tree is not — init the model with detector.backbone=resnet50 "
+            "(and model.feat_dim=2048)")
     flat = _to_numpy_dict(state_dict)
 
     def conv(name):
@@ -144,6 +151,13 @@ def convert_detector_vgg16(state_dict: dict, params: dict) -> dict:
 
     flat = _to_numpy_dict(state_dict)
     out = jax.tree.map(np.array, params)
+    if "Dense_0" not in out["params"].get("head", {}):
+        # the resnet head is Bottleneck_*, the vgg head is Dense_0/Dense_1 —
+        # a lineage/params mismatch must not surface as a bare KeyError
+        raise ValueError(
+            "checkpoint is the vgg16 lineage but the detector params tree "
+            "is not — init the model with detector.backbone=vgg16 (plus "
+            "rpn_channels=512 and model.feat_dim=4096 for the fc7 features)")
     bb = out["params"]["backbone"]
     for i, (li, _) in enumerate(VGG16_CONV_LAYERS):
         src = f"features.{li}"

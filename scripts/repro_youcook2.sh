@@ -14,6 +14,13 @@
 #   DETECTOR_PTH  — torch Faster R-CNN .pth to convert (faster-rcnn.pytorch
 #                   lineage, resnet or vgg16 auto-detected); random-init
 #                   detector otherwise (pipeline rehearsal, not paper parity)
+#   EXTRACT_OVERRIDES — space-separated key=val overrides for the two
+#                   extract stages. A vgg16-lineage DETECTOR_PTH needs
+#                   EXTRACT_OVERRIDES="detector.backbone=vgg16
+#                   detector.rpn_channels=512 model.feat_dim=4096"
+#                   (and model.feat_dim=4096 in the trailing train/eval
+#                   overrides) — the converter errors with this hint if
+#                   forgotten.
 #   TRAIN_PRESET  — training preset (default config4)
 #
 # Every stage parses annotations with --strict: schema drift in the official
@@ -28,18 +35,21 @@ shift 4
 PRESET=${TRAIN_PRESET:-config4}
 CKPT_ARGS=()
 [ -n "${DETECTOR_PTH:-}" ] && CKPT_ARGS=(--ckpt "$DETECTOR_PTH")
+EX_OV=()
+# shellcheck disable=SC2206  # word-splitting the override list is the point
+[ -n "${EXTRACT_OVERRIDES:-}" ] && EX_OV=(--override $EXTRACT_OVERRIDES)
 
 mkdir -p "$OUT"
 
 echo "== [1/5] extract train features (strict parse)" >&2
 python -m nafae_tpu extract --preset config5 \
     --youcook2-json "$YC2_JSON" --video-dir "$VIDEO_DIR" --subset train \
-    --strict "${CKPT_ARGS[@]}" --out "$OUT/feats/train"
+    --strict "${CKPT_ARGS[@]}" "${EX_OV[@]}" --out "$OUT/feats/train"
 
 echo "== [2/5] extract val features + merge YC2-BB GT (strict parse)" >&2
 python -m nafae_tpu extract --preset config5 \
     --youcook2-json "$YC2_JSON" --video-dir "$VIDEO_DIR" --subset val \
-    --yc2bb-json "$BB_JSON" --strict "${CKPT_ARGS[@]}" \
+    --yc2bb-json "$BB_JSON" --strict "${CKPT_ARGS[@]}" "${EX_OV[@]}" \
     --out "$OUT/feats/val"
 
 echo "== [3/5] train ($PRESET)" >&2

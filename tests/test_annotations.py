@@ -297,3 +297,26 @@ def test_strict_robowatch_schema_drift(tmp_path):
     # lenient default: parses the same files without raising
     assert len(segments_from_robowatch(
         _write(tmp_path, "rw.json", ROBOWATCH), "/v")) == 2
+
+
+def test_strict_scalar_segment_raises_schema_error(tmp_path):
+    """A present-but-scalar (or 2-char-string) 'segment' must raise
+    SchemaError in strict mode — not TypeError — and fall back to the
+    whole-video span leniently."""
+    scalar_seg = {"database": {"v": {"subset": "training", "annotations": [
+        {"id": 0, "segment": 12.5, "sentence": "x"}]}}}
+    p = _write(tmp_path, "scalar.json", scalar_seg)
+    with pytest.raises(SchemaError, match="start, end"):
+        segments_from_youcook2(p, "/v", strict=True)
+    segs = segments_from_youcook2(p, "/v")          # lenient: whole video
+    assert segs[0]["start"] is None and segs[0]["end"] is None
+    str_seg = {"database": {"v": {"subset": "training", "annotations": [
+        {"id": 0, "segment": "12", "sentence": "x"}]}}}
+    with pytest.raises(SchemaError, match="start, end"):
+        segments_from_youcook2(_write(tmp_path, "s2.json", str_seg),
+                               "/v", strict=True)
+    rw = {"v": {"segments": {"0": {"segment": 3.0, "sentence": "x"}}}}
+    p3 = _write(tmp_path, "rw_scalar.json", rw)
+    with pytest.raises(SchemaError, match="start, end"):
+        segments_from_robowatch(p3, "/v", strict=True)
+    assert segments_from_robowatch(p3, "/v")[0]["start"] is None

@@ -313,3 +313,22 @@ def test_train_step_bilinear_runs_and_matches_mesh(synth_root):
         np.testing.assert_allclose(np.asarray(s1.params[k]),
                                    np.asarray(s8.params[k]), atol=1e-6,
                                    err_msg=k)
+
+
+def test_choice_flag_typos_fail_fast():
+    """Typo'd [CHOICE] flags must raise at init, not silently train the
+    default variant (frame_attention treats every non-'mean' pool as
+    attention, so a typo would otherwise mislabel a sweep)."""
+    from nafae_tpu.config import ModelConfig
+    from nafae_tpu.models.grounding import GroundingModel, init_params
+
+    for bad in (ModelConfig(frame_pool="contxt"),
+                ModelConfig(similarity="bilinearr")):
+        with pytest.raises(ValueError, match="unknown model"):
+            init_params(jax.random.PRNGKey(0), bad)
+        with pytest.raises(ValueError, match="unknown model"):
+            GroundingModel(bad).init(
+                jax.random.PRNGKey(0),
+                np.zeros((1, 2, 3, bad.feat_dim), np.float32),
+                np.zeros((1, 2), np.int32), np.ones((1, 2), np.float32),
+                np.ones((1, 2), np.float32))

@@ -168,3 +168,29 @@ def test_faster_rcnn_vgg_lineage_dispatch(tmp_path):
         sd["RCNN_top.3.weight"].T)
     o = jax.jit(model.apply)(out, jnp.zeros((1, 64, 64, 3), jnp.float32))
     assert o["feats"].shape == (1, 4, 4096)
+
+
+def test_lineage_params_mismatch_errors_clearly(tmp_path):
+    """A vgg16-lineage checkpoint aimed at a resnet50 params tree (and vice
+    versa) must fail with the detector.backbone fix in the message, not a
+    bare KeyError — the repro script's DETECTOR_PTH path hits exactly this
+    when the extract overrides are forgotten."""
+    from nafae_tpu.models.detector.faster_rcnn import init_detector
+    from nafae_tpu.utils.torch_convert import (convert_detector_resnet50,
+                                               convert_detector_vgg16)
+
+    rng = np.random.RandomState(23)
+    vgg_sd = make_vgg16_sd(rng)
+    resnet_cfg = DetectorConfig(image_size=64, num_proposals=4,
+                                rpn_pre_nms_topk=16, anchor_scales=SCALES)
+    _, resnet_params = init_detector(jax.random.PRNGKey(0), resnet_cfg)
+    with pytest.raises(ValueError, match="detector.backbone=vgg16"):
+        convert_detector_vgg16(vgg_sd, resnet_params)
+
+    from tests.test_utils import make_resnet50_sd
+    vgg_cfg = DetectorConfig(backbone="vgg16", image_size=64,
+                             num_proposals=4, rpn_pre_nms_topk=16,
+                             anchor_scales=SCALES, rpn_channels=512)
+    _, vgg_params = init_detector(jax.random.PRNGKey(0), vgg_cfg)
+    with pytest.raises(ValueError, match="detector.backbone=resnet50"):
+        convert_detector_resnet50(make_resnet50_sd(rng), vgg_params)
