@@ -1,0 +1,36 @@
+#!/bin/bash
+# Local CI gate: everything the driver/judge checks, in one command.
+#
+#   scripts/ci.sh            # native build + full test suite + dryrun
+#   scripts/ci.sh --fast     # skip the (slow) second test half
+#
+# The suite runs on the CPU backend with 8 virtual devices (conftest forces
+# this; the TPU chip is never touched). On the 1-core container the two
+# halves take ~8-10 min each — run from a shell without a command timeout.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== [1/4] native lib" >&2
+make -C native
+
+echo "== [2/4] tests, half 1" >&2
+python -m pytest tests/test_annotations.py tests/test_bench.py \
+    tests/test_choices.py tests/test_config.py tests/test_data.py \
+    tests/test_detector.py tests/test_e2e.py tests/test_extract.py -q
+
+if [ "${1:-}" != "--fast" ]; then
+  echo "== [3/4] tests, half 2" >&2
+  python -m pytest tests/test_invariance.py tests/test_kmeans_bank.py \
+      tests/test_native_io.py tests/test_ops.py tests/test_oracle_parity.py \
+      tests/test_pallas.py tests/test_repro_pipeline.py tests/test_sp.py \
+      tests/test_torch_convert_frcnn.py tests/test_torch_convert_vgg.py \
+      tests/test_train.py tests/test_utils.py tests/test_visualize.py -q
+fi
+
+echo "== [4/4] driver entry: dryrun_multichip(8) (chip-free)" >&2
+XLA_FLAGS="--xla_force_host_platform_device_count=8" python -c "
+import jax; jax.config.update('jax_platforms', 'cpu')
+import __graft_entry__ as g
+g.dryrun_multichip(8)"
+
+echo "CI green" >&2
