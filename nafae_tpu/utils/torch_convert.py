@@ -24,6 +24,16 @@ DEFAULT_MAP = {
     "b_v": ["b_v", "vis_proj.bias", "proj.bias", "visual_emb.bias"],
 }
 
+# Optional [CHOICE]-variant params (docs/MATH.md steps 3/5): mapped when a
+# source key is present, silently absent otherwise — a reference checkpoint
+# that DID use a learned frame scorer or a bilinear metric converts without
+# a custom --map, while plain embed+projection checkpoints stay minimal.
+OPTIONAL_MAP = {
+    "attn_w": ["attn_w", "frame_attn.weight", "attn.weight",
+               "frame_scorer.weight"],
+    "m_sim": ["m_sim", "bilinear.weight", "sim.weight", "M"],
+}
+
 
 def _to_numpy_dict(state_dict: dict) -> dict:
     """torch tensors (or arrays) -> host numpy arrays, one place to extend."""
@@ -54,6 +64,13 @@ def convert_state_dict(state_dict: dict, key_map: dict | None = None,
             # would silently pick the wrong orientation for square matrices.
             found = found.T
         out[ours] = found.astype(np.float32)
+    for ours, candidates in OPTIONAL_MAP.items():
+        for c in candidates:
+            if c in flat:
+                v = np.asarray(flat[c], np.float32)
+                # a [1,E]/[E,1] torch Linear scorer weight -> our flat [E]
+                out[ours] = v.reshape(-1) if ours == "attn_w" else v
+                break
     if expect:
         for k, shape in expect.items():
             if tuple(out[k].shape) != tuple(shape):

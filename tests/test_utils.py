@@ -279,3 +279,33 @@ def test_profile_step_trace_parser(tmp_path):
     assert per_op == {"fusion.1": 15.0, "copy.2": 1.5}
     assert total == 16.5
     assert "fusion" in hlo["fusion.1"]
+
+
+def test_convert_pth_optional_variant_params(tmp_path):
+    """Optional [CHOICE]-variant keys (learned frame scorer, bilinear
+    metric) convert when present and stay absent when not."""
+    import torch
+
+    from nafae_tpu.utils.torch_convert import convert_pth
+
+    sd = {
+        "emb.weight": torch.randn(67, 16),
+        "vis_proj.weight": torch.randn(16, 24),
+        "vis_proj.bias": torch.randn(16),
+        "frame_attn.weight": torch.randn(1, 16),   # torch Linear(E,1) scorer
+        "bilinear.weight": torch.randn(16, 16),
+    }
+    pth = str(tmp_path / "v.pth")
+    torch.save(sd, pth)
+    params = convert_pth(pth)
+    assert params["attn_w"].shape == (16,)
+    np.testing.assert_allclose(params["attn_w"],
+                               sd["frame_attn.weight"].numpy().ravel())
+    assert params["m_sim"].shape == (16, 16)
+    # minimal checkpoints stay minimal
+    sd2 = {k: sd[k] for k in ("emb.weight", "vis_proj.weight",
+                              "vis_proj.bias")}
+    pth2 = str(tmp_path / "min.pth")
+    torch.save(sd2, pth2)
+    p2 = convert_pth(pth2)
+    assert "attn_w" not in p2 and "m_sim" not in p2
