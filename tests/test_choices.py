@@ -332,3 +332,39 @@ def test_choice_flag_typos_fail_fast():
                 np.zeros((1, 2, 3, bad.feat_dim), np.float32),
                 np.zeros((1, 2), np.int32), np.ones((1, 2), np.float32),
                 np.ones((1, 2), np.float32))
+
+
+def test_train_all_variants_together_loss_decreases(synth_root):
+    """Integration: every [CHOICE] flag flipped at once (bilinear + learned
+    pool + symmetric ctx target + hinge norm + kmeans EMA) still trains —
+    loss decreases over 30 steps and all variant params move."""
+    import itertools
+
+    from nafae_tpu.config import load_config
+    from nafae_tpu.data import BatchLoader, SegmentDataset
+    from nafae_tpu.train import TrainState, build_train_fn
+    from tests.test_train import OV
+
+    cfg = load_config(preset_name="config4", overrides=OV + [
+        f"data.root={synth_root}", "model.similarity=bilinear",
+        "model.frame_pool=learned", "loss.ctx_target=symmetric",
+        "loss.rank_norm=hinges", "loss.kmeans_ema=0.2",
+        "train.warmup_steps=0"])
+    ds = SegmentDataset(synth_root, "train", cfg.data.max_frames,
+                        cfg.data.num_regions, cfg.data.feat_dim,
+                        cfg.data.max_words)
+    batches = itertools.chain.from_iterable(
+        BatchLoader(ds, cfg.data.batch_size, shuffle=True, seed=e)
+        for e in range(10))
+    state = TrainState.create(jax.random.PRNGKey(0), cfg)
+    p0 = {k: np.asarray(v) for k, v in state.params.items()}
+    fn = build_train_fn(cfg, None)
+    first = None
+    for _, batch in zip(range(30), batches):
+        state, metrics = fn(state, batch)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(last) and last < first, (first, last)
+    for k in ("m_sim", "attn_w", "w_v", "word_emb"):
+        assert np.abs(np.asarray(state.params[k]) - p0[k]).max() > 0.0, k
