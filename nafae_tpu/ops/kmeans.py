@@ -89,6 +89,13 @@ def kmeans_plusplus_init(key: jax.Array, f: jax.Array, valid: jax.Array,
 
     f [N,E], valid [N]. Uses the Gumbel-max trick for the weighted draw so the
     whole init is one jitted fori_loop (no host round-trips).
+
+    SINGLE-DEVICE ONLY (not wired into any training config): unlike
+    kmeans_lloyd there is no axis_name/psum form — under a mesh each device
+    would Gumbel-sample from its LOCAL shard and seed divergent centers,
+    breaking the replicated-centers invariant. To adopt it under DP,
+    all_gather the candidate features first (init-time only, so the gather
+    is a one-off), or add a psum-reduced distance/argmax form.
     """
     n, e = f.shape
     neg = -1e30

@@ -30,6 +30,28 @@ def rank_denominator(b: int, norm: str) -> int:
                      "choose pairs | hinges | batch")
 
 
+def ranking_hinge_total(rows: jax.Array, diag_global: jax.Array,
+                        row_offset, margin: float) -> jax.Array:
+    """Sum of both hinge families contributed by a row block of the score
+    matrix — THE one implementation of the MATH.md hinge math, shared by the
+    single-device loss below and the DP row-shard decomposition
+    (parallel/sharding.ranking_loss_rows), so the two paths cannot drift.
+
+    rows [B_loc, B_glob] (row i's global id = row_offset + i);
+    diag_global [B_glob] = S[j,j]. Each ordered pair (i,j)'s two hinges are
+    owned by the row they appear in, so disjoint row shards' totals sum to
+    exactly the full-matrix total.
+    """
+    b_loc, b_glob = rows.shape
+    gidx = row_offset + jnp.arange(b_loc)                    # global row ids
+    is_diag = (jnp.arange(b_glob)[None, :] == gidx[:, None]).astype(rows.dtype)
+    off = 1.0 - is_diag
+    my_diag = jnp.sum(rows * is_diag, axis=1)                # S[i,i], my rows
+    wrong_sent = jax.nn.relu(margin + rows - my_diag[:, None]) * off
+    wrong_vid = jax.nn.relu(margin + rows - diag_global[None, :]) * off
+    return jnp.sum(wrong_sent) + jnp.sum(wrong_vid)
+
+
 def ranking_loss(score_mat: jax.Array, margin: float,
                  norm: str = "pairs") -> jax.Array:
     """Max-margin triplet loss over the B×B in-batch score matrix.
@@ -40,12 +62,8 @@ def ranking_loss(score_mat: jax.Array, margin: float,
     denom per `norm` (rank_denominator).
     """
     b = score_mat.shape[0]
-    pos = jnp.diagonal(score_mat)                                  # [B]
-    off = 1.0 - jnp.eye(b, dtype=score_mat.dtype)
-    wrong_sent = jax.nn.relu(margin + score_mat - pos[:, None]) * off
-    wrong_vid = jax.nn.relu(margin + score_mat - pos[None, :]) * off
-    return (jnp.sum(wrong_sent) + jnp.sum(wrong_vid)) / rank_denominator(
-        b, norm)
+    total = ranking_hinge_total(score_mat, jnp.diagonal(score_mat), 0, margin)
+    return total / rank_denominator(b, norm)
 
 
 def ctx_squared_error(s: jax.Array, shat: jax.Array,
@@ -142,15 +160,23 @@ def select_top_regions(s: jax.Array, v_emb: jax.Array, word_mask: jax.Array,
     return f, valid
 
 
+def cluster_loss_terms(f: jax.Array, valid: jax.Array, centers: jax.Array
+                       ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(numerator, denominator, assignments) of L_clu — the mesh-able form
+    (like context_loss_terms): the train step psums num/den across the mesh
+    before dividing, so ONE implementation of the MATH.md cluster formula
+    serves both the oracle-parity path and the sharded training path."""
+    assign = kmeans_assign(f, centers)                             # [..]
+    target = jax.lax.stop_gradient(jnp.take(centers, assign, axis=0))
+    sq = jnp.sum((f - target) ** 2, axis=-1)                       # [..]
+    return jnp.sum(sq * valid), jnp.sum(valid), assign
+
+
 def cluster_loss(f: jax.Array, valid: jax.Array,
                  centers: jax.Array) -> tuple[jax.Array, jax.Array]:
     """L_clu = masked mean ‖f − sg[C[c*]]‖², c* = cosine argmax assignment.
 
     f [..,E], valid [..], centers [Kc,E]. Returns (loss, assignments [..]).
     """
-    assign = kmeans_assign(f, centers)                             # [..]
-    target = jax.lax.stop_gradient(jnp.take(centers, assign, axis=0))
-    sq = jnp.sum((f - target) ** 2, axis=-1)                       # [..]
-    num = jnp.sum(sq * valid)
-    den = jnp.maximum(jnp.sum(valid), 1.0)
-    return num / den, assign
+    num, den, assign = cluster_loss_terms(f, valid, centers)
+    return num / jnp.maximum(den, 1.0), assign

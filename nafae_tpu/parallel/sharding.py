@@ -29,17 +29,13 @@ def ranking_loss_rows(rows: jax.Array, diag_global: jax.Array,
     row_offset: global index of local row 0. With axis_name, the per-device
     partial sums are psum-reduced so every device returns the GLOBAL loss.
     norm: hinge-sum normalizer over the GLOBAL batch (losses.rank_denominator).
+    The hinge math itself lives in ONE place — losses.ranking_hinge_total —
+    shared with the single-device ranking_loss, so the paths cannot drift.
     """
-    from nafae_tpu.ops.losses import rank_denominator
+    from nafae_tpu.ops.losses import rank_denominator, ranking_hinge_total
 
-    b_loc, b_glob = rows.shape
-    gidx = row_offset + jnp.arange(b_loc)                    # global ids of my rows
-    is_diag = (jnp.arange(b_glob)[None, :] == gidx[:, None]).astype(rows.dtype)
-    off = 1.0 - is_diag
-    my_diag = jnp.sum(rows * is_diag, axis=1)                # S[i,i] for my rows
-    wrong_sent = jax.nn.relu(margin + rows - my_diag[:, None]) * off
-    wrong_vid = jax.nn.relu(margin + rows - diag_global[None, :]) * off
-    total = jnp.sum(wrong_sent) + jnp.sum(wrong_vid)
+    b_glob = rows.shape[1]
+    total = ranking_hinge_total(rows, diag_global, row_offset, margin)
     if axis_name is not None:
         total = jax.lax.psum(total, axis_name)
     return total / rank_denominator(b_glob, norm)

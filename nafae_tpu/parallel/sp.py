@@ -23,8 +23,9 @@ import jax
 import jax.numpy as jnp
 
 from nafae_tpu.ops import grounding as G
-
-NEG = -1e9
+from nafae_tpu.ops.grounding import NEG  # ONE masked-fill constant: the SP
+# online softmax must use the identical fill as the unsharded
+# frame_attention or the SP==single-device invariant breaks
 
 
 def halo_exchange(x: jax.Array, window: int, axis_name: str,
@@ -151,18 +152,3 @@ def sp_cross_scores(w_emb: jax.Array, word_mask: jax.Array,
                            else pool,
                            frame_axis, frame_logits=frame_logits)[0]
 
-
-def sp_region_affinity(v_emb: jax.Array, frame_mask: jax.Array, window: int,
-                       temp: float, frame_axis: str, dtype=None):
-    """Frame-sharded region_affinity via halo exchange of v̂ and the mask."""
-    v_ext = halo_exchange(v_emb, window, frame_axis)
-    fm_ext = halo_exchange(frame_mask, window, frame_axis)
-    return G.region_affinity_ext(v_ext, fm_ext, window, temp, dtype=dtype)
-
-
-def sp_context_similarity(s: jax.Array, alpha: jax.Array,
-                          nbr_valid: jax.Array, window: int,
-                          frame_axis: str, dtype=None) -> jax.Array:
-    """Frame-sharded diag context similarity: halo-exchange s over axis -2."""
-    s_ext = halo_exchange(s, window, frame_axis, t_axis=s.ndim - 2)
-    return G.context_similarity_ext(s_ext, alpha, nbr_valid, dtype=dtype)

@@ -269,20 +269,14 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
     aux["sel_feats"] = jax.lax.stop_gradient(f).transpose(0, 2, 1, 3)
     aux["sel_valid"] = valid.transpose(0, 2, 1)
     if lc.cluster_weight > 0:
-        target = jax.lax.stop_gradient(
-            jnp.take(centers, _assign(f, centers), axis=0))
-        sq = jnp.sum((f - target) ** 2, axis=-1)
-        l_clu = _global_mean(jnp.sum(sq * valid), jnp.sum(valid), all_axes)
+        num, den, _ = L.cluster_loss_terms(f, valid, centers)
+        l_clu = _global_mean(num, den, all_axes)
         total = total + lc.cluster_weight * l_clu
         aux["l_clu"] = l_clu
 
     aux["loss"] = total
     return total, aux
 
-
-def _assign(f, centers):
-    from nafae_tpu.ops.kmeans import kmeans_assign
-    return kmeans_assign(f, centers)
 
 
 def _global_mean(num, den, axes):
