@@ -293,6 +293,26 @@ def preset(name: str) -> Config:
     return cfg
 
 
+def validate(cfg: Config) -> Config:
+    """Fail-fast cross-field checks that would otherwise surface as opaque
+    trace-time errors (the per-field [CHOICE] validation lives next to the
+    params in models/grounding._validate_choices)."""
+    ctx_on = cfg.loss.ctx_weight > 0 or cfg.model.frame_pool == "context"
+    if ctx_on and cfg.loss.ctx_window <= 0:
+        raise ValueError(
+            f"loss.ctx_window={cfg.loss.ctx_window} but the context path is "
+            "on (loss.ctx_weight>0 or model.frame_pool=context) — the "
+            "temporal window must be >= 1")
+    if cfg.model.matmul_precision not in ("highest", "default"):
+        # everything-else would silently map to DEFAULT (bf16 MXU passes,
+        # ~1e-3 error) in ops.grounding.matmul_precision — a typo must not
+        # silently drop oracle-parity precision
+        raise ValueError(
+            f"unknown model.matmul_precision {cfg.model.matmul_precision!r};"
+            " choose highest | default")
+    return cfg
+
+
 def load_config(path: str | None = None, preset_name: str | None = None,
                 overrides: list[str] | None = None) -> Config:
     if path:
@@ -304,4 +324,4 @@ def load_config(path: str | None = None, preset_name: str | None = None,
         cfg = Config()
     if overrides:
         cfg = apply_overrides(cfg, overrides)
-    return cfg
+    return validate(cfg)

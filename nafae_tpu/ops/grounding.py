@@ -34,6 +34,10 @@ def matmul_precision(p):
     """Trace-time precision override: "highest" (default) or "default"."""
     global PRECISION
     old = PRECISION
+    if str(p) not in ("highest", "default"):
+        # a typo must not silently opt into bf16 MXU passes (~1e-3 error)
+        raise ValueError(f"unknown matmul precision {p!r}; "
+                         "choose highest | default")
     PRECISION = (jax.lax.Precision.HIGHEST if str(p) == "highest"
                  else jax.lax.Precision.DEFAULT)
     try:
@@ -547,9 +551,11 @@ def ground_forward(params: dict, feats: jax.Array, word_ids: jax.Array,
         fm_ext = jnp.pad(frame_mask, ((0, 0), (w_, w_)))
         rm_ext = (jnp.pad(region_mask, ((0, 0), (w_, w_), (0, 0)))
                   if region_mask is not None else None)
+        # dtype=cdt here too: the train step computes alpha/u at the compute
+        # dtype, and this public forward must match it in bf16+context mode
         alpha, nbr_valid = region_affinity_ext(v_ext, fm_ext, w_, ctx_temp,
-                                               rm_ext=rm_ext)
-        u = context_mixed_regions(v_ext, alpha, nbr_valid)
+                                               dtype=cdt, rm_ext=rm_ext)
+        u = context_mixed_regions(v_ext, alpha, nbr_valid, dtype=cdt)
         shat = mask_regions(similarity_tensor(w_emb, u, dtype=cdt),
                             region_mask)
         ahat = frame_mil_max(shat, frame_mask)

@@ -12,7 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from nafae_tpu.ops.grounding import PRECISION, l2_normalize
+from nafae_tpu.ops import grounding as G
+from nafae_tpu.ops.grounding import l2_normalize
 
 
 
@@ -21,7 +22,7 @@ def kmeans_assign(f: jax.Array, centers: jax.Array) -> jax.Array:
     """Cosine assignment c* = argmax_c f·Ĉ[c].  f [..,E], centers [Kc,E] -> [..]."""
     sims = jnp.einsum("...e,ce->...c", f, l2_normalize(centers),
                       preferred_element_type=jnp.float32,
-                      precision=PRECISION)
+                      precision=G.PRECISION)
     return jnp.argmax(sims, axis=-1)
 
 
@@ -32,7 +33,7 @@ def _lloyd_step(carry, _, f, valid, axis_name):
     onehot = onehot * valid[:, None]
     sums = jnp.einsum("nc,ne->ce", onehot, f,
                       preferred_element_type=jnp.float32,
-                      precision=PRECISION)                 # [Kc,E]
+                      precision=G.PRECISION)                 # [Kc,E]
     counts = jnp.sum(onehot, axis=0)                          # [Kc]
     if axis_name is not None:
         sums = jax.lax.psum(sums, axis_name)

@@ -230,6 +230,15 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
         diag_out = diag_epilogue_pallas(w_emb, v_emb, u, centers, fm, rm,
                                         has_ctx, dtype=cdt)
     if diag_out is not None:
+        # NOTE: this block re-derives the ctx/cluster num/den mask algebra
+        # from the kernel's per-(k,t) partial sums — it cannot call
+        # context_loss_terms/cluster_loss_terms (those consume the dense
+        # [B,K,T,R] tensors the kernel exists to avoid materializing).
+        # Equality with the canonical forms is pinned by
+        # test_sp.py::test_mesh_train_step_with_pallas_kernels and
+        # test_pallas.py::test_diag_epilogue_matches_jnp_values_and_grads;
+        # any change to the denominators in ops/losses.py must update this
+        # block (the tests will fail loudly if forgotten).
         ctx_kt, clu_kt, f_tk = diag_out                # f_tk [B,T,K,E]
         m3 = wm[:, :, None] * fm[:, None, :] * has_ctx[:, None, :]
         rsum = (jnp.sum(rm, axis=-1) if rm is not None
@@ -524,7 +533,10 @@ def fit_device_cached(cfg: Config, state, loader, ckpt, logger,
     total = cfg.train.steps - start_step
     bsz = cfg.data.batch_size
     rng = np.random.RandomState(cfg.train.seed)
-    frames_per_batch = bsz * cfg.data.max_frames
+    # frames per applied batch from the cached tensors themselves — the
+    # single bucket may be smaller than data.max_frames, and an inflated
+    # constant would corrupt the frames/sec the benchmark flow records
+    frames_per_batch = bsz * int(data["frame_mask"].shape[1])
     # resume: fast-forward the index stream past the already-consumed
     # positions so a restarted run continues the exact same sequence
     order: list = []
@@ -613,9 +625,6 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
                             cfg.data.max_words,
                             frame_buckets=tuple(cfg.data.frame_buckets),
                             transfer_dtype=cfg.data.transfer_dtype)
-    from nafae_tpu.data.grain_loader import make_loader
-    loader = make_loader(cfg.data, ds, seed=cfg.train.seed,
-                         pipeline=cfg.data.pipeline)
     state = TrainState.create(jax.random.PRNGKey(cfg.train.seed), cfg)
     if cfg.model.word_vectors:
         from nafae_tpu.data.vocab import vocab_from_config
@@ -649,11 +658,16 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
         loader_like = type("L", (), {"dataset": ds})()
         return fit_device_cached(cfg, state, loader_like, ckpt, logger,
                                  log_fn=log_fn, eval_fn=eval_fn, mesh=mesh)
+    # built AFTER the device_cache early-return: the cached path never
+    # consumes the streaming loader (a NativePacker pipeline would open and
+    # mmap the dataset for nothing)
+    from nafae_tpu.data.grain_loader import make_loader
+    loader = make_loader(cfg.data, ds, seed=cfg.train.seed,
+                         pipeline=cfg.data.pipeline)
     train_fn = build_train_fn(cfg, mesh, extractor=extractor,
                               with_frames=cfg.data.from_videos)
 
     start_step = int(state.step)
-    frames_per_batch = cfg.data.batch_size * cfg.data.max_frames
     t0 = time.perf_counter()
     metrics = {}
     spc = cfg.train.steps_per_call
@@ -670,32 +684,38 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
     exact = spc == 1 or not multi_bucket
     start_epoch = start_step // eb if eb else 0
     skip = (start_step % eb if eb else 0) if exact else 0
-    # fire-on-flush cadence: with spc>1 only every spc-th batch applies an
-    # update, so "% every == 0" would need a common multiple of both — use
-    # the interval-window test instead (same as fit_device_cached)
     target = cfg.train.steps
     applied = start_step                     # optimizer steps applied so far
-    applied_logged = start_step
-    due = lambda every: every > 0 and applied % max(every, spc) < spc
+    frames_applied = 0   # actual frames in applied batches (bucket-accurate)
+    frames_logged = 0
+    last_fired = dict.fromkeys(("log", "ckpt", "eval"), start_step)
+
+    def due(kind, every):
+        # delta cadence: fires once per `every` applied steps regardless of
+        # application stride — the main loop strides spc, the TAIL loop
+        # strides 1, where the old `applied % max(every, spc) < spc` window
+        # test fired up to spc consecutive times (duplicate evals + ckpt
+        # churn at the end of a run)
+        return every > 0 and applied - last_fired[kind] >= every
 
     def emit(state, metrics):
-        nonlocal t0, applied_logged
-        if due(cfg.train.log_every):
+        nonlocal t0, frames_logged
+        if due("log", cfg.train.log_every):
+            last_fired["log"] = applied
             m = {k: float(v) for k, v in metrics.items()}
-            dt = time.perf_counter() - t0
-            # actual steps since the last log — a resume or tail window can
-            # be shorter than the nominal log_every/spc cadence
-            m["frames_per_sec"] = (frames_per_batch
-                                   * (applied - applied_logged) / dt)
+            dt = max(time.perf_counter() - t0, 1e-9)
+            m["frames_per_sec"] = (frames_applied - frames_logged) / dt
             m["step"] = applied
             logger.log(m)
             if log_fn:
                 log_fn(m)
             t0 = time.perf_counter()
-            applied_logged = applied
-        if due(cfg.train.ckpt_every):
+            frames_logged = frames_applied
+        if due("ckpt", cfg.train.ckpt_every):
+            last_fired["ckpt"] = applied
             ckpt.save(state)
-        if eval_fn and due(cfg.train.eval_every):
+        if eval_fn and due("eval", cfg.train.eval_every):
+            last_fired["eval"] = applied
             eval_fn(state)
 
     # yield budget: generous enough to cover per-bucket remainder drops; the
@@ -718,11 +738,17 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
                 continue
             if len(pending[key]) < spc:
                 continue
-            state, metrics = train_fn(state, stack_batches(pending.pop(key)))
+            grp = pending.pop(key)
+            state, metrics = train_fn(state, stack_batches(grp))
             applied += spc
+            frames_applied += sum(int(b["frame_mask"].shape[0])
+                                  * int(b["frame_mask"].shape[1])
+                                  for b in grp)
         else:
             state, metrics = train_fn(state, batch)
             applied += 1
+            frames_applied += (int(batch["frame_mask"].shape[0])
+                               * int(batch["frame_mask"].shape[1]))
         emit(state, metrics)
         if applied >= target:
             break
@@ -742,6 +768,8 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
                 break
             state, metrics = tail_fn(state, batch)
             applied += 1
+            frames_applied += (int(batch["frame_mask"].shape[0])
+                               * int(batch["frame_mask"].shape[1]))
             emit(state, metrics)
     ckpt.save(state, wait=True)  # block: async save must not outlive the process
     return state, metrics

@@ -282,3 +282,17 @@ def test_device_cache_mesh_matches_single_device(synth_root, tmp_path):
         np.testing.assert_allclose(np.asarray(s1.params[k]),
                                    np.asarray(s2.params[k]), atol=2e-6,
                                    err_msg=k)
+
+
+def test_tail_loop_fires_eval_once_per_interval(synth_root, tmp_path):
+    """The stride-1 tail must not re-fire eval/ckpt on consecutive steps
+    (the old `% max(every, spc) < spc` window test ran a full val eval up
+    to spc times in a row at the end of a run)."""
+    calls = []
+    cfg = _cfg(synth_root, extra=[
+        "train.steps=12", "train.steps_per_call=8", "train.eval_every=10",
+        "train.log_every=1000", "train.ckpt_every=1000000",
+        f"train.ckpt_dir={tmp_path}/tl"])
+    state, _ = fit(cfg, eval_fn=lambda s: calls.append(int(s.step)))
+    assert int(state.step) == 12
+    assert calls == [10], calls     # exactly one firing, at the interval
