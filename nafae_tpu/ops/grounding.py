@@ -218,6 +218,27 @@ def region_affinity(v_emb: jax.Array, frame_mask: jax.Array,
     return region_affinity_ext(v_ext, fm_ext, w, temp, dtype=dtype)
 
 
+def extend_for_window(v_emb: jax.Array, frame_mask: jax.Array,
+                      region_mask: jax.Array | None, window: int,
+                      frame_axis: str | None = None):
+    """(v_ext, fm_ext, rm_ext) extended by `window` frames on each side —
+    ONE implementation of the ctx-window extension (it had begun to drift
+    across call sites): zero-pad on a single device, ppermute halo exchange
+    under SP (zeros arrive at edge shards there too, so the two modes are
+    mask-identical)."""
+    if frame_axis is not None:
+        from nafae_tpu.parallel import sp
+        return (sp.halo_exchange(v_emb, window, frame_axis),
+                sp.halo_exchange(frame_mask, window, frame_axis),
+                sp.halo_exchange(region_mask, window, frame_axis)
+                if region_mask is not None else None)
+    w = window
+    return (jnp.pad(v_emb, ((0, 0), (w, w), (0, 0), (0, 0))),
+            jnp.pad(frame_mask, ((0, 0), (w, w))),
+            jnp.pad(region_mask, ((0, 0), (w, w), (0, 0)))
+            if region_mask is not None else None)
+
+
 def region_affinity_ext(v_ext: jax.Array, fm_ext: jax.Array, window: int,
                         temp: float, dtype=None,
                         rm_ext: jax.Array | None = None
@@ -480,10 +501,8 @@ def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
         # context pooling: ŝ factors through the (sentence-independent)
         # context-mixed region embeddings u — one extra cross einsum total
         w_ = ctx_window
-        v_ext = jnp.pad(v_emb, ((0, 0), (w_, w_), (0, 0), (0, 0)))
-        fm_ext = jnp.pad(frame_mask, ((0, 0), (w_, w_)))
-        rm_ext = (jnp.pad(region_mask, ((0, 0), (w_, w_), (0, 0)))
-                  if region_mask is not None else None)
+        v_ext, fm_ext, rm_ext = extend_for_window(v_emb, frame_mask,
+                                                  region_mask, w_)
         if ctx_impl is None:
             ctx_impl = "pallas" if impl == "pallas" else "offset"
         u, _ = context_mix(v_ext, fm_ext, w_, ctx_temp,
@@ -547,10 +566,8 @@ def ground_forward(params: dict, feats: jax.Array, word_ids: jax.Array,
     frame_logits = None
     if ctx_window > 0:
         w_ = ctx_window
-        v_ext = jnp.pad(v_emb, ((0, 0), (w_, w_), (0, 0), (0, 0)))
-        fm_ext = jnp.pad(frame_mask, ((0, 0), (w_, w_)))
-        rm_ext = (jnp.pad(region_mask, ((0, 0), (w_, w_), (0, 0)))
-                  if region_mask is not None else None)
+        v_ext, fm_ext, rm_ext = extend_for_window(v_emb, frame_mask,
+                                                  region_mask, w_)
         # dtype=cdt here too: the train step computes alpha/u at the compute
         # dtype, and this public forward must match it in bf16+context mode
         alpha, nbr_valid = region_affinity_ext(v_ext, fm_ext, w_, ctx_temp,

@@ -159,17 +159,8 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
     u = nbr_valid = None
     if ctx_on:
         w_ = lc.ctx_window
-        if frame_axis is not None:
-            from nafae_tpu.parallel import sp
-            v_ext = sp.halo_exchange(v_emb, w_, frame_axis)
-            fm_ext = sp.halo_exchange(fm, w_, frame_axis)
-            rm_ext = (sp.halo_exchange(rm, w_, frame_axis)
-                      if rm is not None else None)
-        else:
-            v_ext = jnp.pad(v_emb, ((0, 0), (w_, w_), (0, 0), (0, 0)))
-            fm_ext = jnp.pad(fm, ((0, 0), (w_, w_)))
-            rm_ext = (jnp.pad(rm, ((0, 0), (w_, w_), (0, 0)))
-                      if rm is not None else None)
+        v_ext, fm_ext, rm_ext = G.extend_for_window(v_emb, fm, rm, w_,
+                                                    frame_axis=frame_axis)
         u, nbr_valid = G.context_mix(v_ext, fm_ext, w_, lc.ctx_temp,
                                      dtype=cdt, rm_ext=rm_ext,
                                      impl="pallas" if pallas_ctx
