@@ -122,9 +122,15 @@ class FasterRCNNExtractor(nn.Module):
 
 
 def init_detector(key: jax.Array, cfg: DetectorConfig,
-                  use_pallas_roi_align: bool = False):
-    """Returns (module, params) initialized on a dummy frame batch."""
-    model = FasterRCNNExtractor(cfg, use_pallas_roi_align)
+                  use_pallas_roi_align: bool = False, **kwargs):
+    """Returns (module, params) initialized on a dummy frame batch.
+
+    **kwargs forward to FasterRCNNExtractor (with_detections, num_classes,
+    use_pallas_nms, ...) — initializing with a narrower module than the one
+    applied later would leave its params (e.g. det_head) uncreated and fail
+    at apply time with an opaque flax missing-parameter error.
+    """
+    model = FasterRCNNExtractor(cfg, use_pallas_roi_align, **kwargs)
     dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
     params = model.init(key, dummy)
     return model, params

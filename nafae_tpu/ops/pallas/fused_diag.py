@@ -38,10 +38,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nafae_tpu.ops.pallas.fused_ctx import _prec, _sel_dot
-from nafae_tpu.ops.pallas.fused_ground import (_interpret, _round_up, _sds,
-                                               _vma_needs_fallback, _vma_of)
+from nafae_tpu.ops.pallas.fused_ground import (NEG, _interpret, _round_up,
+                                               _sds, _vma_needs_fallback,
+                                               _vma_of)
 
-NEG = -1e9
 BIG = 10 ** 9
 
 
@@ -269,6 +269,13 @@ def diag_epilogue_pallas(w_emb, v_emb, u, centers, frame_mask, region_mask,
     valid caller-side). The caller applies the word mask:
         l_ctx num = Σ wm[b,k]·ctx_kt[b,k,t];  den as in context_loss_terms
         l_clu num = Σ (wm·fm·any_region)·clu_kt;  den likewise
+
+    Known perf debt (kernel is FROZEN per the r2 decision — loses to XLA at
+    every production shape, kept as kernels="pallas" coverage only, see
+    docs/PERF.md): the backward recompute re-runs the whole forward epilogue
+    (cluster sims/targets + ctx selector matmuls) although the bwd loop only
+    consumes f_rows/s_m/shat — roughly 2× the epilogue work per bwd step.
+    Not worth tuning while frozen; fix if the kernel is ever unfrozen.
     """
     if _vma_needs_fallback(w_emb, v_emb, u, frame_mask):
         return None                       # caller falls back to the jnp path

@@ -112,6 +112,16 @@ def nms_pallas_planes(x1: jax.Array, y1: jax.Array, x2: jax.Array,
         # row blocks in multiples of the 8-sublane tile; padded rows carry
         # NEG scores, so they emit valid=0 slots like any dead row
         rb = min(b, max(8, _VMEM_INPUT_BUDGET // per_row // 8 * 8))
+        if rb * per_row > 4 * _VMEM_INPUT_BUDGET:
+            # the 8-row sublane floor has overridden the budget (N so large
+            # that even one tile of rows blows VMEM) — fail with the fix,
+            # not a Mosaic allocation error deep in compilation
+            raise ValueError(
+                f"nms_pallas_planes: pool of N={n} anchors needs "
+                f"{rb * per_row >> 20} MiB of VMEM input blocks even at the "
+                "minimum 8-row tile; pre-select with detector.rpn_pre_nms_"
+                "topk (approx_topk sort) or shrink detector.image_size — "
+                "the full-pool kernel tops out around N~100k")
     pad = (-b) % rb
     if pad:
         rows = lambda a, v: jnp.pad(a, ((0, pad), (0, 0)),

@@ -41,22 +41,32 @@ def _weights(lo, hi, size: int, out_size: int, sr: int):
 
 
 def _kernel(boxes_ref, feat_ref, out_ref, st_ref, *, H, W, C, P, sr, scale):
+    from nafae_tpu.ops.pallas.fused_ground import _score_precision
+
     x1 = boxes_ref[0, 0, 0] * scale
     y1 = boxes_ref[0, 0, 1] * scale
     x2 = boxes_ref[0, 0, 2] * scale
     y2 = boxes_ref[0, 0, 3] * scale
-    wy = _weights(y1, y2, H, P, sr)                    # [P, H]
-    wx = _weights(x1, x2, W, P, sr)                    # [P, W]
+    # the dots must run in feat's dtype: Mosaic rejects HIGHEST on bf16
+    # operands ('Bad lhs type') and mixed f32xbf16 dots fail to lower — a
+    # bf16 detector (detector.dtype=bfloat16) hits this on a real chip while
+    # the interpret-mode CPU tests sail through (same rule as
+    # fused_ground._score_precision)
+    fdt = feat_ref.dtype
+    prec = _score_precision(fdt)
+    wy = _weights(y1, y2, H, P, sr).astype(fdt)        # [P, H]
+    wx = _weights(x1, x2, W, P, sr).astype(fdt)        # [P, W]
     # stage 1: st[h, q, c] = sum_w wx[q, w] * feat[h, w, c]
     for h in range(H):
         st_ref[h] = jax.lax.dot_general(
             wx, feat_ref[h], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)       # [P(q), C]
+            precision=prec)                            # [P(q), C]
     # stage 2: out[p, q, c] = sum_h wy[p, h] * st[h, q, c]
     for q in range(P):
         out_ref[0, :, q, :] = jax.lax.dot_general(
-            wy, st_ref[:, q, :], dimension_numbers=(((1,), (0,)), ((), ())),
+            wy.astype(jnp.float32), st_ref[:, q, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)       # [P, C]
 

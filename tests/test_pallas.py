@@ -367,3 +367,36 @@ def test_diag_epilogue_matches_jnp_values_and_grads():
     for a, b, name in zip(g_r, g_k, ("dw", "dv")):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=3e-5, atol=3e-5, err_msg=name)
+
+
+def test_roi_align_pallas_bf16_feat():
+    """bf16 feature maps (detector.dtype=bfloat16) through the kernel: the
+    dots must run at the operands' precision (Mosaic rejects HIGHEST on
+    bf16 — the interpret-mode CPU suite can't see that, but the dtype
+    routing it exercises here is the on-chip requirement) and stay within
+    bf16 tolerance of the f32 reference."""
+    from nafae_tpu.ops.pallas.roi_align import roi_align_pallas
+    from nafae_tpu.ops.roi_align import roi_align
+    rng = np.random.RandomState(3)
+    feat = rng.randn(12, 14, 8).astype(np.float32)
+    xy = rng.rand(5, 2) * 8
+    wh = rng.rand(5, 2) * 8 + 2
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], 1).astype(np.float32))
+    ref = roi_align(jnp.asarray(feat), boxes, out_size=7, spatial_scale=0.5)
+    pk = roi_align_pallas(jnp.asarray(feat, jnp.bfloat16), boxes,
+                          out_size=7, spatial_scale=0.5)
+    assert pk.dtype == jnp.float32            # f32 accumulate/output
+    np.testing.assert_allclose(np.asarray(pk), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_nms_pallas_oversized_pool_errors_clearly():
+    """An anchor pool too large for even the minimum 8-row VMEM tile must
+    raise the named fix, not a Mosaic allocation error."""
+    import pytest as _pytest
+
+    from nafae_tpu.ops.pallas.nms import nms_pallas_planes
+    n = 120_000
+    z = jnp.zeros((16, n), jnp.float32)
+    with _pytest.raises(ValueError, match="rpn_pre_nms_topk"):
+        nms_pallas_planes(z, z, z, z, z, num_keep=4)
