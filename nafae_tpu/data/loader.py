@@ -28,11 +28,20 @@ def steps_over_epochs(loader, num_steps: int, start_epoch: int = 0,
     Shared by BatchLoader and GrainLoader so resume semantics cannot drift."""
     done, epoch = 0, start_epoch
     while done < num_steps:
+        made = 0
         for batch in loader.epoch(epoch, skip=skip):
             yield done, batch
             done += 1
+            made += 1
             if done >= num_steps:
                 return
+        if made == 0 and skip == 0:
+            # a zero-batch epoch can never make progress — without this the
+            # loop spins forever spawning a prefetch thread per iteration
+            raise ValueError(
+                "epoch produced no batches: the dataset is smaller than one "
+                "batch (drop_remainder) or every bucket is empty — shrink "
+                "data.batch_size or add data")
         skip = 0
         epoch += 1
 

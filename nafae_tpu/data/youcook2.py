@@ -26,9 +26,11 @@ class SegmentDataset:
         self.transfer_dtype = np.dtype(transfer_dtype)
         self.dir = os.path.join(root, split)
         self.max_frames = max_frames
-        # ascending bucket sizes; () = single bucket at max_frames
-        self.frame_buckets = tuple(sorted(b for b in frame_buckets
-                                          if b <= max_frames)) or (max_frames,)
+        # ascending UNIQUE bucket sizes; () = single bucket at max_frames
+        # (a duplicated value would emit that bucket's batches twice per
+        # epoch and double batches_per_epoch, skewing resume arithmetic)
+        self.frame_buckets = tuple(sorted({b for b in frame_buckets
+                                           if b <= max_frames})) or (max_frames,)
         self.num_regions = num_regions
         self.feat_dim = feat_dim
         self.max_words = max_words
@@ -63,7 +65,10 @@ class SegmentDataset:
                 region_mask=(z["region_mask"].astype(np.float32)
                              if "region_mask" in z.files else None),
             )
-        sample["segment_id"] = i
+        # int32 like the native packer and video_dataset: an int64 here
+        # would change the batch's dtype signature when toggling use_native
+        # (spurious jit recompiles; breaks strict pipeline comparisons)
+        sample["segment_id"] = np.int32(i)
         return sample
 
 

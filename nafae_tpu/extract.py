@@ -40,8 +40,12 @@ def decode_segment(video_path: str, frame_rate: float, max_frames: int,
     start/end (seconds) trim to the annotated segment — YouCook2-style
     videos hold many segments each (end <= 0 reads to EOF)."""
     try:
-        from nafae_tpu.utils.native_io import decode_video
-    except (ImportError, OSError, AttributeError):
+        from nafae_tpu.utils.native_io import decode_video, load_library
+        load_library()   # the module import always succeeds (pure Python);
+        #                  the build/dlopen fails at CALL time — probe it
+        #                  here so "toolchain unavailable" actually reaches
+        #                  the cv2 fallback instead of crashing below
+    except Exception:
         decode_video = None   # native lib absent/misbuilt -> cv2 fallback
     if decode_video is not None:
         # a real decode error must propagate: silently mixing decoders

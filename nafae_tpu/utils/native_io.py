@@ -90,6 +90,9 @@ def write_nbin(path: str, feats: np.ndarray, boxes: np.ndarray,
     """
     t, r, d = feats.shape
     k = len(word_ids)
+    if (gt_boxes is None) != (gt_mask is None):
+        raise ValueError("write_nbin: gt_boxes and gt_mask must be given "
+                         "together (got exactly one)")
     with_gt = gt_boxes is not None
     # write to a temp file + atomic rename: a process killed mid-write must
     # not leave a truncated .nbin whose fresh mtime defeats the rebuild
@@ -131,6 +134,14 @@ class NativePacker:
             if not os.path.exists(dst) or (os.path.getmtime(dst)
                                            < os.path.getmtime(src)):
                 with np.load(src) as z:
+                    if dataset.with_gt and "gt_boxes" not in z:
+                        # the Python loader raises KeyError here — serving
+                        # all-zero gt_mask instead would silently drop the
+                        # segment from the eval denominator (CLAUDE.md
+                        # native==python bitwise invariant)
+                        raise KeyError(
+                            f"{src}: with_gt=True but no gt_boxes — run "
+                            "merge_gt_into_features (or drop with_gt)")
                     write_nbin(dst, z["feats"].astype(np.float32),
                                z["boxes"], z["word_ids"],
                                z["gt_boxes"] if "gt_boxes" in z else None,

@@ -137,7 +137,15 @@ struct Packer {
         task = tasks.front();
         tasks.pop();
       }
-      if (!load_one(task)) errors.fetch_add(1);
+      // defense-in-depth: any exception escaping a std::thread calls
+      // std::terminate() and kills the whole training process — a bad_alloc
+      // under memory pressure (the header guards bound but don't eliminate
+      // large rows) must count as a per-task error instead
+      try {
+        if (!load_one(task)) errors.fetch_add(1);
+      } catch (...) {
+        errors.fetch_add(1);
+      }
       {
         std::unique_lock<std::mutex> lk(mu);
         if (--pending == 0) cv_done.notify_all();
@@ -160,7 +168,10 @@ struct Packer {
     if (h.version < 1 || h.version > 3 || h.T < 0 || h.R < 0 || h.K < 0 ||
         h.D < 0 || h.T > 1000000 || h.R > 1000000 || h.K > 1000000 ||
         h.D > 1000000 ||
-        static_cast<size_t>(h.R) * static_cast<size_t>(h.D) > (1u << 30)) {
+        static_cast<size_t>(h.R) * static_cast<size_t>(h.D) > (1u << 28) ||
+        // the GT block sizes K*T*4 floats — bound the PRODUCT too, the
+        // per-dim caps alone still admit a 16 TB bad_alloc
+        static_cast<size_t>(h.K) * static_cast<size_t>(h.T) > (1u << 26)) {
       std::fclose(f);
       return false;
     }
@@ -245,11 +256,23 @@ struct Packer {
     // optional GT block. Truncation anywhere inside it is an ERROR, not
     // "no GT": reading a damaged cache as gt_mask=0 would silently drop
     // the segment's annotated pairs from the accuracy denominator.
-    if (with_gt && h.version >= 2 && gt_boxes && gt_mask) {
+    if (with_gt && gt_boxes && gt_mask) {
+      if (h.version < 2) {   // v1 predates the GT block: same stale-cache
+        std::fclose(f);      // error as has_gt=0 below
+        return false;
+      }
       long gt_off = after_wids;
       std::fseek(f, gt_off, SEEK_SET);
       int32_t has_gt = 0;
       if (std::fread(&has_gt, sizeof(int32_t), 1, f) != 1) {
+        std::fclose(f);
+        return false;
+      }
+      if (!has_gt) {
+        // GT requested but this cache entry was written without it (e.g. a
+        // stale pre-merge .nbin): serving gt_mask=0 would silently drop the
+        // segment from the eval denominator — the Python loader raises
+        // KeyError for the same input, so error here too
         std::fclose(f);
         return false;
       }
