@@ -68,22 +68,19 @@ def _on_kill(signum, frame):
     os._exit(1)
 
 
-signal.signal(signal.SIGTERM, _on_kill)
-signal.signal(signal.SIGINT, _on_kill)
-
 # Cumulative self-deadline across watchdog re-execs (the TERM handler above
 # cannot run while the main thread is blocked inside backend-init C code —
 # only a thread can emit then). _NAFAE_BENCH_T0 survives os.execv so the
 # clock spans the whole retry chain, not one process.
-_T0 = float(os.environ.setdefault("_NAFAE_BENCH_T0", str(time.time())))
 _DEADLINE = float(os.environ.get("NAFAE_BENCH_DEADLINE", "1380"))
 
 
 def _deadline_thread():
     import threading
+    t0 = float(os.environ.setdefault("_NAFAE_BENCH_T0", str(time.time())))
 
     def run():
-        remain = _DEADLINE - (time.time() - _T0)
+        remain = _DEADLINE - (time.time() - t0)
         if remain > 0:
             time.sleep(remain)
         _emit(error="deadline_" + str(_PROGRESS.get("stage", "init")))
@@ -92,7 +89,15 @@ def _deadline_thread():
     threading.Thread(target=run, daemon=True).start()
 
 
-_deadline_thread()
+# Arm the kill handlers and deadline only when bench IS the program: the
+# A/B and profiling tools import this module for its harness helpers, and a
+# library import must not hijack Ctrl-C or hard-exit a long cache-cold
+# profiling session at the bench's deadline (r3 review finding). os.execv
+# re-runs the script as __main__, so the re-exec chain stays guarded.
+if __name__ == "__main__":
+    signal.signal(signal.SIGTERM, _on_kill)
+    signal.signal(signal.SIGINT, _on_kill)
+    _deadline_thread()
 
 
 def _require_tpu():
@@ -553,6 +558,12 @@ def main():
         "eval": "grounding_eval_frames_per_sec_per_chip",
         "e2e": "inline_extract_train_frames_per_sec_per_chip",
     }[args.mode]
+    # honor NAFAE_PLATFORM=cpu for off-chip smoke runs (pair with
+    # NAFAE_BENCH_ALLOW_CPU=1): without the config-level override, the
+    # first jax import below initializes the TPU backend — which HANGS for
+    # hours during tunnel outages even when the caller wanted CPU
+    from nafae_tpu.utils import apply_platform_override
+    apply_platform_override()
     _PROGRESS["stage"] = "tpu_acquire"
     _require_tpu()
     import jax

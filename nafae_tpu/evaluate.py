@@ -41,13 +41,21 @@ def evaluate(params: dict, dataset, batch_size: int, num_classes: int,
     """Run grounding eval over `dataset` (must have with_gt=True).
 
     mesh: optional jax Mesh — shards each eval batch over the first mesh axis
-    (pure data parallelism; per-sample metric bits need no collectives). The
-    ragged final batch is zero-padded: padded rows have gt_mask=0 and thus
-    contribute nothing.
+    (pure data parallelism; per-sample metric bits need no collectives).
+
+    The ragged final batch is zero-padded to the compiled batch size on both
+    paths: padded rows have gt_mask=0 and thus contribute nothing.
     """
     from nafae_tpu.data import BatchLoader
 
-    eval_fn = _eval_batch
+    def eval_fn(params, batch, iou_thresh):
+        # zero-pad the ragged final batch to the compiled B: padded rows
+        # have gt_mask=0 so they contribute nothing, and _eval_batch keeps
+        # ONE compiled shape (a retrace for the leftover batch costs
+        # minutes through the remote-compile service on this host)
+        batch = {k: _pad_rows(v, batch_size) for k, v in batch.items()}
+        return _eval_batch(params, batch, iou_thresh=iou_thresh)
+
     if mesh is not None:
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P

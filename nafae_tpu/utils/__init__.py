@@ -18,26 +18,33 @@ def maybe_require_tpu() -> None:
     retry contract alive for hangs, not just failures.
     """
     if os.environ.get("NAFAE_REQUIRE_TPU") == "1":
-        import threading
-        done = threading.Event()
+        require_tpu_or_exit3("NAFAE_REQUIRE_TPU=1")
 
-        def _watchdog():
-            if not done.wait(240):
-                print("NAFAE_REQUIRE_TPU=1 but jax backend init hung "
-                      ">240 s; exiting 3 for the tpu_run.sh retry loop",
-                      file=sys.stderr)
-                sys.stderr.flush()
-                os._exit(3)
 
-        threading.Thread(target=_watchdog, daemon=True).start()
-        import jax
-        backend = jax.default_backend()
-        done.set()
-        if backend != "tpu":
-            print("NAFAE_REQUIRE_TPU=1 but jax backend is "
-                  f"{backend!r}; exiting 3 for the "
-                  "tpu_run.sh retry loop", file=sys.stderr)
-            sys.exit(3)
+def require_tpu_or_exit3(tool: str = "tool") -> None:
+    """Unconditional form of the tpu_run.sh exit-3 contract, for
+    measurement scripts that are meaningless off-chip (ab_kernels,
+    ab_inline, profile_step). Same hang watchdog as maybe_require_tpu."""
+    import threading
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(240):
+            print(f"{tool}: jax backend init hung "
+                  ">240 s; exiting 3 for the tpu_run.sh retry loop",
+                  file=sys.stderr)
+            sys.stderr.flush()
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    import jax
+    backend = jax.default_backend()
+    done.set()
+    if backend != "tpu":
+        print(f"{tool}: jax backend is "
+              f"{backend!r}; exiting 3 for the "
+              "tpu_run.sh retry loop", file=sys.stderr)
+        sys.exit(3)
 
 
 def enable_compilation_cache() -> None:

@@ -30,9 +30,22 @@ import numpy as np
 
 from nafae_tpu.config import Config
 from nafae_tpu.ops import grounding as G
-from nafae_tpu.ops.iou import box_iou
 
 _COLORS = {"hit": (80, 200, 80), "miss": (60, 60, 230), "nogt": (255, 255, 255)}
+
+
+def _iou_np(a, b) -> float:
+    """Host-side scalar IoU, same semantics as ops.iou.box_iou (xyxy,
+    degenerate boxes -> 0). Numpy on purpose: one jnp call per JSONL record
+    costs 3-12 ms of device dispatch each on the tunneled TPU backend."""
+    lt = np.maximum(a[:2], b[:2])
+    rb = np.minimum(a[2:], b[2:])
+    wh = np.clip(rb - lt, 0.0, None)
+    inter = float(wh[0] * wh[1])
+    area_a = max(a[2] - a[0], 0.0) * max(a[3] - a[1], 0.0)
+    area_b = max(b[2] - b[0], 0.0) * max(b[3] - b[1], 0.0)
+    union = float(area_a + area_b - inter)
+    return inter / max(union, 1e-12) if union > 0 else 0.0
 
 
 def predict_segment(params: dict, sample: dict) -> dict:
@@ -82,7 +95,7 @@ def segment_records(sample: dict, pred: dict, vocab, seg_id: str,
             }
             if has_gt and sample["gt_mask"][k, t] > 0:
                 gt = sample["gt_boxes"][k, t]
-                i = float(box_iou(jnp.asarray(boxes[t, r]), jnp.asarray(gt)))
+                i = _iou_np(boxes[t, r], gt)
                 rec.update(gt_box=[round(float(x), 2) for x in gt],
                            iou=round(i, 4), hit=bool(i > iou_thresh))
             recs.append(rec)
@@ -120,12 +133,15 @@ def visualize_config(cfg: Config, out_dir: str, params: dict,
                      render: bool = True) -> str:
     """Run the tool; returns the predictions.jsonl path."""
     from nafae_tpu.data import SegmentDataset
-    from nafae_tpu.data.vocab import Vocab
 
     try:
         ds = SegmentDataset(cfg.data.root, split, cfg.data.max_frames,
                             cfg.data.num_regions, cfg.data.feat_dim,
                             cfg.data.max_words, with_gt=True)
+        if len(ds):
+            ds[0]   # the constructor only reads index.jsonl — loading one
+                    # sample is what actually probes for gt_boxes in the
+                    # feature archives (KeyError on GT-less datasets)
     except (KeyError, OSError):
         ds = SegmentDataset(cfg.data.root, split, cfg.data.max_frames,
                             cfg.data.num_regions, cfg.data.feat_dim,

@@ -33,15 +33,11 @@ def main():
     p.add_argument("--frames", type=int, default=8)
     args = p.parse_args()
 
-    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "axon":
-        os.environ["JAX_PLATFORMS"] = ""
-    import jax
-    if jax.default_backend() != "tpu":
-        print(f"ab_inline: backend {jax.default_backend()!r}; exiting 3 "
-              "for the tpu_run.sh retry loop", file=sys.stderr)
-        sys.exit(3)
-
-    from nafae_tpu.utils import enable_compilation_cache
+    from nafae_tpu.utils import (apply_platform_override,
+                                 enable_compilation_cache,
+                                 require_tpu_or_exit3)
+    apply_platform_override()
+    require_tpu_or_exit3("ab_inline")
     enable_compilation_cache()
     import bench   # shared inline harness — bench.make_inline_setup keeps
                    # the measured program identical to `bench --mode e2e`

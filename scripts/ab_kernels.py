@@ -32,16 +32,13 @@ def main():
                    "V=67,KC=67,W=3")
     args = p.parse_args()
 
-    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "axon":
-        os.environ["JAX_PLATFORMS"] = ""
-    import jax
-    if jax.default_backend() != "tpu":
-        print(f"ab_kernels: backend {jax.default_backend()!r}; exiting 3 "
-              "for the tpu_run.sh retry loop", file=sys.stderr)
-        sys.exit(3)
-
-    from nafae_tpu.utils import enable_compilation_cache
+    from nafae_tpu.utils import (apply_platform_override,
+                                 enable_compilation_cache,
+                                 require_tpu_or_exit3)
+    apply_platform_override()
+    require_tpu_or_exit3("ab_kernels")
     enable_compilation_cache()
+    import jax
     import bench
     from nafae_tpu.config import load_config
     from nafae_tpu.train import TrainState, make_optimizer, make_train_step

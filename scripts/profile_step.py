@@ -80,20 +80,16 @@ def main():
     p.add_argument("--det-dtype", default="bfloat16")
     args = p.parse_args()
 
-    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "axon":
-        os.environ["JAX_PLATFORMS"] = ""
-    import jax
-
-    from nafae_tpu.utils import enable_compilation_cache
-    if jax.default_backend() != "tpu":
-        # CLAUDE.md rule: a lost chip silently falls back to CPU, so every
-        # TPU measurement script must check the backend. Exit 3 = the
-        # scripts/tpu_run.sh retry contract.
-        print("profile_step: backend is "
-              f"{jax.default_backend()!r}, not 'tpu'; exiting 3 for the "
-              "tpu_run.sh retry loop", file=sys.stderr)
-        sys.exit(3)
+    # CLAUDE.md rule: a lost chip silently falls back to CPU, so every
+    # TPU measurement script must check the backend. Exit 3 = the
+    # scripts/tpu_run.sh retry contract.
+    from nafae_tpu.utils import (apply_platform_override,
+                                 enable_compilation_cache,
+                                 require_tpu_or_exit3)
+    apply_platform_override()
+    require_tpu_or_exit3("profile_step")
     enable_compilation_cache()
+    import jax
 
     s = {k: int(v) for k, v in
          (kv.split("=") for kv in args.shapes.split(","))}

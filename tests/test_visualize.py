@@ -61,3 +61,36 @@ def test_visualize_cli_no_render(synth_root, tmp_path):
     assert os.path.exists(os.path.join(out, "predictions.jsonl"))
     assert not [d for d in os.listdir(out)
                 if os.path.isdir(os.path.join(out, d))]
+
+
+def test_visualize_without_gt(synth_root, tmp_path):
+    """GT-less feature dirs (e.g. fresh extract output) fall back to
+    with_gt=False and emit records without hit/iou fields. The probe must
+    load a sample — SegmentDataset's constructor alone never touches the
+    archives, so constructing with with_gt=True succeeds even when the
+    .npz files carry no gt_boxes (r3 review finding)."""
+    import shutil
+
+    from nafae_tpu.visualize import visualize_config
+
+    root = tmp_path / "nogt"
+    (root / "val").mkdir(parents=True)
+    src = os.path.join(synth_root, "val")
+    shutil.copy(os.path.join(src, "index.jsonl"), root / "val")
+    for f in os.listdir(src):
+        if not f.endswith(".npz"):
+            continue
+        with np.load(os.path.join(src, f)) as z:
+            kept = {k: z[k] for k in z.files if not k.startswith("gt_")}
+        np.savez(root / "val" / f, **kept)
+
+    cfg = load_config(preset_name="config1", overrides=[
+        "data.feat_dim=64", "model.feat_dim=64", "model.embed_dim=32",
+        f"data.root={root}"])
+    from nafae_tpu.train import TrainState
+    params = TrainState.create(jax.random.PRNGKey(0), cfg).params
+    path = visualize_config(cfg, str(tmp_path / "viz3"), params,
+                            num_segments=2, render=False)
+    recs = [json.loads(ln) for ln in open(path)]
+    assert recs, "no prediction records written on the GT-less path"
+    assert all("hit" not in r and "gt_box" not in r for r in recs)
