@@ -151,7 +151,8 @@ class MeshConfig:
 @dataclass
 class DetectorConfig:
     """Faster R-CNN feature extractor (BASELINE config 5)."""
-    backbone: str = "resnet50"
+    backbone: str = "resnet50"    # resnet50 | resnet101 | vgg16 (SURVEY.md
+                                  # L136 "VGG16 or ResNet-101 — VERIFY")
     image_size: int = 640
     num_proposals: int = 20       # R kept after NMS
     rpn_pre_nms_topk: int = 1024

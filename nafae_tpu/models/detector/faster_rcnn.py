@@ -44,12 +44,17 @@ class FasterRCNNExtractor(nn.Module):
                                                        VGG16RoIHead)
             self.backbone = VGG16Features(dtype=dt)
             self.head = VGG16RoIHead(dtype=dt)
-        elif self.cfg.backbone == "resnet50":
-            self.backbone = ResNetC4(dtype=dt)
+        elif self.cfg.backbone in ("resnet50", "resnet101"):
+            # resnet101 differs only in the conv4 block count (23 vs 6);
+            # the C5 RoI head is identical (2048-d pooled features)
+            from nafae_tpu.models.detector.resnet import RESNET_BLOCKS
+            self.backbone = ResNetC4(blocks=RESNET_BLOCKS[self.cfg.backbone],
+                                     dtype=dt)
             self.head = ResNetC5Head(dtype=dt)
         else:
-            raise ValueError(f"unknown detector.backbone "
-                             f"{self.cfg.backbone!r}; resnet50 | vgg16")
+            raise ValueError(
+                f"unknown detector.backbone {self.cfg.backbone!r}; "
+                "resnet50 | resnet101 | vgg16")
         a = len(self.cfg.anchor_scales) * len(self.cfg.anchor_ratios)
         self.rpn = RPNHead(num_anchors=a, channels=self.cfg.rpn_channels,
                            dtype=dt)

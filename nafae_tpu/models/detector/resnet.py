@@ -14,6 +14,11 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+# conv2..conv4 bottleneck counts per depth (the conv5/C5 head is always 3
+# blocks). SURVEY.md L136: the reference lineage is "VGG16 or ResNet-101 —
+# VERIFY"; both resnet depths and vgg16 are config-switchable.
+RESNET_BLOCKS = {"resnet50": (3, 4, 6), "resnet101": (3, 4, 23)}
+
 
 class FrozenBN(nn.Module):
     """Inference-style normalization: learned scale/bias, fixed running stats.

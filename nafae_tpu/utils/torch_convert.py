@@ -97,15 +97,31 @@ def load_converted(npz_path: str) -> dict:
         return {k: jnp.asarray(z[k]) for k in z.files}
 
 
-RESNET50_BLOCKS = (3, 4, 6)   # conv2..conv4 (backbone); conv5 (3) = head
+from nafae_tpu.models.detector.resnet import RESNET_BLOCKS  # noqa: E402
+
+RESNET50_BLOCKS = RESNET_BLOCKS["resnet50"]    # conv2..conv4; conv5 (3) = head
+RESNET101_BLOCKS = RESNET_BLOCKS["resnet101"]  # same split, 23-block conv4
+
+
+def _resnet_blocks_of(flat: dict) -> tuple:
+    """Infer the conv2..conv4 block counts from a torchvision-style state
+    dict (resnet50 -> (3,4,6), resnet101 -> (3,4,23))."""
+    blocks = []
+    for stage in (1, 2, 3):
+        n = 0
+        while f"layer{stage}.{n}.conv1.weight" in flat:
+            n += 1
+        blocks.append(n)
+    return tuple(blocks)
 
 
 def convert_detector_resnet50(state_dict: dict, params: dict) -> dict:
-    """Map a torchvision-style resnet50 state_dict onto the detector params.
+    """Map a torchvision-style resnet50/resnet101 state_dict onto the
+    detector params (depth auto-detected from the layer block counts).
 
     Covers the ResNetC4 backbone (conv1 + layer1-3) and the C5 RoI head
     (layer4); RPN/detection-head params are left as-is (they have no torch
-    counterpart in a plain resnet50 checkpoint). Conv weights transpose
+    counterpart in a plain resnet checkpoint). Conv weights transpose
     [out,in,kh,kw] -> [kh,kw,in,out]; BN maps weight/bias/running_mean/
     running_var -> scale/bias/mean/var (FrozenBN). Returns a NEW params tree.
     """
@@ -113,10 +129,11 @@ def convert_detector_resnet50(state_dict: dict, params: dict) -> dict:
         # symmetric to the vgg16 guard: a resnet-lineage checkpoint aimed at
         # a vgg params tree must fail with the fix, not a KeyError
         raise ValueError(
-            "checkpoint is the resnet50 lineage but the detector params "
+            "checkpoint is the resnet lineage but the detector params "
             "tree is not — init the model with detector.backbone=resnet50 "
-            "(and model.feat_dim=2048)")
+            "or resnet101 (and model.feat_dim=2048)")
     flat = _to_numpy_dict(state_dict)
+    blocks = _resnet_blocks_of(flat)
 
     def conv(name):
         return np.transpose(flat[name + ".weight"], (2, 3, 1, 0))
@@ -129,10 +146,19 @@ def convert_detector_resnet50(state_dict: dict, params: dict) -> dict:
 
     out = jax.tree.map(np.array, params)   # np.array copies: a fresh tree
     bb = out["params"]["backbone"]
+    n_total = sum(blocks)
+    if (f"Bottleneck_{n_total - 1}" not in bb
+            or f"Bottleneck_{n_total}" in bb):
+        have = sum(1 for k in bb if k.startswith("Bottleneck_"))
+        raise ValueError(
+            f"checkpoint depth (blocks {blocks}, {n_total} bottlenecks) does "
+            f"not match the detector params tree ({have} bottlenecks) — init "
+            "the model with the matching detector.backbone "
+            "(resnet50 = 13, resnet101 = 30)")
     bb["Conv_0"]["kernel"] = conv("conv1")
     bn(bb["FrozenBN_0"], "bn1")
     bi = 0
-    for stage, n_blocks in enumerate(RESNET50_BLOCKS, start=1):
+    for stage, n_blocks in enumerate(blocks, start=1):
         for b in range(n_blocks):
             src = f"layer{stage}.{b}"
             dst = bb[f"Bottleneck_{bi}"]

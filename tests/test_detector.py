@@ -384,3 +384,27 @@ def test_inline_train_step_vgg_backbone():
     s1, m1 = fn(state, batch)
     assert np.isfinite(float(m1["loss"]))
     assert np.abs(np.asarray(s1.params["w_v"]) - w0).max() > 0.0
+
+
+def test_extractor_resnet101_backbone():
+    """detector.backbone=resnet101 (SURVEY.md L136 'VGG16 or ResNet-101'):
+    the 23-block conv4 backbone initializes and produces the same extractor
+    contract as resnet50 (boxes/scores/2048-d feats). Depth-specific
+    converter parity is pinned in test_torch_convert_frcnn."""
+    import numpy as np
+
+    from nafae_tpu.config import DetectorConfig
+    from nafae_tpu.models.detector.faster_rcnn import init_detector
+
+    cfg = DetectorConfig(backbone="resnet101", image_size=32,
+                         num_proposals=4, rpn_pre_nms_topk=8,
+                         anchor_scales=(8,), anchor_ratios=(1.0,))
+    model, params = init_detector(jax.random.PRNGKey(0), cfg)
+    n_bn = sum(1 for k in params["params"]["backbone"]
+               if k.startswith("Bottleneck_"))
+    assert n_bn == 30                      # 3 + 4 + 23
+    rng = np.random.RandomState(0)
+    out = model.apply(params, rng.rand(1, 32, 32, 3).astype(np.float32))
+    assert out["feats"].shape == (1, 4, 2048)
+    assert out["boxes"].shape == (1, 4, 4)
+    assert np.isfinite(np.asarray(out["feats"])).all()

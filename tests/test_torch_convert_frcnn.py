@@ -194,21 +194,23 @@ def test_load_detector_weights_dispatch(tmp_path):
                             (2, 3, 1, 0)))
 
 
-def test_backbone_matches_torch_resnet():
-    """Converted ResNetC4 reproduces a functional torch resnet50 conv1..layer3
-    forward elementwise — pins the stride-2 padding alignment (r2 review
-    fix: flax SAME pads (0,1)/(2,3) where torch pads symmetrically, which
-    shifted the feature grid under converted checkpoints)."""
+@pytest.mark.parametrize("backbone", ["resnet50", "resnet101"])
+def test_backbone_matches_torch_resnet(backbone):
+    """Converted ResNetC4 reproduces a functional torch resnet50/101
+    conv1..layer3 forward elementwise — pins the stride-2 padding alignment
+    (r2 review fix: flax SAME pads (0,1)/(2,3) where torch pads
+    symmetrically, which shifted the feature grid under converted
+    checkpoints) and the converter's depth auto-detection (r3)."""
     import torch
     import torch.nn.functional as F
 
     import jax
-    from nafae_tpu.models.detector.resnet import ResNetC4
-    from nafae_tpu.utils.torch_convert import (RESNET50_BLOCKS,
-                                               convert_detector_resnet50)
+    from nafae_tpu.models.detector.resnet import RESNET_BLOCKS, ResNetC4
+    from nafae_tpu.utils.torch_convert import convert_detector_resnet50
 
+    blocks = RESNET_BLOCKS[backbone]
     rng = np.random.RandomState(11)
-    sd = make_resnet50_sd(rng)
+    sd = make_resnet50_sd(rng, blocks=blocks)
     x = rng.rand(1, 32, 32, 3).astype(np.float32)
 
     t = lambda k: torch.from_numpy(sd[k])
@@ -233,7 +235,7 @@ def test_backbone_matches_torch_resnet():
     ty = F.relu(bn(F.conv2d(ty, t("conv1.weight"), stride=2, padding=3),
                    "bn1"))
     ty = F.max_pool2d(ty, 3, stride=2, padding=1)
-    for stage, nb in enumerate(RESNET50_BLOCKS, start=1):
+    for stage, nb in enumerate(blocks, start=1):
         for b in range(nb):
             ty = bottleneck(ty, f"layer{stage}.{b}",
                             stride=2 if (b == 0 and stage > 1) else 1)
@@ -242,11 +244,30 @@ def test_backbone_matches_torch_resnet():
     # convert via the real converter (it expects the full detector tree)
     from nafae_tpu.config import DetectorConfig
     from nafae_tpu.models.detector.faster_rcnn import init_detector
-    cfg = DetectorConfig(image_size=32, num_proposals=2, rpn_pre_nms_topk=8,
+    cfg = DetectorConfig(backbone=backbone, image_size=32, num_proposals=2,
+                         rpn_pre_nms_topk=8,
                          anchor_scales=(8,), anchor_ratios=(1.0,))
     det_model, det_params = init_detector(jax.random.PRNGKey(0), cfg)
     out = convert_detector_resnet50(sd, det_params)
-    got = np.asarray(ResNetC4().apply(
+    got = np.asarray(ResNetC4(blocks=blocks).apply(
         {"params": out["params"]["backbone"]}, x))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_convert_resnet_depth_mismatch():
+    """A resnet101 state dict aimed at a resnet50 params tree must raise the
+    depth error, not mis-copy or KeyError."""
+    import jax
+    from nafae_tpu.config import DetectorConfig
+    from nafae_tpu.models.detector.faster_rcnn import init_detector
+    from nafae_tpu.models.detector.resnet import RESNET_BLOCKS
+    from nafae_tpu.utils.torch_convert import convert_detector_resnet50
+
+    sd = make_resnet50_sd(np.random.RandomState(3),
+                          blocks=RESNET_BLOCKS["resnet101"])
+    cfg = DetectorConfig(image_size=32, num_proposals=2, rpn_pre_nms_topk=8,
+                         anchor_scales=(8,), anchor_ratios=(1.0,))
+    _, det_params = init_detector(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="depth"):
+        convert_detector_resnet50(sd, det_params)

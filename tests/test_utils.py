@@ -121,10 +121,14 @@ def test_load_word_vectors_multiword_mean(tmp_path):
     np.testing.assert_allclose(vecs[2], [0, 0, 0, 2])
 
 
-def make_resnet50_sd(rng):
-    """Synthetic torchvision-style resnet50 state_dict (random weights);
-    shared by the converter tests (torchvision itself isn't installed)."""
+def make_resnet50_sd(rng, blocks=None):
+    """Synthetic torchvision-style resnet state_dict (random weights);
+    shared by the converter tests (torchvision itself isn't installed).
+    blocks: conv2..conv4 bottleneck counts — default resnet50 (3,4,6);
+    pass (3,4,23) for resnet101."""
     from nafae_tpu.utils.torch_convert import RESNET50_BLOCKS
+    if blocks is None:
+        blocks = RESNET50_BLOCKS
 
     sd = {"conv1.weight": (rng.randn(64, 3, 7, 7) * 0.05).astype(np.float32)}
     for s, n in (("bn1", 64),):
@@ -152,7 +156,7 @@ def make_resnet50_sd(rng):
                 sd[f"{prefix}.downsample.1.{key}"] = val.astype(np.float32)
 
     cin = 64
-    for stage, nb in enumerate(RESNET50_BLOCKS, start=1):
+    for stage, nb in enumerate(blocks, start=1):
         mid = 64 * 2 ** (stage - 1)
         for b in range(nb):
             add_block(f"layer{stage}.{b}", cin if b == 0 else mid * 4, mid,
