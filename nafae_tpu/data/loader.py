@@ -86,9 +86,6 @@ class BatchLoader:
         self.drop_remainder = drop_remainder
         self.prefetch = prefetch
         self._native = None
-        multi_bucket = len(getattr(dataset, "frame_buckets", ()) or ()) > 1
-        if use_native and multi_bucket:
-            use_native = False  # native packer packs a single fixed T bucket
         if use_native and str(getattr(dataset, "transfer_dtype", "float32")) \
                 != "float32":
             use_native = False  # native packer emits float32

@@ -151,23 +151,48 @@ class NativePacker:
             paths.append(dst)
         with open(manifest, "w") as f:
             f.write("\n".join(paths) + "\n")
-        # effective frame count: a single configured bucket may be SMALLER
-        # than max_frames — the packer must emit the same [B, T, ...] the
-        # Python loader does (BatchLoader disables native for multi-bucket)
-        buckets = tuple(getattr(dataset, "frame_buckets", ()) or ())
-        self._t = buckets[-1] if buckets else dataset.max_frames
-        self.handle = lib.packer_create(
-            manifest.encode(), self._t, dataset.num_regions,
-            dataset.feat_dim, dataset.max_words,
-            1 if dataset.with_gt else 0, num_threads)
-        if not self.handle:
-            raise RuntimeError("packer_create failed")
         self._lib = lib
+        self._manifest = manifest
+        self._num_threads = num_threads
+        # one C++ handle (with its own worker pool) per frame bucket: the
+        # packer pads to a fixed T, and epoch_batches guarantees each batch
+        # is bucket-homogeneous, so per-bucket handles serve multi-bucket
+        # datasets with the same [B, T, ...] shapes the Python loader emits.
+        # A single configured bucket may be SMALLER than max_frames.
+        buckets = tuple(getattr(dataset, "frame_buckets", ()) or ())
+        self._buckets = buckets or (dataset.max_frames,)
+        self._handles: dict[int, int] = {}
+        # eager-create the largest bucket so construction fails fast when
+        # packer_create cannot (BatchLoader falls back to Python on error)
+        self._handle(self._buckets[-1])
         # the C++ Packer keeps per-call output pointers + a pending counter
         # on the shared handle: two concurrent pack() calls (e.g. an
         # abandoned epoch's prefetch worker overlapping a new epoch's) would
         # corrupt each other's buffers — serialize them
         self._pack_lock = threading.Lock()
+
+    def _handle(self, t: int):
+        h = self._handles.get(t)
+        if h is None:
+            ds = self.ds
+            h = self._lib.packer_create(
+                self._manifest.encode(), t, ds.num_regions, ds.feat_dim,
+                ds.max_words, 1 if ds.with_gt else 0, self._num_threads)
+            if not h:
+                raise RuntimeError("packer_create failed")
+            self._handles[t] = h
+        return h
+
+    def _batch_t(self, idxs) -> int:
+        """Frame bucket of a (bucket-homogeneous) batch."""
+        if len(self._buckets) == 1:
+            return self._buckets[0]
+        ts = {self.ds.bucket_of(int(i)) for i in idxs}
+        if len(ts) != 1:
+            raise ValueError(
+                f"native pack() needs a bucket-homogeneous batch; got "
+                f"buckets {sorted(ts)} (epoch_batches never mixes buckets)")
+        return ts.pop()
 
     def pack(self, idxs) -> dict[str, np.ndarray]:
         with self._pack_lock:
@@ -176,7 +201,8 @@ class NativePacker:
     def _pack_locked(self, idxs) -> dict[str, np.ndarray]:
         ds = self.ds
         n = len(idxs)
-        t, r, d, k = self._t, ds.num_regions, ds.feat_dim, ds.max_words
+        t, r, d, k = self._batch_t(idxs), ds.num_regions, ds.feat_dim, \
+            ds.max_words
         feats = np.empty((n, t, r, d), np.float32)
         boxes = np.empty((n, t, r, 4), np.float32)
         word_ids = np.empty((n, k), np.int32)
@@ -188,7 +214,8 @@ class NativePacker:
         idx_arr = np.ascontiguousarray(idxs, dtype=np.int32)
         fptr = ctypes.POINTER(ctypes.c_float)
         rc = self._lib.packer_pack(
-            self.handle, idx_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._handle(t),
+            idx_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             n, feats.ctypes.data_as(fptr), boxes.ctypes.data_as(fptr),
             word_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             frame_mask.ctypes.data_as(fptr), word_mask.ctypes.data_as(fptr),
@@ -207,7 +234,7 @@ class NativePacker:
 
     def __del__(self):
         try:
-            if getattr(self, "handle", None):
-                self._lib.packer_destroy(self.handle)
+            for h in getattr(self, "_handles", {}).values():
+                self._lib.packer_destroy(h)
         except Exception:
             pass

@@ -147,3 +147,28 @@ def test_decode_video(tmp_path):
     # brightness must increase over time (frames sampled in order)
     means = frames.mean(axis=(1, 2, 3))
     assert (np.diff(means) > 0).all()
+
+
+def test_loader_native_backend_bucketed(synth_root):
+    """Multi-bucket datasets pack natively too (r3: one C++ handle per
+    frame bucket) — every batch bitwise-equal to the Python loader, and
+    batch shapes follow each batch's bucket T."""
+    from nafae_tpu.data import BatchLoader, SegmentDataset
+    ds = SegmentDataset(synth_root, "train", max_frames=8, num_regions=6,
+                        feat_dim=64, max_words=3, frame_buckets=(4, 8))
+    py = BatchLoader(ds, 4, shuffle=True, seed=3, use_native=False)
+    nat = BatchLoader(ds, 4, shuffle=True, seed=3, use_native=True)
+    assert nat._native is not None, "native backend did not engage"
+    seen_t = set()
+    for (a, b) in zip(py.epoch(0), nat.epoch(0)):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        seen_t.add(a["feats"].shape[1])
+    assert seen_t == {4, 8}, seen_t
+
+    # a hand-mixed batch (never produced by epoch_batches) must error, not
+    # silently pack to the wrong T
+    small = next(i for i in range(len(ds)) if ds.bucket_of(i) == 4)
+    big = next(i for i in range(len(ds)) if ds.bucket_of(i) == 8)
+    with pytest.raises(ValueError, match="homogeneous"):
+        nat._native.pack([small, big])
