@@ -161,17 +161,25 @@ def main(argv=None):
                         "reference-checkpoint parity flow")
     p.add_argument("--per-class", action="store_true",
                    help="include the per-class accuracy table (paper protocol)")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard eval batches over all local devices (pure DP;"
+                        " per-sample metric bits need no collectives)")
     args = p.parse_args(argv)
     from nafae_tpu.utils import cli_startup
     cli_startup()
     cfg = load_config(args.config, args.preset, args.override or [])
+    mesh = None
+    if args.mesh:
+        from nafae_tpu.parallel import make_mesh
+        mesh = make_mesh(cfg.mesh.data_axis, 1, cfg.mesh.data_axis_name,
+                         cfg.mesh.frame_axis_name)
     params = None
     if args.checkpoint and args.checkpoint.endswith(".npz"):
         from nafae_tpu.utils.checkpoint import load_eval_params
         params = load_eval_params(cfg, args.checkpoint)
     elif args.checkpoint:
         cfg.train.ckpt_dir = args.checkpoint
-    result = evaluate_config(cfg, params=params, split=args.split,
+    result = evaluate_config(cfg, params=params, split=args.split, mesh=mesh,
                              require_checkpoint=args.checkpoint is not None)
     if not args.per_class:
         result.pop("per_class_acc")

@@ -216,3 +216,23 @@ def test_eval_restores_params_only(synth_root, tmp_path):
     # same params through the direct path -> identical numbers
     r2 = evaluate_config(eval_cfg, params=state.params)
     assert r["box_acc_micro"] == r2["box_acc_micro"]
+
+
+def test_eval_mesh_matches_single_device(synth_root):
+    """evaluate(mesh=8-dev DP) returns the exact same metric dict as the
+    single-device run (per-sample bits, no collectives, ragged final batch
+    padded on both paths). The CLI exposes this as `--mesh`."""
+    from nafae_tpu.data import SegmentDataset
+    from nafae_tpu.evaluate import evaluate
+    from nafae_tpu.parallel import make_mesh
+
+    ds = SegmentDataset(synth_root, "val", max_frames=8, num_regions=6,
+                        feat_dim=64, max_words=3, with_gt=True)
+    cfg = load_config(preset_name="config1", overrides=[
+        "data.feat_dim=64", "model.feat_dim=64", "model.embed_dim=32"])
+    params = TrainState.create(jax.random.PRNGKey(0), cfg).params
+    # batch 8 over 12 segments: one full batch + one ragged (4) batch
+    ref = evaluate(params, ds, batch_size=8, num_classes=67)
+    mesh = make_mesh(-1, 1)
+    got = evaluate(params, ds, batch_size=8, num_classes=67, mesh=mesh)
+    assert got == ref
