@@ -87,8 +87,9 @@ class DataConfig:
     num_workers: int = 2
     use_native_io: bool = True    # C++ packer (native/); falls back to Python if .so missing
     pipeline: str = "thread"      # "thread" (BatchLoader+native) | "grain"
-    transfer_dtype: str = "float32"  # feats host->device dtype ("float16"
-                                     # halves transfer bytes; upcast on device)
+    transfer_dtype: str = "float32"  # feats host->device dtype ("float16" /
+                                     # "bfloat16" halve transfer bytes; upcast
+                                     # on device; native packer converts in C++)
     from_videos: bool = False     # config-5 inline mode: batches carry raw
                                   # frames decoded in loader workers; the
                                   # frozen detector runs inside the train step

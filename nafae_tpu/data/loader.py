@@ -87,8 +87,8 @@ class BatchLoader:
         self.prefetch = prefetch
         self._native = None
         if use_native and str(getattr(dataset, "transfer_dtype", "float32")) \
-                != "float32":
-            use_native = False  # native packer emits float32
+                not in ("float32", "float16", "bfloat16"):
+            use_native = False  # dtypes the native packer cannot emit
         if use_native:
             try:
                 from nafae_tpu.utils.native_io import NativePacker

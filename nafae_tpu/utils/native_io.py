@@ -44,10 +44,12 @@ def load_library() -> ctypes.CDLL:
                                      ctypes.POINTER(ctypes.c_float)]
     lib.packer_create.restype = ctypes.c_void_p
     lib.packer_create.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 6
+    lib.packer_create2.restype = ctypes.c_void_p
+    lib.packer_create2.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 7
     lib.packer_pack.restype = ctypes.c_int
     lib.packer_pack.argtypes = [ctypes.c_void_p,
                                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
-                                ctypes.POINTER(ctypes.c_float),
+                                ctypes.c_void_p,
                                 ctypes.POINTER(ctypes.c_float),
                                 ctypes.POINTER(ctypes.c_int32),
                                 ctypes.POINTER(ctypes.c_float),
@@ -114,15 +116,29 @@ def write_nbin(path: str, feats: np.ndarray, boxes: np.ndarray,
     os.replace(tmp, path)
 
 
+# transfer dtypes the C++ packer can emit (codes match FeatDtype in the .cpp;
+# conversions there are bitwise-identical to numpy/ml_dtypes `astype`)
+_FEAT_DTYPE_CODES = {"float32": 0, "float16": 1, "bfloat16": 2}
+
+
 class NativePacker:
     """C++ threaded batch packer over the binary cache of `dataset`.
 
     Builds the .nbin cache next to the .npz files on first use (one-time),
-    then serves `pack(idxs)` entirely from native code.
+    then serves `pack(idxs)` entirely from native code. The .nbin cache is
+    always float32; `dataset.transfer_dtype` (f16/bf16 halve the host->device
+    copy) is converted at pack time in the worker threads.
     """
 
     def __init__(self, dataset, num_threads: int = 2):
         self.ds = dataset
+        self._feat_dtype = np.dtype(getattr(dataset, "transfer_dtype",
+                                            "float32"))
+        self._feat_code = _FEAT_DTYPE_CODES.get(str(self._feat_dtype))
+        if self._feat_code is None:
+            raise ValueError(f"native packer cannot emit transfer_dtype="
+                             f"{self._feat_dtype} (supported: "
+                             f"{sorted(_FEAT_DTYPE_CODES)})")
         lib = load_library()
         cache_dir = os.path.join(dataset.dir, "nbin_cache")
         os.makedirs(cache_dir, exist_ok=True)
@@ -175,9 +191,10 @@ class NativePacker:
         h = self._handles.get(t)
         if h is None:
             ds = self.ds
-            h = self._lib.packer_create(
+            h = self._lib.packer_create2(
                 self._manifest.encode(), t, ds.num_regions, ds.feat_dim,
-                ds.max_words, 1 if ds.with_gt else 0, self._num_threads)
+                ds.max_words, 1 if ds.with_gt else 0, self._num_threads,
+                self._feat_code)
             if not h:
                 raise RuntimeError("packer_create failed")
             self._handles[t] = h
@@ -203,7 +220,7 @@ class NativePacker:
         n = len(idxs)
         t, r, d, k = self._batch_t(idxs), ds.num_regions, ds.feat_dim, \
             ds.max_words
-        feats = np.empty((n, t, r, d), np.float32)
+        feats = np.empty((n, t, r, d), self._feat_dtype)
         boxes = np.empty((n, t, r, 4), np.float32)
         word_ids = np.empty((n, k), np.int32)
         frame_mask = np.empty((n, t), np.float32)
@@ -216,7 +233,8 @@ class NativePacker:
         rc = self._lib.packer_pack(
             self._handle(t),
             idx_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            n, feats.ctypes.data_as(fptr), boxes.ctypes.data_as(fptr),
+            n, ctypes.c_void_p(feats.ctypes.data),
+            boxes.ctypes.data_as(fptr),
             word_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             frame_mask.ctypes.data_as(fptr), word_mask.ctypes.data_as(fptr),
             region_mask.ctypes.data_as(fptr),

@@ -27,6 +27,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__F16C__)
+#include <immintrin.h>
+#endif
+
 #include <opencv2/core.hpp>
 #include <opencv2/imgproc.hpp>
 #include <opencv2/videoio.hpp>
@@ -86,6 +90,64 @@ namespace {
 
 constexpr int32_t kMagic = 0x4e414641;
 
+// feats output dtype codes (must match nafae_tpu/utils/native_io.py)
+enum FeatDtype { kF32 = 0, kF16 = 1, kBF16 = 2 };
+
+// float32 -> bfloat16, round-to-nearest-even, NaN quieted — bitwise
+// identical to numpy/ml_dtypes `astype(bfloat16)` (Eigen semantics),
+// which the Python loader path uses (data/youcook2.py transfer_dtype).
+inline uint16_t f32_to_bf16(float v) {
+  uint32_t x;
+  std::memcpy(&x, &v, 4);
+  if ((x & 0x7fffffffu) > 0x7f800000u)                   // NaN -> fixed qNaN
+    return static_cast<uint16_t>(((x >> 16) & 0x8000u) | 0x7fc0u);
+  uint32_t rounding = 0x7fffu + ((x >> 16) & 1u);        // RNE
+  return static_cast<uint16_t>((x + rounding) >> 16);
+}
+
+// float32 -> float16, IEEE round-to-nearest-even (overflow -> inf,
+// gradual underflow) — bitwise identical to numpy `astype(float16)`.
+// F16C hardware path when compiled with -mf16c; portable fallback below.
+inline uint16_t f32_to_f16(float v) {
+  uint32_t x;
+  std::memcpy(&x, &v, 4);
+  if ((x & 0x7fffffffu) > 0x7f800000u) {
+    // NaN: numpy truncates the payload (no quiet-bit forcing — F16C would
+    // set it, diverging bitwise), bumping to 0x7c01 if truncation would
+    // collapse to inf
+    uint16_t ret =
+        static_cast<uint16_t>(0x7c00u | ((x & 0x7fffffu) >> 13));
+    if (ret == 0x7c00u) ret = 0x7c01u;
+    return static_cast<uint16_t>(((x >> 16) & 0x8000u) | ret);
+  }
+#if defined(__F16C__)
+  return _cvtss_sh(v, _MM_FROUND_TO_NEAREST_INT | _MM_FROUND_NO_EXC);
+#else
+  uint32_t sign = (x >> 16) & 0x8000u;
+  uint32_t mant = x & 0x7fffffu;
+  int32_t exp8 = static_cast<int32_t>((x >> 23) & 0xffu);
+  if (exp8 == 0xff)                                       // inf (NaN above)
+    return static_cast<uint16_t>(sign | 0x7c00u);
+  int32_t exp = exp8 - 127 + 15;                          // f16-biased
+  if (exp >= 0x1f) return static_cast<uint16_t>(sign | 0x7c00u);
+  if (exp <= 0) {                                         // subnormal/zero
+    if (exp < -11) return static_cast<uint16_t>(sign);
+    mant |= 0x800000u;
+    uint32_t shift = static_cast<uint32_t>(14 - exp);     // 14..25 (< 32)
+    uint32_t half = mant >> shift;
+    uint32_t rem = mant & ((1u << shift) - 1u);
+    uint32_t halfway = 1u << (shift - 1);
+    if (rem > halfway || (rem == halfway && (half & 1u))) half++;
+    return static_cast<uint16_t>(sign | half);
+  }
+  uint32_t half = (static_cast<uint32_t>(exp) << 10) | (mant >> 13);
+  uint32_t rem = mant & 0x1fffu;
+  // RNE; a mantissa carry correctly overflows into the exponent bits
+  if (rem > 0x1000u || (rem == 0x1000u && (half & 1u))) half++;
+  return static_cast<uint16_t>(sign | half);
+#endif
+}
+
 struct SegHeader {
   int32_t magic, version, T, R, D, K;
 };
@@ -100,8 +162,9 @@ struct Packer {
   // padded batch dims
   int T, R, D, K;
   bool with_gt;
+  int feat_dtype = kF32;      // FeatDtype: feats output element type
   // current batch output pointers (caller-owned)
-  float* feats = nullptr;     // [B,T,R,D]
+  void* feats = nullptr;      // [B,T,R,D] float32 | float16 | bfloat16
   float* boxes = nullptr;     // [B,T,R,4]
   int32_t* word_ids = nullptr;  // [B,K]
   float* frame_mask = nullptr;  // [B,T]
@@ -153,6 +216,24 @@ struct Packer {
     }
   }
 
+  size_t feat_elem_size() const {
+    return feat_dtype == kF32 ? sizeof(float) : sizeof(uint16_t);
+  }
+
+  // Write `cnt` f32 values into feats[off..], converting to the configured
+  // transfer dtype (the host->device copy is half the bytes for f16/bf16).
+  void store_feats(size_t off, const float* src, size_t cnt) {
+    if (feat_dtype == kF32) {
+      std::memcpy(static_cast<float*>(feats) + off, src, sizeof(float) * cnt);
+    } else if (feat_dtype == kF16) {
+      uint16_t* dst = static_cast<uint16_t*>(feats) + off;
+      for (size_t i = 0; i < cnt; ++i) dst[i] = f32_to_f16(src[i]);
+    } else {
+      uint16_t* dst = static_cast<uint16_t*>(feats) + off;
+      for (size_t i = 0; i < cnt; ++i) dst[i] = f32_to_bf16(src[i]);
+    }
+  }
+
   bool load_one(const PackerTask& task) {
     const std::string& path = files[task.seg_index];
     FILE* f = std::fopen(path.c_str(), "rb");
@@ -194,9 +275,9 @@ struct Packer {
                      f) != static_cast<size_t>(h.R) * h.D)
         { std::fclose(f); return false; }
       for (int ri = 0; ri < r; ++ri) {
-        std::memcpy(feats + ((b * T + ti) * R + ri) * D,
+        store_feats(((b * T + ti) * R + ri) * static_cast<size_t>(D),
                     row.data() + static_cast<size_t>(ri) * h.D,
-                    sizeof(float) * std::min(h.D, D));
+                    static_cast<size_t>(std::min(h.D, D)));
       }
     }
     // boxes
@@ -302,12 +383,15 @@ struct Packer {
 }  // namespace
 
 // manifest: newline-separated .nbin paths. Returns opaque handle or null.
-void* packer_create(const char* manifest, int T, int R, int D, int K,
-                    int with_gt, int num_threads) {
+// feat_dtype: 0 = float32, 1 = float16, 2 = bfloat16 (FeatDtype).
+void* packer_create2(const char* manifest, int T, int R, int D, int K,
+                     int with_gt, int num_threads, int feat_dtype) {
+  if (feat_dtype < kF32 || feat_dtype > kBF16) return nullptr;
   FILE* f = std::fopen(manifest, "rb");
   if (!f) return nullptr;
   auto* p = new Packer();
   p->T = T; p->R = R; p->D = D; p->K = K; p->with_gt = with_gt != 0;
+  p->feat_dtype = feat_dtype;
   char line[4096];
   while (std::fgets(line, sizeof(line), f)) {
     size_t n = std::strlen(line);
@@ -321,6 +405,11 @@ void* packer_create(const char* manifest, int T, int R, int D, int K,
   return p;
 }
 
+void* packer_create(const char* manifest, int T, int R, int D, int K,
+                    int with_gt, int num_threads) {
+  return packer_create2(manifest, T, R, D, K, with_gt, num_threads, kF32);
+}
+
 int packer_num_segments(void* handle) {
   return static_cast<int>(static_cast<Packer*>(handle)->files.size());
 }
@@ -328,12 +417,12 @@ int packer_num_segments(void* handle) {
 // Pack segments files[idxs[0..n)] into the caller-provided (zeroed by us)
 // batch buffers. Blocking; internally parallel. Returns 0 on success.
 int packer_pack(void* handle, const int32_t* idxs, int n,
-                float* feats, float* boxes, int32_t* word_ids,
+                void* feats, float* boxes, int32_t* word_ids,
                 float* frame_mask, float* word_mask, float* region_mask,
                 float* gt_boxes, float* gt_mask) {
   auto* p = static_cast<Packer*>(handle);
   size_t B = static_cast<size_t>(n);
-  std::memset(feats, 0, sizeof(float) * B * p->T * p->R * p->D);
+  std::memset(feats, 0, p->feat_elem_size() * B * p->T * p->R * p->D);
   std::memset(boxes, 0, sizeof(float) * B * p->T * p->R * 4);
   std::memset(word_ids, 0, sizeof(int32_t) * B * p->K);
   std::memset(frame_mask, 0, sizeof(float) * B * p->T);

@@ -82,6 +82,9 @@ def test_native_packer_rejects_damaged_cache(synth_root):
     os.utime(victim)
     with pytest.raises(IOError):
         packer.pack([0])
+    # restore: synth_root is session-scoped and later tests share this cache
+    open(victim, "wb").write(blob)
+    os.utime(victim)
 
 
 def test_native_packer_ragged_region_mask_with_gt(tmp_path):
@@ -172,3 +175,81 @@ def test_loader_native_backend_bucketed(synth_root):
     big = next(i for i in range(len(ds)) if ds.bucket_of(i) == 8)
     with pytest.raises(ValueError, match="homogeneous"):
         nat._native.pack([small, big])
+
+
+@pytest.mark.parametrize("dtype", ["float16", "bfloat16"])
+def test_native_packer_transfer_dtype(synth_root, dtype):
+    """f16/bf16 transfer dtypes pack natively (r3: C++ RNE converters) —
+    feats bitwise-equal to the Python loader's `astype`, other keys f32."""
+    from nafae_tpu.data import SegmentDataset
+    ds = SegmentDataset(synth_root, "val", max_frames=8, num_regions=6,
+                        feat_dim=64, max_words=3, with_gt=True,
+                        transfer_dtype=dtype)
+    packer = native_io.NativePacker(ds)
+    idxs = [0, 3, 5, 1]
+    nb = packer.pack(idxs)
+    samples = [ds[i] for i in idxs]
+    pb = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    assert nb["feats"].dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(nb["feats"].view(np.uint16),
+                                  pb["feats"].view(np.uint16))
+    for key in ("boxes", "word_ids", "frame_mask", "word_mask",
+                "region_mask", "gt_boxes", "gt_mask"):
+        np.testing.assert_array_equal(nb[key], pb[key], err_msg=key)
+
+
+@pytest.mark.parametrize("dtype", ["float16", "bfloat16"])
+def test_native_packer_dtype_special_values(tmp_path, dtype):
+    """Conversion edge cases: inf, every NaN encoding numpy/ml_dtypes treat
+    specially (sNaN payload truncation vs fixed qNaN), subnormal boundary,
+    RNE ties, overflow-to-inf — all bitwise vs the numpy reference."""
+    import json
+    import warnings
+    from nafae_tpu.data import SegmentDataset
+    root = tmp_path / "sv" / "val"
+    root.mkdir(parents=True)
+    bits = np.asarray([
+        0x7f800000, 0xff800000,              # +-inf
+        0x7fc00000, 0x7f800001, 0x7f801fff,  # qNaN, sNaN payload edges
+        0xffb46feb, 0x7fc00001,              # signed/quiet payload mixes
+        0x33800000, 0x33800001, 0x38000000,  # f16 subnormal/underflow edges
+        0x477ff000, 0x477ff001, 0xc77ff000,  # f16 overflow-to-inf ties
+        0x3f800001, 0x3f807fff, 0x3f808000,  # RNE tie patterns
+        0x00000001, 0x80000001, 0x00000000, 0x80000000,  # f32 subnormals, +-0
+    ], np.uint32)
+    rng = np.random.RandomState(7)
+    pad = rng.randint(0, 2**32, 4 * 6 * 16 - bits.size, np.uint64)
+    feats = np.concatenate([bits, pad.astype(np.uint32)]) \
+        .view(np.float32).reshape(4, 6, 16)
+    np.savez(root / "s0.npz", feats=feats,
+             boxes=np.zeros((4, 6, 4), np.float32),
+             word_ids=np.zeros((2,), np.int32))
+    with open(root / "index.jsonl", "w") as f:
+        f.write(json.dumps({"id": "s0", "file": "s0.npz",
+                            "num_frames": 4, "num_words": 2}) + "\n")
+    ds = SegmentDataset(str(tmp_path / "sv"), "val", max_frames=4,
+                        num_regions=6, feat_dim=16, max_words=2,
+                        transfer_dtype=dtype)
+    nb = native_io.NativePacker(ds).pack([0])["feats"][0]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # overflow/invalid casts on purpose
+        ref = feats.astype(np.dtype(dtype))
+    np.testing.assert_array_equal(nb.view(np.uint16), ref.view(np.uint16))
+
+
+def test_loader_native_backend_bf16(synth_root):
+    """transfer_dtype=bfloat16 keeps the native path engaged (r3; it used
+    to silently fall back to Python), batches bitwise-equal."""
+    from nafae_tpu.data import BatchLoader, SegmentDataset
+    ds = SegmentDataset(synth_root, "train", max_frames=8, num_regions=6,
+                        feat_dim=64, max_words=3, transfer_dtype="bfloat16")
+    py = BatchLoader(ds, 4, shuffle=True, seed=3, use_native=False)
+    nat = BatchLoader(ds, 4, shuffle=True, seed=3, use_native=True)
+    assert nat._native is not None, "native backend did not engage"
+    for (a, b) in zip(py.epoch(0), nat.epoch(0)):
+        assert b["feats"].dtype == np.dtype("bfloat16")
+        for k in a:
+            np.testing.assert_array_equal(
+                a[k].view(np.uint16) if a[k].dtype.itemsize == 2 else a[k],
+                b[k].view(np.uint16) if b[k].dtype.itemsize == 2 else b[k],
+                err_msg=k)
