@@ -93,8 +93,13 @@ class BatchLoader:
             try:
                 from nafae_tpu.utils.native_io import NativePacker
                 self._native = NativePacker(dataset)
-            except Exception:
-                self._native = None  # graceful fallback to the Python path
+            except Exception as e:
+                # graceful fallback to the Python path — but say so: a
+                # silent fallback reads as "native engaged" at 1/Nth speed
+                import warnings
+                warnings.warn(f"native IO packer unavailable, using the "
+                              f"Python loader: {type(e).__name__}: {e}")
+                self._native = None
 
     def _epoch_batches(self, epoch: int) -> list:
         return epoch_batches(self.dataset, self.batch_size, self.shuffle,

@@ -65,9 +65,14 @@ def evaluate(params: dict, dataset, batch_size: int, num_classes: int,
         # replicate the params ONCE — inside eval_fn it would re-transfer
         # the whole tree to every device per batch
         params = jax.device_put(params, rep)
+        # the sharded batch axis must divide the mesh axis; pad EVERY batch
+        # (not just the ragged one) up to the next multiple so batch_size=20
+        # on 8 devices works — extra rows have gt_mask=0, contributing 0
+        axis_size = mesh.shape[axis]
+        padded_b = -(-batch_size // axis_size) * axis_size
 
         def eval_fn(params, batch, iou_thresh):   # noqa: F811
-            batch = {k: jax.device_put(_pad_rows(v, batch_size), shard)
+            batch = {k: jax.device_put(_pad_rows(v, padded_b), shard)
                      for k, v in batch.items()}
             return _eval_batch(params, batch, iou_thresh=iou_thresh)
 
@@ -103,7 +108,6 @@ def evaluate(params: dict, dataset, batch_size: int, num_classes: int,
 
 
 def _pad_rows(x, n):
-    import numpy as np
     if x.shape[0] >= n:
         return x
     pad = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)

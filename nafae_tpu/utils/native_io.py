@@ -44,8 +44,13 @@ def load_library() -> ctypes.CDLL:
                                      ctypes.POINTER(ctypes.c_float)]
     lib.packer_create.restype = ctypes.c_void_p
     lib.packer_create.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 6
-    lib.packer_create2.restype = ctypes.c_void_p
-    lib.packer_create2.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 7
+    try:
+        lib.packer_create2.restype = ctypes.c_void_p
+        lib.packer_create2.argtypes = [ctypes.c_char_p] + [ctypes.c_int] * 7
+    except AttributeError:
+        # stale pre-r3 .so: keep decode_video working; NativePacker raises
+        # (and BatchLoader falls back to the Python packer with a warning)
+        pass
     lib.packer_pack.restype = ctypes.c_int
     lib.packer_pack.argtypes = [ctypes.c_void_p,
                                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
@@ -140,6 +145,11 @@ class NativePacker:
                              f"{self._feat_dtype} (supported: "
                              f"{sorted(_FEAT_DTYPE_CODES)})")
         lib = load_library()
+        if not hasattr(lib, "packer_create2"):
+            raise RuntimeError(
+                "libnafae_native.so predates packer_create2 — rebuild with "
+                "`make -C native` (video decode still works; only the "
+                "packer is unavailable)")
         cache_dir = os.path.join(dataset.dir, "nbin_cache")
         os.makedirs(cache_dir, exist_ok=True)
         manifest = os.path.join(cache_dir, "manifest.txt")

@@ -236,3 +236,23 @@ def test_eval_mesh_matches_single_device(synth_root):
     mesh = make_mesh(-1, 1)
     got = evaluate(params, ds, batch_size=8, num_classes=67, mesh=mesh)
     assert got == ref
+
+
+def test_eval_mesh_batch_not_divisible(synth_root):
+    """batch_size not divisible by the mesh axis (e.g. 5 over 8 devices):
+    every batch is padded up to the next multiple (padded rows gt_mask=0),
+    so --mesh works for any batch size (r3 review fix — it used to crash
+    in device_put on the very first batch)."""
+    from nafae_tpu.data import SegmentDataset
+    from nafae_tpu.evaluate import evaluate
+    from nafae_tpu.parallel import make_mesh
+
+    ds = SegmentDataset(synth_root, "val", max_frames=8, num_regions=6,
+                        feat_dim=64, max_words=3, with_gt=True)
+    cfg = load_config(preset_name="config1", overrides=[
+        "data.feat_dim=64", "model.feat_dim=64", "model.embed_dim=32"])
+    params = TrainState.create(jax.random.PRNGKey(0), cfg).params
+    ref = evaluate(params, ds, batch_size=5, num_classes=67)
+    got = evaluate(params, ds, batch_size=5, num_classes=67,
+                   mesh=make_mesh(-1, 1))
+    assert got == ref
