@@ -10,6 +10,7 @@ def main():
         "extract": "nafae_tpu.extract",
         "convert": "nafae_tpu.utils.torch_convert",
         "visualize": "nafae_tpu.visualize",
+        "serve": "nafae_tpu.serve",
     }
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(f"usage: python -m nafae_tpu {{{','.join(cmds)}}} [args...]",

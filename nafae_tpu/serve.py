@@ -1,0 +1,371 @@
+"""Serving: batch grounding inference, AOT export, HTTP endpoint.
+
+The reference is research code with no deployment story (train/test CLIs
+only — SURVEY.md §1 "shell scripts + argparse as the UX"); this module is
+the production counterpart the north star asks for: the same jitted
+grounding forward that eval uses (ops/grounding.ground_forward), packaged
+three ways:
+
+1. ``GroundingServer`` — an in-process batch-inference engine: pad ragged
+   segments to the compiled [B,T,R,D] bucket, run ONE jitted program per
+   batch, return per-(word, frame) best boxes + scores + frame-attention
+   weights as JSON-able dicts.
+2. ``export_grounding`` / ``load_exported`` — AOT export via
+   ``jax.export``: the compiled inference program is serialized to
+   portable StableHLO bytes + a params .npz + a shape manifest, so a
+   deployment host can run inference without the model-building Python
+   (and a newer jax can refuse/accept it along official compatibility
+   guarantees). ``load_exported`` round-trips it.
+3. ``python -m nafae_tpu.serve`` / ``nafae-serve`` — a stdlib HTTP
+   endpoint (POST /ground, GET /healthz) over 1+2. Single worker by
+   design: the TPU chip is exclusive (CLAUDE.md), so requests are
+   serialized through one device queue; batching, not threading, is the
+   throughput lever.
+
+No new math lives here — everything routes through ops/grounding so the
+torch-oracle parity tests cover the serving path's numerics too.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nafae_tpu.config import Config
+from nafae_tpu.ops import grounding as G
+
+MANIFEST = "manifest.json"
+STABLEHLO = "grounding.stablehlo"
+PARAMS_NPZ = "params.npz"
+
+
+# ---------------------------------------------------------------- inference
+
+
+def make_ground_fn(cfg: Config):
+    """Build the serving forward: (params, batch arrays) -> grounding dict.
+
+    Returns a pure function (not yet jitted) computing, per (video, word,
+    frame): the argmax region index, its box, its similarity score, plus
+    the frame-attention weights beta [B,T]. Static model/loss choices
+    (pool form, similarity form, ctx window, dtype) are baked in from cfg
+    so the traced program matches what eval/train compiled.
+    """
+    mc, lc = cfg.model, cfg.loss
+    cdt = jnp.bfloat16 if mc.dtype == "bfloat16" else jnp.float32
+    ctx_w = lc.ctx_window if mc.frame_pool == "context" else 0
+
+    def fn(params, feats, boxes, word_ids, frame_mask, word_mask,
+           region_mask):
+        out = G.ground_forward(
+            params, feats, word_ids, frame_mask, word_mask,
+            temp=mc.frame_attn_temp, pool=mc.frame_pool,
+            ctx_window=ctx_w, ctx_temp=lc.ctx_temp,
+            compute_dtype=cdt, region_mask=region_mask)
+        s = out["s"].astype(jnp.float32)            # [B,K,T,R]
+        best = jnp.argmax(s, axis=-1)                # [B,K,T]
+        b, k, t, r = s.shape
+        boxes_bk = jnp.broadcast_to(boxes[:, None], (b, k, t, r, 4))
+        best_box = jnp.take_along_axis(
+            boxes_bk, best[..., None, None], axis=3)[..., 0, :]
+        return {
+            "region": best.astype(jnp.int32),                 # [B,K,T]
+            "score": jnp.max(s, axis=-1),                     # [B,K,T]
+            "box": best_box.astype(jnp.float32),              # [B,K,T,4]
+            "beta": out["beta"].astype(jnp.float32),          # [B,T]
+            "video_score": out["score"].astype(jnp.float32),  # [B]
+        }
+
+    return fn
+
+
+# ------------------------------------------------------------- AOT export
+
+
+def _params_npz_dict(params: dict) -> dict:
+    return {k: np.asarray(v) for k, v in params.items()}
+
+
+def export_grounding(cfg: Config, params: dict, out_dir: str,
+                     batch_size: int | None = None) -> str:
+    """AOT-export the serving program to `out_dir` (StableHLO + params).
+
+    The artifact is self-contained for a deployment host: the serialized
+    jax.export blob (shape-checked at call time), the weights as .npz, and
+    a manifest recording the compiled shapes + the config choices baked
+    into the trace. Returns out_dir.
+    """
+    from jax import export as jex
+
+    b = batch_size or cfg.data.batch_size
+    t, r = cfg.data.max_frames, cfg.data.num_regions
+    d, k = cfg.data.feat_dim, cfg.data.max_words
+    f32, i32 = jnp.float32, jnp.int32
+    aval = jax.ShapeDtypeStruct
+    p_avals = {key: aval(np.asarray(v).shape, np.asarray(v).dtype)
+               for key, v in params.items()}
+    arg_avals = (p_avals,
+                 aval((b, t, r, d), f32), aval((b, t, r, 4), f32),
+                 aval((b, k), i32), aval((b, t), f32), aval((b, k), f32),
+                 aval((b, t, r), f32))
+    exported = jex.export(jax.jit(make_ground_fn(cfg)))(*arg_avals)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, STABLEHLO), "wb") as f:
+        f.write(bytes(exported.serialize()))
+    np.savez(os.path.join(out_dir, PARAMS_NPZ), **_params_npz_dict(params))
+    manifest = {
+        "batch_size": b, "max_frames": t, "num_regions": r,
+        "feat_dim": d, "max_words": k,
+        "model": {"frame_pool": cfg.model.frame_pool,
+                  "similarity": cfg.model.similarity,
+                  "dtype": cfg.model.dtype,
+                  "vocab_size": cfg.model.vocab_size,
+                  "embed_dim": cfg.model.embed_dim},
+        "loss": {"ctx_window": cfg.loss.ctx_window,
+                 "ctx_temp": cfg.loss.ctx_temp},
+        "jax_version": jax.__version__,
+        "platforms": list(exported.platforms),
+    }
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return out_dir
+
+
+def load_exported(out_dir: str):
+    """Load an export_grounding artifact -> (call(feats, boxes, word_ids,
+    frame_mask, word_mask, region_mask) -> dict, manifest dict).
+
+    The params saved alongside are bound as the first argument; the
+    deserialized program shape-checks the remaining args against the
+    compiled avals.
+    """
+    from jax import export as jex
+
+    with open(os.path.join(out_dir, STABLEHLO), "rb") as f:
+        exported = jex.deserialize(bytearray(f.read()))
+    with np.load(os.path.join(out_dir, PARAMS_NPZ)) as z:
+        params = {k: jnp.asarray(z[k]) for k in z.files}
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        manifest = json.load(f)
+
+    def call(feats, boxes, word_ids, frame_mask, word_mask, region_mask):
+        return exported.call(params, feats, boxes, word_ids, frame_mask,
+                             word_mask, region_mask)
+
+    return call, manifest
+
+
+# ----------------------------------------------------------------- server
+
+
+class GroundingServer:
+    """Batch grounding inference over ragged request segments.
+
+    Pads each segment to the config's fixed [T,R,D] bucket (the same
+    pad_sample the training loader uses), groups them into compiled-size
+    batches (final ragged batch zero-padded — padded rows are dropped from
+    the response), and runs the jitted serving program once per batch.
+    """
+
+    def __init__(self, cfg: Config, params: dict,
+                 batch_size: int | None = None):
+        from nafae_tpu.data.vocab import vocab_from_config
+
+        self.cfg = cfg
+        self.params = params
+        self.batch_size = batch_size or cfg.data.batch_size
+        self.vocab = vocab_from_config(cfg.data)
+        self._fn = jax.jit(make_ground_fn(cfg))
+
+    # -- request handling
+
+    def _pad_segment(self, seg: dict) -> dict:
+        from nafae_tpu.data.youcook2 import pad_sample
+
+        dc = self.cfg.data
+        feats = np.asarray(seg["feats"], np.float32)
+        if feats.ndim != 3 or feats.shape[-1] != dc.feat_dim:
+            raise ValueError(
+                f"feats must be [T,R,{dc.feat_dim}], got {feats.shape}")
+        boxes = np.asarray(seg.get("boxes",
+                                   np.zeros(feats.shape[:2] + (4,))),
+                           np.float32)
+        if "word_ids" in seg:
+            word_ids = np.asarray(seg["word_ids"], np.int32)
+        elif "words" in seg:
+            ids = [self.vocab.lookup(w) for w in seg["words"]]
+            unknown = [w for w, i in zip(seg["words"], ids) if i is None]
+            if unknown:
+                raise ValueError(f"unknown object words: {unknown}")
+            word_ids = np.asarray(ids, np.int32)
+        elif "sentence" in seg:
+            word_ids = np.asarray(
+                self.vocab.extract(seg["sentence"]), np.int32)
+        else:
+            raise ValueError(
+                "segment needs one of: word_ids | words | sentence")
+        if word_ids.size == 0:
+            raise ValueError("segment has no known object words")
+        rm = seg.get("region_mask")
+        if rm is not None:
+            rm = np.asarray(rm, np.float32)
+        return pad_sample(feats, boxes, word_ids, dc.max_frames,
+                          dc.num_regions, dc.max_words, region_mask=rm)
+
+    def ground_segments(self, segments: list[dict]) -> list[dict]:
+        """segments: [{feats [T,R,D], boxes [T,R,4]?, words|word_ids|
+        sentence, region_mask?}] -> per-segment grounding dicts."""
+        samples = [self._pad_segment(s) for s in segments]
+        results: list[dict] = []
+        bs = self.batch_size
+        for lo in range(0, len(samples), bs):
+            chunk = samples[lo:lo + bs]
+            batch = {key: np.stack([s[key] for s in chunk])
+                     for key in chunk[0]}
+            n = len(chunk)
+            if n < bs:   # keep ONE compiled shape (retrace costs minutes
+                         # through the remote-compile service, CLAUDE.md)
+                batch = {key: np.concatenate(
+                    [v, np.zeros((bs - n,) + v.shape[1:], v.dtype)])
+                    for key, v in batch.items()}
+            out = jax.device_get(self._fn(
+                self.params, batch["feats"], batch["boxes"],
+                batch["word_ids"], batch["frame_mask"], batch["word_mask"],
+                batch["region_mask"]))
+            for i in range(n):
+                results.append(self._to_response(
+                    {key: v[i] for key, v in out.items()},
+                    samples[lo + i]))
+        return results
+
+    def _to_response(self, out: dict, sample: dict) -> dict:
+        k_valid = sample["word_mask"] > 0
+        t_valid = sample["frame_mask"] > 0
+        words = []
+        for ki in np.nonzero(k_valid)[0]:
+            wid = int(sample["word_ids"][ki])
+            frames = [{
+                "frame": int(ti),
+                "region": int(out["region"][ki, ti]),
+                "box": [float(x) for x in out["box"][ki, ti]],
+                "score": float(out["score"][ki, ti]),
+            } for ti in np.nonzero(t_valid)[0]]
+            words.append({"word_id": wid,
+                          "word": self.vocab.classes[wid]
+                          if 0 <= wid < len(self.vocab.classes) else "?",
+                          "frames": frames})
+        return {"words": words,
+                "frame_weights": [float(b) for b, m in
+                                  zip(out["beta"], sample["frame_mask"])
+                                  if m > 0],
+                "video_score": float(out["video_score"])}
+
+    # -- HTTP front end (stdlib; single-threaded by design: the chip is
+    #    exclusive, so one device queue is the correct concurrency model)
+
+    def serve_http(self, host: str = "127.0.0.1", port: int = 8000,
+                   ready_cb=None):
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+
+        server_ref = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):   # quiet by default
+                pass
+
+            def _send(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, {"ok": True,
+                                     "backend": jax.default_backend(),
+                                     "batch_size": server_ref.batch_size})
+                else:
+                    self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/ground":
+                    self._send(404, {"error": "not found"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n))
+                    segs = req["segments"]
+                    out = server_ref.ground_segments(segs)
+                    self._send(200, {"results": out})
+                except (KeyError, ValueError, TypeError) as e:
+                    self._send(400, {"error": str(e)})
+
+        httpd = HTTPServer((host, port), Handler)
+        if ready_cb is not None:
+            ready_cb(httpd)
+        try:
+            httpd.serve_forever()
+        finally:
+            httpd.server_close()
+
+
+# -------------------------------------------------------------------- CLI
+
+
+def _load_params(cfg: Config, checkpoint: str | None):
+    from nafae_tpu.utils.checkpoint import load_eval_params
+
+    params = load_eval_params(cfg, checkpoint)
+    if params is None:
+        raise FileNotFoundError(
+            f"no checkpoint in {checkpoint or cfg.train.ckpt_dir!r} — "
+            "refusing to serve randomly initialized parameters")
+    return params
+
+
+def main(argv=None):
+    import argparse
+
+    from nafae_tpu.config import load_config
+
+    p = argparse.ArgumentParser("nafae_tpu.serve")
+    p.add_argument("--preset", default="config1")
+    p.add_argument("--config", default=None)
+    p.add_argument("--override", nargs="*", action="extend", default=None)
+    p.add_argument("--checkpoint", default=None,
+                   help="orbax ckpt dir or converted .npz (required)")
+    p.add_argument("--export", default=None, metavar="DIR",
+                   help="write an AOT artifact (StableHLO + params + "
+                        "manifest) instead of serving")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch-size", type=int, default=None)
+    args = p.parse_args(argv)
+    from nafae_tpu.utils import cli_startup
+    cli_startup()
+    cfg = load_config(args.config, args.preset, args.override or [])
+    params = _load_params(cfg, args.checkpoint)
+    if args.export:
+        out = export_grounding(cfg, params, args.export,
+                               batch_size=args.batch_size)
+        print(json.dumps({"exported": out}))
+        return
+    srv = GroundingServer(cfg, params, batch_size=args.batch_size)
+
+    def ready(httpd):
+        print(json.dumps({"serving": f"http://{args.host}:{httpd.server_address[1]}",
+                          "backend": jax.default_backend()}), flush=True)
+
+    srv.serve_http(args.host, args.port, ready_cb=ready)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,221 @@
+"""Serving path: batch inference, AOT export round-trip, HTTP endpoint.
+
+The serving forward routes through ops/grounding.ground_forward (already
+torch-oracle-tested); these tests pin the serving-specific surfaces: argmax
+box selection, ragged-batch padding, jax.export serialization, and the
+stdlib HTTP front end."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from nafae_tpu.config import Config
+from nafae_tpu.models.grounding import init_params
+from nafae_tpu.serve import (GroundingServer, export_grounding,
+                             load_exported, make_ground_fn)
+
+
+def _tiny_cfg(**model_over):
+    cfg = Config()
+    cfg.data.feat_dim = 16
+    cfg.data.max_frames = 4
+    cfg.data.num_regions = 3
+    cfg.data.max_words = 2
+    cfg.data.batch_size = 2
+    cfg.model.feat_dim = 16
+    cfg.model.embed_dim = 8
+    for k, v in model_over.items():
+        setattr(cfg.model, k, v)
+    return cfg
+
+
+def _segments(cfg, n, seed=0):
+    rng = np.random.default_rng(seed)
+    dc = cfg.data
+    segs = []
+    for i in range(n):
+        t = int(rng.integers(2, dc.max_frames + 1))
+        segs.append({
+            "feats": rng.normal(size=(t, dc.num_regions,
+                                      dc.feat_dim)).astype(np.float32),
+            "boxes": rng.uniform(0, 100, size=(t, dc.num_regions,
+                                               4)).astype(np.float32),
+            "word_ids": [int(rng.integers(0, cfg.model.vocab_size))
+                         for _ in range(int(rng.integers(1,
+                                                         dc.max_words + 1)))],
+        })
+    return segs
+
+
+def test_ground_segments_argmax_box():
+    """The served box is the argmax-similarity region's box (the eval
+    protocol's region choice, SURVEY.md §1 evaluation)."""
+    cfg = _tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg.model)
+    srv = GroundingServer(cfg, params)
+    segs = _segments(cfg, 3)           # 3 segments, batch 2 -> ragged batch
+    res = srv.ground_segments(segs)
+    assert len(res) == 3
+
+    fn = jax.jit(make_ground_fn(cfg))
+    for seg, r in zip(segs, res):
+        t = np.asarray(seg["feats"]).shape[0]
+        k = len(seg["word_ids"])
+        assert len(r["frame_weights"]) == t
+        assert len(r["words"]) == k
+        for ki, w in enumerate(r["words"]):
+            assert w["word_id"] == seg["word_ids"][ki]
+            assert len(w["frames"]) == t
+            for fr in w["frames"]:
+                # box must be one of this frame's candidate boxes
+                cand = np.asarray(seg["boxes"])[fr["frame"]]
+                assert any(np.allclose(fr["box"], c) for c in cand)
+                assert fr["region"] == int(np.argmax([
+                    np.allclose(fr["box"], c) for c in cand]))
+
+
+def test_ground_fn_matches_manual_argmax():
+    cfg = _tiny_cfg()
+    params = init_params(jax.random.PRNGKey(1), cfg.model)
+    dc = cfg.data
+    rng = np.random.default_rng(3)
+    b, t, r, d, k = 2, dc.max_frames, dc.num_regions, dc.feat_dim, dc.max_words
+    feats = rng.normal(size=(b, t, r, d)).astype(np.float32)
+    boxes = rng.uniform(size=(b, t, r, 4)).astype(np.float32)
+    word_ids = rng.integers(0, cfg.model.vocab_size,
+                            size=(b, k)).astype(np.int32)
+    ones = np.ones
+    out = jax.jit(make_ground_fn(cfg))(
+        params, feats, boxes, word_ids, ones((b, t), np.float32),
+        ones((b, k), np.float32), ones((b, t, r), np.float32))
+    from nafae_tpu.ops import grounding as G
+    w = G.embed_words(word_ids, params["word_emb"])
+    v = G.project_regions(feats, params["w_v"], params["b_v"])
+    s = np.asarray(G.similarity_tensor(w, v))
+    np.testing.assert_array_equal(np.asarray(out["region"]),
+                                  s.argmax(-1))
+    np.testing.assert_allclose(np.asarray(out["score"]), s.max(-1),
+                               rtol=1e-6)
+
+
+@pytest.mark.parametrize("model_over", [
+    {},
+    {"frame_pool": "learned", "similarity": "bilinear"},
+])
+def test_export_roundtrip(tmp_path, model_over):
+    """jax.export artifact reproduces the jitted program's outputs."""
+    cfg = _tiny_cfg(**model_over)
+    params = init_params(jax.random.PRNGKey(2), cfg.model)
+    out_dir = export_grounding(cfg, params, str(tmp_path / "art"))
+    call, manifest = load_exported(out_dir)
+    assert manifest["batch_size"] == cfg.data.batch_size
+    assert manifest["model"]["frame_pool"] == cfg.model.frame_pool
+
+    dc = cfg.data
+    rng = np.random.default_rng(5)
+    b, t, r = dc.batch_size, dc.max_frames, dc.num_regions
+    args = (rng.normal(size=(b, t, r, dc.feat_dim)).astype(np.float32),
+            rng.uniform(size=(b, t, r, 4)).astype(np.float32),
+            rng.integers(0, cfg.model.vocab_size,
+                         size=(b, dc.max_words)).astype(np.int32),
+            np.ones((b, t), np.float32),
+            np.ones((b, dc.max_words), np.float32),
+            np.ones((b, t, r), np.float32))
+    got = call(*args)
+    want = jax.jit(make_ground_fn(cfg))(params, *args)
+    for key in want:
+        np.testing.assert_allclose(np.asarray(got[key]),
+                                   np.asarray(want[key]),
+                                   rtol=1e-6, atol=1e-6, err_msg=key)
+
+
+def test_export_shape_check(tmp_path):
+    cfg = _tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg.model)
+    call, _ = load_exported(export_grounding(cfg, params,
+                                             str(tmp_path / "a")))
+    dc = cfg.data
+    bad = np.zeros((dc.batch_size, dc.max_frames + 1, dc.num_regions,
+                    dc.feat_dim), np.float32)
+    with pytest.raises(ValueError):
+        call(bad,
+             np.zeros((dc.batch_size, dc.max_frames, dc.num_regions, 4),
+                      np.float32),
+             np.zeros((dc.batch_size, dc.max_words), np.int32),
+             np.ones((dc.batch_size, dc.max_frames), np.float32),
+             np.ones((dc.batch_size, dc.max_words), np.float32),
+             np.ones((dc.batch_size, dc.max_frames, dc.num_regions),
+                     np.float32))
+
+
+def test_http_endpoint():
+    """POST /ground returns the same grounding the in-process API gives;
+    /healthz reports the backend; malformed requests get 400."""
+    cfg = _tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg.model)
+    srv = GroundingServer(cfg, params)
+    segs = _segments(cfg, 2, seed=7)
+    want = srv.ground_segments(segs)
+
+    httpd_box = {}
+    ready = threading.Event()
+
+    def run():
+        srv.serve_http("127.0.0.1", 0,
+                       ready_cb=lambda h: (httpd_box.update(h=h),
+                                           ready.set()))
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    assert ready.wait(30)
+    port = httpd_box["h"].server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["backend"] == "cpu"
+
+        body = json.dumps({"segments": [
+            {"feats": np.asarray(s["feats"]).tolist(),
+             "boxes": np.asarray(s["boxes"]).tolist(),
+             "word_ids": s["word_ids"]} for s in segs]}).encode()
+        req = urllib.request.Request(base + "/ground", data=body,
+                                     headers={"Content-Type":
+                                              "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            got = json.loads(r.read())["results"]
+        assert got == json.loads(json.dumps(want))   # same JSON payload
+
+        bad = urllib.request.Request(base + "/ground", data=b"{}",
+                                     headers={"Content-Type":
+                                              "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        httpd_box["h"].shutdown()
+        th.join(timeout=10)
+
+
+def test_words_and_sentence_requests():
+    cfg = _tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg.model)
+    srv = GroundingServer(cfg, params)
+    name0, name1 = srv.vocab.classes[0], srv.vocab.classes[1]
+    dc = cfg.data
+    feats = np.zeros((2, dc.num_regions, dc.feat_dim), np.float32)
+    res = srv.ground_segments([
+        {"feats": feats, "words": [name0, name1]},
+        {"feats": feats, "sentence": f"add the {name1} now"},
+    ])
+    assert [w["word"] for w in res[0]["words"]] == [name0, name1]
+    assert [w["word_id"] for w in res[1]["words"]] == [1]
+    with pytest.raises(ValueError, match="unknown object words"):
+        srv.ground_segments([{"feats": feats, "words": ["zzz-nonsense"]}])
+    with pytest.raises(ValueError, match="no known object words"):
+        srv.ground_segments([{"feats": feats,
+                              "sentence": "nothing matches here"}])
