@@ -412,18 +412,9 @@ def build_train_fn(cfg: Config, mesh=None, extractor=None, with_frames=False):
                            extractor=extractor)
     if spc > 1:
         step = make_multi_step(step, spc)
-    fspec = faxis if sp_on else None
-    lead = (None,) if spc > 1 else ()      # leading scan axis is replicated
-    batch_spec = {
-        "word_ids": P(*lead, axis), "frame_mask": P(*lead, axis, fspec),
-        "word_mask": P(*lead, axis), "segment_id": P(*lead, axis),
-    }
-    if with_frames:
-        batch_spec["frames"] = P(*lead, axis, fspec)
-    else:
-        batch_spec["feats"] = P(*lead, axis, fspec)
-        batch_spec["boxes"] = P(*lead, axis, fspec)
-        batch_spec["region_mask"] = P(*lead, axis, fspec)
+    from nafae_tpu.parallel.multihost import global_batch_spec
+    batch_spec = global_batch_spec(cfg, mesh, with_frames=with_frames,
+                                   leading_scan_axis=spc > 1)
     # NOTE: default check_vma must stay ON — with it OFF the transpose of
     # the in-loss psums reverts to old-style psum-of-cotangents and the
     # gradients stop matching the single-device run (measured: grad_norm
@@ -431,13 +422,42 @@ def build_train_fn(cfg: Config, mesh=None, extractor=None, with_frames=False):
     # vma system via their wrappers (vma-annotated out_shapes on TPU; jnp
     # fallback in interpret mode, where the kernel-body jaxpr eval cannot
     # mix vma-carrying blocks with literals).
-    sspec = state_partition_spec(cfg, axis, fspec)
+    sspec = state_partition_spec(cfg, axis, faxis if sp_on else None)
     sharded = jax.shard_map(
         step, mesh=mesh,
         in_specs=(sspec, batch_spec),
         out_specs=(sspec, P()),
     )
-    return jax.jit(sharded, donate_argnums=(0,) if cfg.train.donate else ())
+    fn = jax.jit(sharded, donate_argnums=(0,) if cfg.train.donate else ())
+    if jax.process_count() > 1:
+        # multi-host: every host's loader yields the identically-seeded
+        # GLOBAL batch; each host slices its process_shard rows and the
+        # global jax.Arrays are assembled shard-in-place on its own chips
+        # (parallel/multihost.py). State is lifted to the global mesh on
+        # the first call (replicated put; jit reshards any mesh-sharded
+        # leaves like the k-means bank), and stays global thereafter.
+        import numpy as np
+        from jax.sharding import NamedSharding
+
+        from nafae_tpu.parallel import multihost as MH
+        b_shard = MH.batch_sharding(mesh, batch_spec)
+        rep = NamedSharding(mesh, P())
+        row_axis = 1 if spc > 1 else 0
+
+        def fn_mh(state, batch):
+            rows = list(MH.process_shard(
+                int(batch["word_ids"].shape[row_axis])))
+            local = {k: np.take(np.asarray(v), rows, axis=row_axis)
+                     for k, v in batch.items()}
+            gbatch = MH.host_local_to_global(local, b_shard)
+            leaf = jax.tree.leaves(state)[0]
+            if not (isinstance(leaf, jax.Array)
+                    and not leaf.is_fully_addressable):
+                state = jax.device_put(state, rep)
+            return fn(state, gbatch)
+
+        return fn_mh
+    return fn
 
 
 # ---------------------------------------------------------------------------
@@ -782,6 +802,12 @@ def main(argv=None):
 
     p.add_argument("--mesh", action="store_true",
                    help="shard over all local devices (DP)")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-process SPMD: jax.distributed.initialize "
+                        "(autodetected on TPU pods, or JAX_COORDINATOR_"
+                        "ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID), then "
+                        "mesh over ALL processes' devices; implies --mesh. "
+                        "data.batch_size stays the GLOBAL batch")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (debug config, SURVEY.md L275)")
     p.add_argument("--profile", default=None, metavar="DIR",
@@ -793,9 +819,13 @@ def main(argv=None):
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     cfg = load_config(args.config, args.preset, args.override or [])
+    if args.multihost:
+        from nafae_tpu.parallel.multihost import init_multihost
+        init_multihost()
     mesh = make_mesh(cfg.mesh.data_axis, cfg.mesh.frame_axis,
                      cfg.mesh.data_axis_name,
-                     cfg.mesh.frame_axis_name) if args.mesh else None
+                     cfg.mesh.frame_axis_name) \
+        if (args.mesh or args.multihost) else None
 
     def log_fn(m):
         print(" ".join(f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
