@@ -86,20 +86,62 @@ def make_ground_fn(cfg: Config):
 
 # ------------------------------------------------------------- AOT export
 
+# weight-only int8: per-row symmetric scales. Matrices (word_emb [V,E],
+# w_v [D,E], m_sim [E,E]) quantize; tiny vectors (b_v, attn_w) stay f32.
+_QUANT_MIN_NDIM = 2
+
+
+def quantize_params(params: dict) -> dict:
+    """f32 params -> {k+".q" int8, k+".scale" f32} (vectors pass through).
+
+    Per-row symmetric: scale = max|row| / 127, q = round(w / scale). The
+    artifact shrinks ~4x; dequantization happens once at load, so the
+    exported StableHLO program itself is unchanged (and shape-checked)."""
+    out = {}
+    for k, v in params.items():
+        w = np.asarray(v, np.float32)
+        if w.ndim < _QUANT_MIN_NDIM:
+            out[k] = w
+            continue
+        scale = np.max(np.abs(w), axis=-1, keepdims=True) / 127.0
+        scale = np.maximum(scale, 1e-12)
+        out[k + ".q"] = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+        out[k + ".scale"] = scale.astype(np.float32)
+    return out
+
+
+def dequantize_params(stored: dict) -> dict:
+    out = {}
+    for k, v in stored.items():
+        if k.endswith(".scale"):
+            continue
+        if k.endswith(".q"):
+            base = k[:-2]
+            out[base] = (np.asarray(v, np.float32)
+                         * stored[base + ".scale"]).astype(np.float32)
+        else:
+            out[k] = np.asarray(v)
+    return out
+
 
 def _params_npz_dict(params: dict) -> dict:
     return {k: np.asarray(v) for k, v in params.items()}
 
 
 def export_grounding(cfg: Config, params: dict, out_dir: str,
-                     batch_size: int | None = None) -> str:
+                     batch_size: int | None = None,
+                     quantize: str | None = None) -> str:
     """AOT-export the serving program to `out_dir` (StableHLO + params).
 
     The artifact is self-contained for a deployment host: the serialized
     jax.export blob (shape-checked at call time), the weights as .npz, and
     a manifest recording the compiled shapes + the config choices baked
-    into the trace. Returns out_dir.
+    into the trace. quantize="int8" stores weight matrices as per-row
+    symmetric int8 (~4x smaller artifact; dequantized at load, program
+    unchanged). Returns out_dir.
     """
+    if quantize not in (None, "int8"):
+        raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
     from jax import export as jex
 
     b = batch_size or cfg.data.batch_size
@@ -118,8 +160,11 @@ def export_grounding(cfg: Config, params: dict, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, STABLEHLO), "wb") as f:
         f.write(bytes(exported.serialize()))
-    np.savez(os.path.join(out_dir, PARAMS_NPZ), **_params_npz_dict(params))
+    stored = (quantize_params(params) if quantize == "int8"
+              else _params_npz_dict(params))
+    np.savez(os.path.join(out_dir, PARAMS_NPZ), **stored)
     manifest = {
+        "quantize": quantize,
         "batch_size": b, "max_frames": t, "num_regions": r,
         "feat_dim": d, "max_words": k,
         "model": {"frame_pool": cfg.model.frame_pool,
@@ -150,9 +195,11 @@ def load_exported(out_dir: str):
     with open(os.path.join(out_dir, STABLEHLO), "rb") as f:
         exported = jex.deserialize(bytearray(f.read()))
     with np.load(os.path.join(out_dir, PARAMS_NPZ)) as z:
-        params = {k: jnp.asarray(z[k]) for k in z.files}
+        stored = {k: z[k] for k in z.files}
     with open(os.path.join(out_dir, MANIFEST)) as f:
         manifest = json.load(f)
+    params = {k: jnp.asarray(v)
+              for k, v in dequantize_params(stored).items()}
 
     def call(feats, boxes, word_ids, frame_mask, word_mask, region_mask):
         return exported.call(params, feats, boxes, word_ids, frame_mask,
@@ -345,6 +392,9 @@ def main(argv=None):
     p.add_argument("--export", default=None, metavar="DIR",
                    help="write an AOT artifact (StableHLO + params + "
                         "manifest) instead of serving")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="with --export: store weight matrices as per-row "
+                        "symmetric int8 (~4x smaller artifact)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--batch-size", type=int, default=None)
@@ -355,8 +405,9 @@ def main(argv=None):
     params = _load_params(cfg, args.checkpoint)
     if args.export:
         out = export_grounding(cfg, params, args.export,
-                               batch_size=args.batch_size)
-        print(json.dumps({"exported": out}))
+                               batch_size=args.batch_size,
+                               quantize=args.quantize)
+        print(json.dumps({"exported": out, "quantize": args.quantize}))
         return
     srv = GroundingServer(cfg, params, batch_size=args.batch_size)
 

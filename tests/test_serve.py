@@ -219,3 +219,84 @@ def test_words_and_sentence_requests():
     with pytest.raises(ValueError, match="no known object words"):
         srv.ground_segments([{"feats": feats,
                               "sentence": "nothing matches here"}])
+
+
+def test_quantized_export_roundtrip(tmp_path):
+    """int8 artifact: ~4x smaller params file, dequantized weights within
+    per-row quantization error, and a planted strong signal still grounds
+    to the right region."""
+    import os
+
+    from nafae_tpu.serve import dequantize_params, quantize_params
+
+    cfg = _tiny_cfg()
+    params = init_params(jax.random.PRNGKey(4), cfg.model)
+
+    stored = quantize_params({k: np.asarray(v) for k, v in params.items()})
+    deq = dequantize_params(stored)
+    for k, v in params.items():
+        w = np.asarray(v)
+        if w.ndim >= 2:
+            step = np.max(np.abs(w), axis=-1, keepdims=True) / 127.0
+            assert np.all(np.abs(deq[k] - w) <= step / 2 + 1e-9), k
+        else:
+            np.testing.assert_array_equal(deq[k], w)
+
+    d32 = export_grounding(cfg, params, str(tmp_path / "f32"))
+    d8 = export_grounding(cfg, params, str(tmp_path / "i8"),
+                          quantize="int8")
+    sz32 = os.path.getsize(os.path.join(d32, "params.npz"))
+    sz8 = os.path.getsize(os.path.join(d8, "params.npz"))
+    assert sz8 < sz32, (sz8, sz32)
+    call8, man = load_exported(d8)
+    assert man["quantize"] == "int8"
+
+    # raw-bytes ratio at production-like matrix sizes: ~4x smaller
+    big = {"w_v": np.random.default_rng(0).normal(
+        size=(2048, 256)).astype(np.float32)}
+    q = quantize_params(big)
+    assert (sum(v.nbytes for v in q.values())
+            < 0.30 * big["w_v"].nbytes)
+
+    # planted signal: region j of frame t carries class (t + j) % V's
+    # direction; the argmax for word c must land on the region with c's
+    # direction in every frame, f32 and int8 alike
+    dc = cfg.data
+    rng = np.random.default_rng(9)
+    dirs = rng.normal(size=(cfg.model.vocab_size,
+                            dc.feat_dim)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    b, t, r = dc.batch_size, dc.max_frames, dc.num_regions
+    feats = np.zeros((b, t, r, dc.feat_dim), np.float32)
+    word_ids = np.zeros((b, dc.max_words), np.int32)
+    for bi in range(b):
+        for ti in range(t):
+            for ri in range(r):
+                feats[bi, ti, ri] = dirs[(ti + ri) % cfg.model.vocab_size]
+        word_ids[bi] = [bi % r, (bi + 1) % r]   # class ids < r appear
+    # project dirs through w_v (b_v=0): word c's embedding EQUALS the
+    # projected region vector of class c, so cosine peaks at exactly 1 on
+    # the matching region — a margin far above int8 quantization error
+    params2 = dict(params)
+    params2["word_emb"] = dirs @ np.asarray(params["w_v"])
+    params2["b_v"] = np.zeros_like(np.asarray(params["b_v"]))
+    args = (feats, np.zeros((b, t, r, 4), np.float32), word_ids,
+            np.ones((b, t), np.float32),
+            np.ones((b, dc.max_words), np.float32),
+            np.ones((b, t, r), np.float32))
+    want = jax.jit(make_ground_fn(cfg))(params2, *args)
+    d8b = export_grounding(cfg, params2, str(tmp_path / "i8b"),
+                           quantize="int8")
+    call8b, _ = load_exported(d8b)
+    got = call8b(*args)
+    np.testing.assert_array_equal(np.asarray(got["region"]),
+                                  np.asarray(want["region"]))
+    # and the planted argmax is the analytically right one
+    expect = (word_ids[..., None] - np.arange(t)[None, None]) \
+        % cfg.model.vocab_size
+    valid = expect < r
+    np.testing.assert_array_equal(
+        np.asarray(want["region"])[valid.nonzero()[0],
+                                   valid.nonzero()[1],
+                                   valid.nonzero()[2]],
+        expect[valid])
