@@ -532,6 +532,61 @@ def get_baseline(s, remeasure=False, cached_only=False):
     return cache[key]
 
 
+def bench_jax_serve(s, iters=256, steps_per_call=256):
+    """Serving throughput: the nafae_tpu.serve program (similarity +
+    argmax region + box gather + frame attention), bf16 compute — the
+    per-batch work GroundingServer/the AOT artifact does, minus host JSON.
+    Same scan + carry-dependence + best-of-4 protocol as bench_jax_eval."""
+    import jax
+    import jax.numpy as jnp
+
+    steps_per_call = max(1, min(steps_per_call, iters))
+
+    from nafae_tpu.config import load_config
+    from nafae_tpu.models.grounding import init_params
+    from nafae_tpu.serve import make_ground_fn
+
+    cfg = load_config(preset_name="config1", overrides=[
+        f"model.feat_dim={s['D']}", f"model.embed_dim={s['E']}",
+        "model.dtype=bfloat16", "model.matmul_precision=default"])
+    params = init_params(jax.random.PRNGKey(0), cfg.model)
+    fn = make_ground_fn(cfg)
+    b = make_batch(s)
+    feats = jax.device_put(b["feats"])
+
+    @jax.jit
+    def serves(params, feats):
+        def body(acc, _):
+            # carry-dependent input so LICM can't hoist the body (see
+            # bench_jax_eval): never-taken select on the int accumulator
+            wid = jnp.asarray(b["word_ids"])
+            wid = jnp.where(acc < -1, wid + 1, wid)
+            out = fn(params, feats, jnp.asarray(b["boxes"]), wid,
+                     jnp.asarray(b["frame_mask"]),
+                     jnp.asarray(b["word_mask"]),
+                     jnp.asarray(b["region_mask"]))
+            return acc + jnp.sum(out["region"]), None
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None,
+                              length=steps_per_call)
+        return acc
+
+    _PROGRESS["stage"] = "compile"
+    int(serves(params, feats))
+    ncalls = max(1, iters // steps_per_call)
+    _PROGRESS["stage"] = "measure"
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(ncalls):
+            acc = serves(params, feats)
+        int(acc)                      # real device->host fetch bounds it
+        best = min(best, time.perf_counter() - t0)
+        _PROGRESS["value"] = round(
+            s["B"] * s["T"] * ncalls * steps_per_call / best, 1)
+    dt = best / (ncalls * steps_per_call)
+    return s["B"] * s["T"] / dt, dt
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
@@ -547,16 +602,18 @@ def main():
     p.add_argument("--no-pallas", action="store_true",
                    help="alias for --kernels jnp")
     p.add_argument("--remeasure-baseline", action="store_true")
-    p.add_argument("--mode", choices=("train", "eval", "e2e"),
+    p.add_argument("--mode", choices=("train", "eval", "e2e", "serve"),
                    default="train",
                    help="e2e = config-5 inline step (frames -> frozen "
-                        "detector -> fused losses in one XLA program)")
+                        "detector -> fused losses in one XLA program); "
+                        "serve = the nafae_tpu.serve inference program")
     args = p.parse_args()
     s = QUICK if args.quick else SHAPES
     _PROGRESS["metric"] = {
         "train": "grounding_train_frames_per_sec_per_chip",
         "eval": "grounding_eval_frames_per_sec_per_chip",
         "e2e": "inline_extract_train_frames_per_sec_per_chip",
+        "serve": "grounding_serve_frames_per_sec_per_chip",
     }[args.mode]
     # honor NAFAE_PLATFORM=cpu for off-chip smoke runs (pair with
     # NAFAE_BENCH_ALLOW_CPU=1): without the config-level override, the
@@ -575,6 +632,17 @@ def main():
         if flops is None or not on_tpu:
             return None
         return round(flops / dt / PEAK_FLOPS, 4)
+
+    if args.mode == "serve":
+        fps, dt = bench_jax_serve(s, iters=args.iters)
+        _emit({
+            "value": round(fps, 1),
+            "vs_baseline": None,
+            "step_us": round(dt * 1e6, 1),
+            "flops_per_step": eval_step_flops(s),
+            "mfu": _mfu(eval_step_flops(s), dt),
+        })
+        return
 
     if args.mode == "eval":
         fps, dt = bench_jax_eval(s, iters=args.iters)

@@ -12,7 +12,7 @@ OUT=${OUT:-/tmp/bench_battery}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.." || exit 2
 modes=("$@")
-[ ${#modes[@]} -eq 0 ] && modes=(train e2e eval)
+[ ${#modes[@]} -eq 0 ] && modes=(train e2e eval serve)
 for mode in "${modes[@]}"; do
   JAX_PLATFORMS='' NAFAE_BENCH_DEADLINE="${NAFAE_BENCH_DEADLINE:-1380}" \
     timeout "${BENCH_TIMEOUT:-1500}" \
