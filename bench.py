@@ -590,10 +590,12 @@ def bench_jax_serve(s, iters=256, steps_per_call=256):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
-    # 1024 iters at steps_per_call=256 = 4 scan calls per timing, so the
-    # ~30 ms tunnel round-trip of the bounding fetch amortizes to ~29
-    # us/step (at 256 it was ~117 us/step — measurement, not compute).
-    p.add_argument("--iters", type=int, default=1024)
+    # 2048 iters at steps_per_call=256 = 8 scan calls per timing, so the
+    # ~30 ms tunnel round-trip of the bounding fetch amortizes to ~15
+    # us/step (1024 -> ~29, 256 -> ~117 — measurement, not compute). The
+    # scan length (and thus the compiled program) is unchanged; the extra
+    # wall cost is ~4 s across the best-of-4 repeats.
+    p.add_argument("--iters", type=int, default=2048)
     p.add_argument("--kernels", choices=("auto", "pallas", "jnp"),
                    default="auto",
                    help="kernel routing: auto = XLA cross path + Pallas "
