@@ -304,16 +304,25 @@ def bench_jax_eval(s, iters=256, steps_per_call=256):
     @jax.jit
     def evals(params, feats):
         def body(acc, _):
-            # the body must DEPEND on the carry or XLA's loop-invariant code
-            # motion hoists the whole evaluation out of the scan and the
-            # timing measures one iteration instead of steps_per_call. The
-            # where() below is data-dependent on acc (never taken: acc >= 0)
-            # and costs one [B,K] select — unhoistable, unmeasurable.
+            # EVERY op in the body must DEPEND on the carry or XLA's
+            # loop-invariant code motion hoists it out of the scan and the
+            # timing amortizes it over steps_per_call (the r3 lesson: the
+            # projection — 13.4 of the 13.5 GFLOPs — depended only on the
+            # loop-invariant feats+params and was hoisted in the serve
+            # variant, yielding an impossible MFU=1.01). The never-taken
+            # selects below (acc >= 0 always) are data-dependent on acc:
+            # wid guards the word path, the w_v perturbation guards the
+            # projection matmul (costs one 2 MB broadcast-add, ~5 us —
+            # unlike perturbing feats, which would add a 107 MB round-trip).
             wid = jnp.asarray(b["word_ids"])
             wid = jnp.where(acc < -1.0, wid + 1, wid)
+            eps = jnp.where(acc < -1.0, 1.0, 0.0)
             with Gr.matmul_precision("default"):
                 w = Gr.embed_words(wid, params["word_emb"])
-                v = Gr.project_regions(feats, params["w_v"], params["b_v"],
+                v = Gr.project_regions(feats,
+                                       params["w_v"] + eps.astype(
+                                           params["w_v"].dtype),
+                                       params["b_v"],
                                        dtype=jnp.bfloat16)
                 sim = Gr.similarity_tensor(w, v, dtype=jnp.bfloat16)
                 correct, gm = grounding_hits(sim, jnp.asarray(b["boxes"]),
@@ -557,11 +566,17 @@ def bench_jax_serve(s, iters=256, steps_per_call=256):
     @jax.jit
     def serves(params, feats):
         def body(acc, _):
-            # carry-dependent input so LICM can't hoist the body (see
-            # bench_jax_eval): never-taken select on the int accumulator
+            # carry-dependent inputs so LICM can't hoist ANY of the body
+            # (see bench_jax_eval's guard note — wid alone left the
+            # projection matmul hoistable, which showed as MFU=1.01 here):
+            # never-taken selects on the int accumulator perturb both the
+            # word ids and the projection weight
             wid = jnp.asarray(b["word_ids"])
             wid = jnp.where(acc < -1, wid + 1, wid)
-            out = fn(params, feats, jnp.asarray(b["boxes"]), wid,
+            eps = jnp.where(acc < -1, 1.0, 0.0)
+            p = dict(params)
+            p["w_v"] = params["w_v"] + eps.astype(params["w_v"].dtype)
+            out = fn(p, feats, jnp.asarray(b["boxes"]), wid,
                      jnp.asarray(b["frame_mask"]),
                      jnp.asarray(b["word_mask"]),
                      jnp.asarray(b["region_mask"]))
