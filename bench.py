@@ -1,6 +1,13 @@
 """Benchmark: grounding training throughput (frames/sec/chip) vs torch-cpu reference.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline"}
+first. A full train run (the driver's invocation) then also notarizes the
+other three modes — one JSON line each for eval / serve / e2e (value,
+step_us, flops_per_step, mfu, or an error field), still under the deadline
+watchdog — and finally REPEATS the headline line, so a parser taking either
+the first or the last JSON line of the tail reads the train metric
+(VERDICT r3 #4). Single-mode and --quick runs print one line as before
+(--battery / --no-battery overrides).
 
 The reference (jshi31/NAFAE lineage) never published throughput, so per
 BASELINE.md the baseline is self-measured: a *vectorized* torch-cpu
@@ -42,10 +49,19 @@ _PROGRESS = {
     "vs_baseline": None,
 }
 _EMITTED = False
+_HEADLINE = None        # the emitted headline dict (re-printed after a battery)
+_BATTERY_PENDING = []   # battery modes not yet printed (stubs on kill/deadline)
+
+_MODE_METRICS = {
+    "train": "grounding_train_frames_per_sec_per_chip",
+    "eval": "grounding_eval_frames_per_sec_per_chip",
+    "e2e": "inline_extract_train_frames_per_sec_per_chip",
+    "serve": "grounding_serve_frames_per_sec_per_chip",
+}
 
 
 def _emit(extra=None, error=None):
-    global _EMITTED
+    global _EMITTED, _HEADLINE
     if _EMITTED:
         return
     _EMITTED = True
@@ -58,13 +74,43 @@ def _emit(extra=None, error=None):
         out["vs_baseline"] = round(out["value"] / base_fps, 2)
     if error and out.get("value") is None:
         out["error"] = error
+    _HEADLINE = out
     print(json.dumps(out))
     sys.stdout.flush()
 
 
+def _emit_battery_line(mode, fields):
+    """One notarization JSON line per non-headline mode (VERDICT r3 #4).
+    Driver keys present on every line; "mode" disambiguates."""
+    out = {"metric": _MODE_METRICS[mode], "mode": mode, "value": None,
+           "unit": "frames/sec", "vs_baseline": None}
+    out.update(fields)
+    if mode in _BATTERY_PENDING:
+        _BATTERY_PENDING.remove(mode)
+    print(json.dumps(out))
+    sys.stdout.flush()
+
+
+def _finalize(error=None):
+    """Emit everything still owed: the headline (if not yet out), stub lines
+    for unmeasured battery modes, and — when a battery ran/was running — a
+    final repeat of the headline line, so the driver's parsed record is the
+    train metric whether it takes the FIRST or the LAST JSON line."""
+    had_battery = bool(_BATTERY_PENDING)
+    _emit(error=error)
+    for m in list(_BATTERY_PENDING):
+        _emit_battery_line(m, {"error": error or "not_measured"})
+    if (had_battery or _BATTERY_FINAL_REPRINT) and _HEADLINE is not None:
+        print(json.dumps(_HEADLINE))
+        sys.stdout.flush()
+
+
+_BATTERY_FINAL_REPRINT = False  # set once battery lines were printed
+
+
 def _on_kill(signum, frame):
-    _emit(error=f"killed_by_signal_{signum}_during_"
-                + str(_PROGRESS.get("stage", "init")))
+    _finalize(error=f"killed_by_signal_{signum}_during_"
+                    + str(_PROGRESS.get("stage", "init")))
     os._exit(1)
 
 
@@ -83,7 +129,7 @@ def _deadline_thread():
         remain = _DEADLINE - (time.time() - t0)
         if remain > 0:
             time.sleep(remain)
-        _emit(error="deadline_" + str(_PROGRESS.get("stage", "init")))
+        _finalize(error="deadline_" + str(_PROGRESS.get("stage", "init")))
         os._exit(1)
 
     threading.Thread(target=run, daemon=True).start()
@@ -182,6 +228,16 @@ def train_step_flops(s):
 def eval_step_flops(s):
     B, T, R, D, E, K = s["B"], s["T"], s["R"], s["D"], s["E"], s["K"]
     return 2 * B * T * R * D * E + 2 * B * K * T * R * E
+
+
+def serve_step_flops(s):
+    """MXU FLOPs of the serving program (make_ground_fn at the bench's
+    config1 preset): projection + similarity — the SAME matmul terms as
+    eval_step_flops. The serving extras (frame-attention softmax, argmax,
+    box gather, β) are VPU/gather work with zero matmul FLOPs, so sharing
+    the denominator is deliberate, not borrowed (r3 ADVICE #4: make the
+    recorded serve MFU traceable)."""
+    return eval_step_flops(s)
 
 
 _LAST_PROGRAM = None   # (jitted multi, args) of the last measured program
@@ -624,14 +680,17 @@ def main():
                    help="e2e = config-5 inline step (frames -> frozen "
                         "detector -> fused losses in one XLA program); "
                         "serve = the nafae_tpu.serve inference program")
+    p.add_argument("--battery", dest="battery", action="store_true",
+                   default=None,
+                   help="after the train headline, also measure + emit one "
+                        "JSON line per other mode (eval/serve/e2e), then "
+                        "repeat the headline as the final line — the "
+                        "driver's BENCH artifact notarizes all four modes "
+                        "(default: on for full train runs, off for --quick)")
+    p.add_argument("--no-battery", dest="battery", action="store_false")
     args = p.parse_args()
     s = QUICK if args.quick else SHAPES
-    _PROGRESS["metric"] = {
-        "train": "grounding_train_frames_per_sec_per_chip",
-        "eval": "grounding_eval_frames_per_sec_per_chip",
-        "e2e": "inline_extract_train_frames_per_sec_per_chip",
-        "serve": "grounding_serve_frames_per_sec_per_chip",
-    }[args.mode]
+    _PROGRESS["metric"] = _MODE_METRICS[args.mode]
     # honor NAFAE_PLATFORM=cpu for off-chip smoke runs (pair with
     # NAFAE_BENCH_ALLOW_CPU=1): without the config-level override, the
     # first jax import below initializes the TPU backend — which HANGS for
@@ -656,8 +715,8 @@ def main():
             "value": round(fps, 1),
             "vs_baseline": None,
             "step_us": round(dt * 1e6, 1),
-            "flops_per_step": eval_step_flops(s),
-            "mfu": _mfu(eval_step_flops(s), dt),
+            "flops_per_step": serve_step_flops(s),
+            "mfu": _mfu(serve_step_flops(s), dt),
         })
         return
 
@@ -714,6 +773,49 @@ def main():
         "flops_per_step": flops,
         "mfu": _mfu(flops, dt),
     })
+
+    # ---- four-mode notarization battery (VERDICT r3 #4) -------------------
+    # The headline above is out; now measure the other three modes in THIS
+    # process (still under the deadline watchdog — _finalize prints stub
+    # lines for anything unmeasured) and repeat the headline as the final
+    # line so the driver's parsed record stays the train metric whichever
+    # end of the tail it reads.
+    global _BATTERY_FINAL_REPRINT
+    battery = args.battery if args.battery is not None else not args.quick
+    if battery:
+        _BATTERY_PENDING.extend(["eval", "serve", "e2e"])
+        _BATTERY_FINAL_REPRINT = True
+        for mode in ("eval", "serve"):
+            _PROGRESS["stage"] = f"battery_{mode}"
+            try:
+                bfn = bench_jax_eval if mode == "eval" else bench_jax_serve
+                bfps, bdt = bfn(s, iters=args.iters)
+                bflops = (eval_step_flops if mode == "eval"
+                          else serve_step_flops)(s)
+                _emit_battery_line(mode, {
+                    "value": round(bfps, 1),
+                    "step_us": round(bdt * 1e6, 1),
+                    "flops_per_step": bflops,
+                    "mfu": _mfu(bflops, bdt)})
+            except Exception as e:
+                _emit_battery_line(mode, {"error": f"{type(e).__name__}: {e}"})
+        _PROGRESS["stage"] = "battery_e2e"
+        try:
+            kw = dict(iters=min(args.iters, 1024))
+            if args.quick:
+                kw.update(image_size=64, b=1, t=2, steps_per_call=4)
+            bfps, bdt, _ = bench_inline(**kw)
+            bflops = (cost_analysis_flops(_LAST_PROGRAM[0], *_LAST_PROGRAM[1])
+                      if _LAST_PROGRAM else None)
+            _emit_battery_line("e2e", {
+                "value": round(bfps, 1),
+                "step_us": round(bdt * 1e6, 1),
+                "flops_per_step": bflops,
+                "mfu": _mfu(bflops, bdt)})
+        except Exception as e:
+            _emit_battery_line("e2e", {"error": f"{type(e).__name__}: {e}"})
+        print(json.dumps(_HEADLINE))
+        sys.stdout.flush()
 
 
 if __name__ == "__main__":

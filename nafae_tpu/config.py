@@ -61,9 +61,18 @@ class LossConfig:
                                   # L176/L220-225: the reference accumulates
                                   # selected region features across the
                                   # epoch before k-means; docs/MATH.md).
-                                  # "bank" needs a single frame bucket.
+                                  # Multi-bucket datasets share one bank
+                                  # (smaller buckets zero-pad their slot);
+                                  # bank + multiple buckets needs
+                                  # mesh.frame_axis=1 (validated at load).
     bank_steps: int = 32          # ring depth W ("bank" source): k-means
                                   # sees the last W steps' selections
+    kmeans_init: str = "random"   # center seeding (docs/MATH.md [CHOICE]):
+                                  # "random" (unit-norm gaussian) |
+                                  # "plusplus" (on-device k-means++ over
+                                  # the first step's selections, Gumbel-max
+                                  # weighted draws; exact under any mesh —
+                                  # ops/kmeans.kmeans_plusplus_init)
 
 
 @dataclass
@@ -305,6 +314,19 @@ def validate(cfg: Config) -> Config:
             f"loss.ctx_window={cfg.loss.ctx_window} but the context path is "
             "on (loss.ctx_weight>0 or model.frame_pool=context) — the "
             "temporal window must be >= 1")
+    if cfg.loss.kmeans_init not in ("random", "plusplus"):
+        raise ValueError(
+            f"unknown loss.kmeans_init {cfg.loss.kmeans_init!r}; "
+            "choose random | plusplus")
+    if (cfg.loss.kmeans_source == "bank" and cfg.loss.cluster_weight > 0
+            and len(cfg.data.frame_buckets) > 1 and cfg.mesh.frame_axis > 1):
+        # a frame-sharded ring slot lays a smaller bucket's pad out
+        # per-shard, so the global bank row order would differ from the
+        # single-device run — fail at config load, not at trace time
+        raise ValueError(
+            "loss.kmeans_source='bank' with multiple data.frame_buckets "
+            "requires mesh.frame_axis=1 (the frame-sharded bank slot "
+            "cannot pad smaller buckets consistently across SP shards)")
     if cfg.model.matmul_precision not in ("highest", "default"):
         # everything-else would silently map to DEFAULT (bf16 MXU passes,
         # ~1e-3 error) in ops.grounding.matmul_precision — a typo must not

@@ -73,7 +73,16 @@ def bank_write(bank: jax.Array, bank_valid: jax.Array, step: jax.Array,
     steps are evicted at once, so the ring layout is identical on a single
     device and on any mesh (the bank shards exactly like the activations it
     stores; no collectives are needed to maintain it).
+
+    Smaller writes (a batch from a smaller frame bucket than the bank was
+    sized for) zero-pad each dim up to the slot shape with valid=0 — the
+    whole-slot overwrite evicts stale rows, and Lloyd ignores invalid rows,
+    so multi-bucket datasets share one bank.
     """
+    if f.shape != bank.shape[1:]:
+        pads = [(0, b - s) for s, b in zip(f.shape, bank.shape[1:])]
+        f = jnp.pad(f, pads)
+        valid = jnp.pad(valid, pads[:valid.ndim])
     slot = step % bank.shape[0]
     return (bank.at[slot].set(f.astype(bank.dtype)),
             bank_valid.at[slot].set(valid.astype(bank_valid.dtype)))
@@ -85,19 +94,30 @@ def kmeans_init(key: jax.Array, num_clusters: int, dim: int) -> jax.Array:
 
 
 def kmeans_plusplus_init(key: jax.Array, f: jax.Array, valid: jax.Array,
-                         num_clusters: int) -> jax.Array:
+                         num_clusters: int,
+                         axis_names: tuple = (),
+                         gather_dims: tuple = ()) -> jax.Array:
     """On-device k-means++ seeding: next center drawn ∝ min-sq-distance.
 
-    f [N,E], valid [N]. Uses the Gumbel-max trick for the weighted draw so the
-    whole init is one jitted fori_loop (no host round-trips).
+    f [..., E] candidate features (flattened internally), valid f.shape[:-1]
+    (0/1). Uses the Gumbel-max trick for the weighted draw so the whole init
+    is one jitted fori_loop (no host round-trips). Wired into training via
+    ``loss.kmeans_init="plusplus"`` (seeds the centers from the first step's
+    selections, before the first Lloyd refresh).
 
-    SINGLE-DEVICE ONLY (not wired into any training config): unlike
-    kmeans_lloyd there is no axis_name/psum form — under a mesh each device
-    would Gumbel-sample from its LOCAL shard and seed divergent centers,
-    breaking the replicated-centers invariant. To adopt it under DP,
-    all_gather the candidate features first (init-time only, so the gather
-    is a one-off), or add a psum-reduced distance/argmax form.
+    Mesh form (exact, tested == single device): pass the UNFLATTENED shard
+    with ``axis_names``/``gather_dims`` zipped — each named mesh axis is
+    all_gathered back along its layout dim, reconstructing the global row
+    order; every device then runs the identical seeding with the same
+    (replicated) key, and the bitwise-identical result is pmax-replicated
+    so the replicated-centers invariant holds under vma checking. Init-time
+    only, so the one-off gather is the entire collective cost.
     """
+    for ax, dim in zip(axis_names, gather_dims):
+        f = jax.lax.all_gather(f, ax, axis=dim, tiled=True)
+        valid = jax.lax.all_gather(valid, ax, axis=dim, tiled=True)
+    f = f.reshape(-1, f.shape[-1])
+    valid = valid.reshape(-1)
     n, e = f.shape
     neg = -1e30
 
@@ -118,4 +138,10 @@ def kmeans_plusplus_init(key: jax.Array, f: jax.Array, valid: jax.Array,
         return centers, d2, key
 
     centers, _, _ = jax.lax.fori_loop(1, num_clusters, body, (centers, d2, key))
-    return l2_normalize(centers)
+    centers = l2_normalize(centers)
+    if axis_names:
+        # every device computed the identical value from the gathered rows;
+        # pmax is bitwise-exact on equal inputs and marks the result
+        # device-invariant (replicated centers, like kmeans_lloyd's psums)
+        centers = jax.lax.pmax(centers, axis_names)
+    return centers

@@ -8,9 +8,11 @@ the thin, testable layer that takes the existing single-process mesh path
 
 - ``init_multihost``: `jax.distributed.initialize` wrapper (coordinator
   address / process count / process id from args or the standard
-  JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars;
-  on real TPU pods jax autodetects all three from the TPU metadata and
-  the wrapper is a pass-through).
+  JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars).
+  When nothing is configured but the environment looks like a cluster
+  (TPU pod / SLURM / MPI env markers), it attempts jax's own autodetecting
+  bare ``initialize()``; otherwise it warns and stays single-process so a
+  pod launch can never *silently* degrade to one host.
 - ``process_shard``: the per-process slice of a dataset — disjoint,
   covering, and deterministic, so every global batch row is read by
   exactly one host.
@@ -28,6 +30,7 @@ tests/test_multihost.py's real 2-process CPU cluster.
 from __future__ import annotations
 
 import os
+import warnings
 
 import numpy as np
 
@@ -35,29 +38,79 @@ import jax
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
+# Env markers of a multi-process launch environment whose parameters jax's
+# bare ``jax.distributed.initialize()`` knows how to autodetect. Only when
+# one of these is present do we attempt the bare call — its cloud-TPU
+# detector may block on metadata queries on ordinary hosts.
+_CLUSTER_ENV_HINTS = (
+    "MEGASCALE_COORDINATOR_ADDRESS",        # multislice TPU
+    "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID",  # GCE/GKE TPU pod runtime
+    "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",   # slurm / open-mpi clusters
+    "NAFAE_MULTIHOST_AUTODETECT",             # explicit opt-in override
+)
+
+
+def _distributed_client_live() -> bool:
+    """True iff jax.distributed.initialize already ran in this process.
+
+    Checked through jax's distributed global state — NOT through
+    ``jax.process_count()``, which initializes the XLA backend and would
+    make a subsequent ``initialize()`` raise (it must run before any
+    backend-touching call)."""
+    try:
+        from jax._src import distributed as _dist
+        return _dist.global_state.client is not None
+    except Exception:                                    # pragma: no cover
+        return False
+
 
 def init_multihost(coordinator: str | None = None,
                    num_processes: int | None = None,
                    process_id: int | None = None) -> bool:
     """Initialize jax.distributed for a multi-process run.
 
-    Returns True when a multi-process runtime was initialized (or already
+    Returns True when a distributed runtime was initialized (or already
     was), False for a plain single-process run (no coordinator configured
-    anywhere). Safe to call twice.
+    or detectable anywhere). Safe to call twice.
+
+    Order matters: ``jax.distributed.initialize`` must run BEFORE anything
+    that initializes the XLA backend (even ``jax.process_count()``), so all
+    configuration is read from args/env first and jax is only queried on
+    paths that no longer need to call ``initialize``.
     """
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    if jax.process_count() > 1:
-        return True          # already initialized (e.g. TPU pod autodetect)
-    if coordinator is None and num_processes is None:
-        return False
-    jax.distributed.initialize(coordinator_address=coordinator,
-                               num_processes=num_processes,
-                               process_id=process_id)
-    return True
+
+    if _distributed_client_live():
+        return True                        # initialized earlier; idempotent
+    if coordinator is not None or num_processes is not None:
+        # Explicitly configured launch (args or JAX_* env vars).
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return True
+    if any(os.environ.get(k) for k in _CLUSTER_ENV_HINTS):
+        # Cluster environment with no explicit coordinator: jax's bare
+        # initialize() autodetects (TPU pod metadata, SLURM, MPI). Attempt
+        # it so a pod launch cannot silently train single-host.
+        try:
+            jax.distributed.initialize()
+            return True
+        except Exception as e:             # detection failed — be loud
+            warnings.warn(
+                f"--multihost: cluster env markers present but "
+                f"jax.distributed.initialize() autodetection failed ({e}); "
+                f"continuing SINGLE-process. Set JAX_COORDINATOR_ADDRESS/"
+                f"JAX_NUM_PROCESSES/JAX_PROCESS_ID to configure explicitly.")
+            return False
+    warnings.warn(
+        "--multihost requested but no coordinator is configured "
+        "(JAX_COORDINATOR_ADDRESS unset) and no cluster environment was "
+        "detected; continuing SINGLE-process with the global batch size.")
+    return False
 
 
 def process_shard(n: int, process_id: int | None = None,

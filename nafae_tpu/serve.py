@@ -17,10 +17,15 @@ three ways:
    (and a newer jax can refuse/accept it along official compatibility
    guarantees). ``load_exported`` round-trips it.
 3. ``python -m nafae_tpu.serve`` / ``nafae-serve`` — a stdlib HTTP
-   endpoint (POST /ground, GET /healthz) over 1+2. Single worker by
-   design: the TPU chip is exclusive (CLAUDE.md), so requests are
-   serialized through one device queue; batching, not threading, is the
-   throughput lever.
+   endpoint (POST /ground, GET /healthz) over 1+2. Concurrency model:
+   handler threads (ThreadingHTTPServer) parse/validate requests and
+   block on a future; ONE dispatcher thread owns the device queue (the
+   TPU chip is exclusive, CLAUDE.md) and coalesces segments across
+   in-flight requests into compiled-size batches — cross-request
+   micro-batching, so N concurrent small requests cost ~ceil(total/B)
+   device programs instead of N. Requests are bounded (body bytes,
+   segments per request, wall timeout) so one client cannot wedge the
+   endpoint.
 
 No new math lives here — everything routes through ops/grounding so the
 torch-oracle parity tests cover the serving path's numerics too.
@@ -240,6 +245,17 @@ class GroundingServer:
         if feats.ndim != 3 or feats.shape[-1] != dc.feat_dim:
             raise ValueError(
                 f"feats must be [T,R,{dc.feat_dim}], got {feats.shape}")
+        # Over-length segments are REJECTED, not silently truncated
+        # (pad_sample clamps — a clamp here would ground only a prefix of
+        # the request with no indication anything was dropped).
+        if feats.shape[0] > dc.max_frames:
+            raise ValueError(
+                f"segment has {feats.shape[0]} frames > max_frames="
+                f"{dc.max_frames}; split it or serve a larger bucket")
+        if feats.shape[1] > dc.num_regions:
+            raise ValueError(
+                f"segment has {feats.shape[1]} regions > num_regions="
+                f"{dc.num_regions}")
         boxes = np.asarray(seg.get("boxes",
                                    np.zeros(feats.shape[:2] + (4,))),
                            np.float32)
@@ -259,6 +275,10 @@ class GroundingServer:
                 "segment needs one of: word_ids | words | sentence")
         if word_ids.size == 0:
             raise ValueError("segment has no known object words")
+        if word_ids.size > dc.max_words:
+            raise ValueError(
+                f"segment has {word_ids.size} object words > max_words="
+                f"{dc.max_words}")
         rm = seg.get("region_mask")
         if rm is not None:
             rm = np.asarray(rm, np.float32)
@@ -268,7 +288,13 @@ class GroundingServer:
     def ground_segments(self, segments: list[dict]) -> list[dict]:
         """segments: [{feats [T,R,D], boxes [T,R,4]?, words|word_ids|
         sentence, region_mask?}] -> per-segment grounding dicts."""
-        samples = [self._pad_segment(s) for s in segments]
+        return self._ground_samples([self._pad_segment(s)
+                                     for s in segments])
+
+    def _ground_samples(self, samples: list[dict]) -> list[dict]:
+        """Run already-padded samples through the compiled program in
+        batch_size chunks (the dispatcher's entry point — exactly one
+        thread may call the device at a time)."""
         results: list[dict] = []
         bs = self.batch_size
         for lo in range(0, len(samples), bs):
@@ -313,16 +339,22 @@ class GroundingServer:
                                   if m > 0],
                 "video_score": float(out["video_score"])}
 
-    # -- HTTP front end (stdlib; single-threaded by design: the chip is
-    #    exclusive, so one device queue is the correct concurrency model)
+    # -- HTTP front end: ThreadingHTTPServer handlers parse + validate,
+    #    then hand padded samples to ONE dispatcher thread that owns the
+    #    device queue (the chip is exclusive) and micro-batches across
+    #    concurrent requests.
 
     def serve_http(self, host: str = "127.0.0.1", port: int = 8000,
-                   ready_cb=None):
-        from http.server import BaseHTTPRequestHandler, HTTPServer
+                   ready_cb=None, max_request_bytes: int = 64 << 20,
+                   max_segments: int = 64, request_timeout: float = 120.0):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
         server_ref = self
+        dispatcher = _BatchDispatcher(self)
 
         class Handler(BaseHTTPRequestHandler):
+            timeout = 60                          # socket read timeout
+
             def log_message(self, fmt, *args):   # quiet by default
                 pass
 
@@ -338,7 +370,8 @@ class GroundingServer:
                 if self.path == "/healthz":
                     self._send(200, {"ok": True,
                                      "backend": jax.default_backend(),
-                                     "batch_size": server_ref.batch_size})
+                                     "batch_size": server_ref.batch_size,
+                                     "queue_depth": dispatcher.depth()})
                 else:
                     self._send(404, {"error": "not found"})
 
@@ -348,20 +381,137 @@ class GroundingServer:
                     return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
+                except (TypeError, ValueError):
+                    self._send(400, {"error": "bad Content-Length"})
+                    return
+                if n <= 0:
+                    self._send(411, {"error": "Content-Length required"})
+                    return
+                if n > max_request_bytes:
+                    self._send(413, {
+                        "error": f"request body {n} bytes > limit "
+                                 f"{max_request_bytes}"})
+                    return
+                try:
                     req = json.loads(self.rfile.read(n))
                     segs = req["segments"]
-                    out = server_ref.ground_segments(segs)
-                    self._send(200, {"results": out})
+                    if not isinstance(segs, list) or not segs:
+                        raise ValueError("segments must be a non-empty list")
+                    if len(segs) > max_segments:
+                        raise ValueError(
+                            f"{len(segs)} segments > max_segments="
+                            f"{max_segments} per request")
+                    # validate/pad in the handler thread so a bad segment
+                    # 400s THIS request without failing coalesced peers
+                    samples = [server_ref._pad_segment(s) for s in segs]
                 except (KeyError, ValueError, TypeError) as e:
                     self._send(400, {"error": str(e)})
+                    return
+                try:
+                    out = dispatcher.submit(samples, segs,
+                                            timeout=request_timeout)
+                except TimeoutError:
+                    self._send(503, {"error": "inference timed out"})
+                    return
+                except Exception as e:           # device-side failure
+                    self._send(500, {"error": str(e)})
+                    return
+                self._send(200, {"results": out})
 
-        httpd = HTTPServer((host, port), Handler)
+        class _Server(ThreadingHTTPServer):
+            daemon_threads = True
+
+        httpd = _Server((host, port), Handler)
         if ready_cb is not None:
             ready_cb(httpd)
         try:
             httpd.serve_forever()
         finally:
             httpd.server_close()
+            dispatcher.close()
+
+
+class _BatchDispatcher:
+    """Single device-owner thread + request queue with cross-request
+    micro-batching.
+
+    ``submit`` enqueues one request's padded samples and blocks on a
+    future; the dispatcher thread drains everything currently queued,
+    concatenates the samples, runs them through
+    ``GroundingServer._ground_samples`` (which chunks to the compiled
+    batch size), and scatters per-request result slices back to each
+    future. Coalescing means N concurrent 1-segment requests execute as
+    ~ceil(N / batch_size) device programs rather than N.
+    """
+
+    def __init__(self, server: "GroundingServer"):
+        import queue
+        import threading
+
+        self._server = server
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="nafae-serve-dispatcher")
+        self._thread.start()
+
+    def depth(self) -> int:
+        return self._q.qsize()
+
+    def submit(self, samples: list[dict], segs: list[dict],
+               timeout: float | None = None) -> list[dict]:
+        from concurrent.futures import Future
+
+        if self._closed:
+            raise RuntimeError("dispatcher closed")
+        fut: Future = Future()
+        self._q.put((samples, segs, fut))
+        try:
+            return fut.result(timeout=timeout)
+        except TimeoutError:
+            fut.cancel()          # un-started work is dropped, not run
+            raise
+
+    def close(self):
+        self._closed = True
+        self._q.put(None)
+        self._thread.join(timeout=10)
+
+    def _run(self):
+        import queue
+
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            items = [item]
+            # coalesce whatever else is already queued (up to a few
+            # compiled batches' worth — keep per-iteration latency bounded)
+            cap = 4 * self._server.batch_size
+            while sum(len(s) for s, _, _ in items) < cap:
+                try:
+                    nxt = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._q.put(None)     # re-post the close sentinel
+                    break
+                items.append(nxt)
+            items = [(s, g, f) for s, g, f in items
+                     if f.set_running_or_notify_cancel()]
+            if not items:
+                continue
+            flat = [s for ss, _, _ in items for s in ss]
+            try:
+                results = self._server._ground_samples(flat)
+            except Exception as e:
+                for _, _, fut in items:
+                    fut.set_exception(e)
+                continue
+            lo = 0
+            for ss, _, fut in items:
+                fut.set_result(results[lo:lo + len(ss)])
+                lo += len(ss)
 
 
 # -------------------------------------------------------------------- CLI

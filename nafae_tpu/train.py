@@ -53,15 +53,12 @@ class TrainState:
         tx = make_optimizer(cfg)
         bank = bank_valid = None
         if cfg.loss.kmeans_source == "bank" and cfg.loss.cluster_weight > 0:
-            if len(cfg.data.frame_buckets) > 1:
-                raise ValueError(
-                    "loss.kmeans_source='bank' needs a single frame bucket "
-                    "(the bank's T dim is static)")
             w, b = cfg.loss.bank_steps, cfg.data.batch_size
-            # T must match the batches the loader actually emits: the
-            # single bucket's size when one is configured (it may be
-            # smaller than max_frames), else max_frames
-            t = (cfg.data.frame_buckets[0] if cfg.data.frame_buckets
+            # T = the LARGEST batch shape the loader can emit (the biggest
+            # bucket, which may be smaller than max_frames); smaller
+            # buckets zero-pad their slot in bank_write (valid=0), so all
+            # buckets share one statically-shaped ring
+            t = (max(cfg.data.frame_buckets) if cfg.data.frame_buckets
                  else cfg.data.max_frames)
             k = cfg.data.max_words
             bank = jnp.zeros((w, b, t, k, cfg.model.embed_dim), jnp.float32)
@@ -326,6 +323,29 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
             else:
                 f = sel_f.reshape(-1, cfg.model.embed_dim)
                 valid = sel_v.reshape(-1)
+            if cfg.loss.kmeans_init == "plusplus":
+                # k-means++ seeding from the first step's selections,
+                # before the first Lloyd refresh. The mesh form gathers
+                # the UNFLATTENED layout back to the global row order so
+                # the seeding is bitwise-identical to the single-device
+                # run (ops/kmeans.kmeans_plusplus_init).
+                from nafae_tpu.ops.kmeans import kmeans_plusplus_init
+                if cfg.loss.kmeans_source == "bank" and bank is not None:
+                    f_nd, v_nd, bdim, tdim = bank, bank_valid, 1, 2
+                else:
+                    f_nd, v_nd, bdim, tdim = sel_f, sel_v, 0, 1
+                names, dims = [], []
+                if data_axis:
+                    names.append(data_axis), dims.append(bdim)
+                if frame_axis:
+                    names.append(frame_axis), dims.append(tdim)
+                seed_key = jax.random.PRNGKey(cfg.train.seed)
+                centers = jax.lax.cond(
+                    state.step == 0,
+                    lambda c: kmeans_plusplus_init(
+                        seed_key, f_nd, v_nd, cfg.loss.num_clusters,
+                        tuple(names), tuple(dims)),
+                    lambda c: c, centers)
             # lax.cond so the Lloyd iterations only run on refresh steps
             # (~2 ms/step saved). The predicate is the replicated step
             # counter, so under shard_map every device takes the same branch

@@ -78,6 +78,37 @@ def test_bench_main_json_contract():
     assert out["mfu"] is None  # CPU run: MFU only reported on TPU
 
 
+def test_bench_battery_notarizes_all_modes():
+    """A train run with --battery emits: headline, one line per other mode
+    (eval/serve/e2e with value or error), then the headline REPEATED — so
+    the driver's parsed record is the train metric whether it takes the
+    first or the last JSON line of the tail (VERDICT r3 #4)."""
+    env = dict(os.environ)
+    env["NAFAE_BENCH_ALLOW_CPU"] = "1"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import sys, tempfile, os;"
+         "sys.argv=['bench.py','--quick','--iters','2','--kernels','jnp',"
+         "'--battery'];"
+         "import bench;"
+         "bench.BASELINE_CACHE=os.path.join(tempfile.mkdtemp(),'c.json');"
+         "bench.main()"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."), timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(l) for l in r.stdout.strip().splitlines()
+             if l.startswith("{")]
+    assert len(lines) == 5, lines
+    assert lines[0] == lines[-1]                       # headline repeated
+    assert lines[0]["metric"] == "grounding_train_frames_per_sec_per_chip"
+    by_mode = {l["mode"]: l for l in lines[1:4]}
+    assert set(by_mode) == {"eval", "serve", "e2e"}
+    for mode, l in by_mode.items():
+        assert {"metric", "value", "unit", "vs_baseline"} <= set(l), mode
+        assert (l["value"] and l["value"] > 0) or "error" in l, l
+
+
 def test_bench_emits_error_json_on_deadline():
     """A bench killed by its own deadline (the outage backstop: the driver's
     SIGTERM cannot interrupt a GIL-held C call, so a watchdog thread emits)

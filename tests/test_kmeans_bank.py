@@ -167,8 +167,85 @@ def test_bank_device_cache_mesh_matches_single_device(synth_root, tmp_path):
                                atol=1e-5)
 
 
-def test_bank_rejects_multiple_frame_buckets():
-    cfg = load_config(preset_name="config4", overrides=OV)
+def test_bank_multi_bucket_pads_slots(synth_root):
+    """Multi-bucket datasets share one bank sized to the largest bucket:
+    a smaller bucket's step zero-pads its slot (valid=0 there), evicting
+    the slot's previous contents wholesale."""
+    cfg = load_config(preset_name="config4", overrides=OV + [
+        f"data.root={synth_root}", "loss.kmeans_interval=1",
+        "loss.bank_steps=2"])
     cfg.data.frame_buckets = (4, 8)
-    with pytest.raises(ValueError, match="frame bucket"):
-        TrainState.create(jax.random.PRNGKey(0), cfg)
+    state = TrainState.create(jax.random.PRNGKey(0), cfg)
+    assert state.bank.shape[2] == 8          # sized to the biggest bucket
+
+    ds = SegmentDataset(synth_root, "train", cfg.data.max_frames,
+                        cfg.data.num_regions, cfg.data.feat_dim,
+                        cfg.data.max_words)
+    big = next(iter(BatchLoader(ds, cfg.data.batch_size, shuffle=True,
+                                seed=0)))
+    small = {k: (v[:, :4] if k in ("feats", "boxes", "frame_mask",
+                                   "region_mask") else v)
+             for k, v in big.items()}
+    fn = build_train_fn(cfg, None)            # one trace per batch shape
+    state, _ = fn(state, big)
+    assert np.abs(np.asarray(state.bank[0])).sum() > 0
+    state, _ = fn(state, small)               # slot 1: T=4 padded to 8
+    assert np.abs(np.asarray(state.bank[1][:, :4])).sum() > 0
+    np.testing.assert_array_equal(np.asarray(state.bank[1][:, 4:]), 0.0)
+    np.testing.assert_array_equal(np.asarray(state.bank_valid[1][:, 4:]),
+                                  0.0)
+    state, _ = fn(state, small)               # wraps onto slot 0: the big
+    np.testing.assert_array_equal(           # batch's frames 4.. evicted
+        np.asarray(state.bank[0][:, 4:]), 0.0)
+    assert np.isfinite(np.asarray(state.centers)).all()
+
+
+def test_bank_multi_bucket_sp_rejected_at_config_load():
+    """bank + multiple buckets + SP would shard the slot pad per-device;
+    the combination must fail at config load, not at trace time."""
+    with pytest.raises(ValueError, match="frame_axis=1"):
+        load_config(preset_name="config4", overrides=OV + [
+            "data.frame_buckets=[4,8]", "mesh.frame_axis=2"])
+
+
+@pytest.mark.parametrize("source,mesh_shape", [
+    ("batch", (4, 1)), ("batch", (2, 2)),
+    ("bank", (4, 1)), ("bank", (2, 2)),
+])
+def test_plusplus_init_mesh_matches_single_device(synth_root, source,
+                                                  mesh_shape):
+    """loss.kmeans_init=plusplus: the k-means++ seeding (first step, before
+    the first Lloyd refresh) is EXACT under DP and DP×SP — the mesh form
+    gathers candidates back to the global row order and seeds identically
+    on every device (ops/kmeans.kmeans_plusplus_init)."""
+    data, frame = mesh_shape
+    cfg = load_config(preset_name="config4", overrides=OV + [
+        f"data.root={synth_root}", "loss.kmeans_interval=1",
+        "loss.bank_steps=2", f"loss.kmeans_source={source}",
+        "loss.kmeans_init=plusplus",
+        f"mesh.data_axis={data}", f"mesh.frame_axis={frame}"])
+    batch = _one_batch(synth_root, cfg)
+    s1 = TrainState.create(jax.random.PRNGKey(0), cfg)
+    s2 = TrainState.create(jax.random.PRNGKey(0), cfg)
+    fn1 = build_train_fn(cfg, None)
+    fn2 = build_train_fn(cfg, make_mesh(data, frame,
+                                        devices=jax.devices()[:data * frame]))
+    for _ in range(2):
+        s1, m1 = fn1(s1, batch)
+        s2, m2 = fn2(s2, batch)
+    np.testing.assert_allclose(np.asarray(s1.centers), np.asarray(s2.centers),
+                               atol=1e-5)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=3e-4, atol=1e-5, err_msg=k)
+    # and the flag actually routes: plusplus centers differ from the
+    # random-init run's after the same step
+    cfg_r = load_config(preset_name="config4", overrides=OV + [
+        f"data.root={synth_root}", "loss.kmeans_interval=1",
+        "loss.bank_steps=2", f"loss.kmeans_source={source}"])
+    sr = TrainState.create(jax.random.PRNGKey(0), cfg_r)
+    sr, _ = build_train_fn(cfg_r, None)(sr, batch)
+    s1_once = TrainState.create(jax.random.PRNGKey(0), cfg)
+    s1_once, _ = fn1(s1_once, batch)
+    assert np.abs(np.asarray(s1_once.centers)
+                  - np.asarray(sr.centers)).max() > 1e-4

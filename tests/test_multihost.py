@@ -67,7 +67,10 @@ def test_process_shard_disjoint_cover():
 
 
 def test_init_multihost_noop_single_process():
-    assert init_multihost() is False       # no coordinator configured
+    # No coordinator configured and no cluster env markers: must decline
+    # LOUDLY (a pod launch may never silently degrade to one host).
+    with pytest.warns(UserWarning, match="SINGLE-process"):
+        assert init_multihost() is False
     assert jax.process_count() == 1
 
 
@@ -114,8 +117,16 @@ _WORKER = textwrap.dedent("""
     import jax
     jax.config.update("jax_platforms", "cpu")
     port, pid = sys.argv[1], int(sys.argv[2])
-    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                               num_processes=2, process_id=pid)
+    # Go through init_multihost's documented env-var launch path (the
+    # DEPLOY.md flow): JAX_* vars only, no direct initialize() call. This
+    # pins the order-of-operations contract — init_multihost must call
+    # jax.distributed.initialize BEFORE any backend-touching jax query.
+    os.environ["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    os.environ["JAX_NUM_PROCESSES"] = "2"
+    os.environ["JAX_PROCESS_ID"] = str(pid)
+    from nafae_tpu.parallel.multihost import init_multihost
+    assert init_multihost() is True
+    assert init_multihost() is True        # idempotent second call
     assert jax.process_count() == 2, jax.process_count()
     assert jax.device_count() == 8, jax.device_count()
 

@@ -103,6 +103,27 @@ def test_kmeans_empty_cluster_kept():
     np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
 
 
+def test_kmeans_plusplus_picks_normalized_valid_rows():
+    """Every seeded center is the l2-normalization of some VALID candidate
+    row; invalid rows are never drawn; distinct rows while enough exist."""
+    rng = np.random.RandomState(7)
+    f = rng.randn(24, 8).astype(np.float32)
+    valid = np.zeros(24, np.float32)
+    valid[[1, 3, 5, 7, 9, 11, 13, 15]] = 1.0
+    c = np.asarray(kmeans_plusplus_init(jax.random.PRNGKey(2),
+                                        jnp.asarray(f), jnp.asarray(valid),
+                                        4))
+    fn = f / np.linalg.norm(f, axis=1, keepdims=True)
+    src = []
+    for ci in c:
+        d = np.abs(fn - ci).max(axis=1)
+        i = int(d.argmin())
+        assert d[i] < 1e-5             # a normalized candidate row
+        assert valid[i] == 1.0, i      # never an invalid row
+        src.append(i)
+    assert len(set(src)) == 4          # distinct picks (d2=0 at a chosen row)
+
+
 def test_kmeans_assign_shape():
     f = jnp.zeros((2, 3, 5, 8))
     c = kmeans_init(jax.random.PRNGKey(2), 6, 8)

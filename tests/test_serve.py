@@ -201,6 +201,150 @@ def test_http_endpoint():
         th.join(timeout=10)
 
 
+def _start_http(srv, **kw):
+    httpd_box = {}
+    ready = threading.Event()
+
+    def run():
+        srv.serve_http("127.0.0.1", 0,
+                       ready_cb=lambda h: (httpd_box.update(h=h),
+                                           ready.set()), **kw)
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    assert ready.wait(30)
+    port = httpd_box["h"].server_address[1]
+    return httpd_box["h"], th, f"http://127.0.0.1:{port}"
+
+
+def _post(base, payload: dict, timeout=60):
+    body = json.dumps(payload).encode()
+    req = urllib.request.Request(base + "/ground", data=body,
+                                 headers={"Content-Type":
+                                          "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def test_http_concurrent_clients():
+    """N parallel POSTs through the dispatcher: every client gets exactly
+    its own segments' grounding (no interleaving corruption), byte-equal
+    to the in-process API."""
+    cfg = _tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg.model)
+    srv = GroundingServer(cfg, params)
+    n_clients = 6
+    all_segs = [_segments(cfg, 1 + (i % 2), seed=100 + i)
+                for i in range(n_clients)]
+    # expected values computed BEFORE the server starts (one device owner)
+    want = [json.loads(json.dumps(srv.ground_segments(s)))
+            for s in all_segs]
+
+    httpd, th, base = _start_http(srv)
+    got = [None] * n_clients
+    errs = []
+
+    def client(i):
+        try:
+            payload = {"segments": [
+                {"feats": np.asarray(s["feats"]).tolist(),
+                 "boxes": np.asarray(s["boxes"]).tolist(),
+                 "word_ids": s["word_ids"]} for s in all_segs[i]]}
+            got[i] = _post(base, payload)["results"]
+        except Exception as e:            # pragma: no cover
+            errs.append((i, e))
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errs, errs
+        for i in range(n_clients):
+            assert got[i] == want[i], f"client {i} got wrong results"
+    finally:
+        httpd.shutdown()
+        th.join(timeout=10)
+
+
+def test_http_request_limits():
+    """Oversized bodies 413, too many segments 400, over-length segment
+    400 (rejected, never silently truncated), slow inference 503."""
+    import urllib.error
+
+    cfg = _tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg.model)
+    srv = GroundingServer(cfg, params)
+    httpd, th, base = _start_http(srv, max_request_bytes=10_000,
+                                  max_segments=2, request_timeout=1.0)
+    dc = cfg.data
+
+    def post_raises(payload, code, match=None):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base, payload, timeout=30)
+        assert ei.value.code == code
+        if match:
+            assert match in json.loads(ei.value.read())["error"]
+
+    try:
+        seg_ok = {"feats": np.zeros((2, dc.num_regions,
+                                     dc.feat_dim)).tolist(),
+                  "word_ids": [0]}
+        # baseline: a request inside every limit succeeds
+        assert len(_post(base, {"segments": [seg_ok]})["results"]) == 1
+        # body over max_request_bytes -> 413
+        big = {"segments": [seg_ok], "pad": "x" * 20_000}
+        post_raises(big, 413)
+        # more than max_segments -> 400
+        post_raises({"segments": [seg_ok] * 3, }, 400, "max_segments")
+        # over-length segment -> 400 naming the limit, not truncation
+        too_long = {"feats": np.zeros((dc.max_frames + 1, dc.num_regions,
+                                       dc.feat_dim)).tolist(),
+                    "word_ids": [0]}
+        post_raises({"segments": [too_long]}, 400, "max_frames")
+        too_wordy = {"feats": np.zeros((2, dc.num_regions,
+                                        dc.feat_dim)).tolist(),
+                     "word_ids": [0] * (dc.max_words + 1)}
+        post_raises({"segments": [too_wordy]}, 400, "max_words")
+        # inference slower than request_timeout -> 503
+        orig = srv._ground_samples
+
+        def slow(samples):
+            import time
+            time.sleep(2.0)
+            return orig(samples)
+
+        srv._ground_samples = slow
+        try:
+            post_raises({"segments": [seg_ok]}, 503)
+        finally:
+            srv._ground_samples = orig
+    finally:
+        httpd.shutdown()
+        th.join(timeout=10)
+
+
+def test_over_length_segment_rejected_in_process():
+    """The library API rejects over-length segments too (ADVICE r3: the
+    old path silently clamped to the bucket)."""
+    cfg = _tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg.model)
+    srv = GroundingServer(cfg, params)
+    dc = cfg.data
+    with pytest.raises(ValueError, match="max_frames"):
+        srv.ground_segments([{
+            "feats": np.zeros((dc.max_frames + 1, dc.num_regions,
+                               dc.feat_dim), np.float32),
+            "word_ids": [0]}])
+    with pytest.raises(ValueError, match="num_regions"):
+        srv.ground_segments([{
+            "feats": np.zeros((2, dc.num_regions + 2, dc.feat_dim),
+                              np.float32),
+            "word_ids": [0]}])
+
+
 def test_words_and_sentence_requests():
     cfg = _tiny_cfg()
     params = init_params(jax.random.PRNGKey(0), cfg.model)
