@@ -597,15 +597,14 @@ def get_baseline(s, remeasure=False, cached_only=False):
     return cache[key]
 
 
-def bench_jax_serve(s, iters=256, steps_per_call=256):
-    """Serving throughput: the nafae_tpu.serve program (similarity +
-    argmax region + box gather + frame attention), bf16 compute — the
-    per-batch work GroundingServer/the AOT artifact does, minus host JSON.
-    Same scan + carry-dependence + best-of-4 protocol as bench_jax_eval."""
+def make_serve_program(s, steps_per_call, all_outputs=True):
+    """The guarded serving-bench program: (jitted serves, params, feats).
+    Factored out so tests can inspect the optimized HLO for the two
+    measurement-integrity guards (carry-dependence vs LICM, all-outputs
+    reduction vs DCE). all_outputs=False reproduces the r3 DCE hole
+    (region-only reduction) for within-process A/B quantification only."""
     import jax
     import jax.numpy as jnp
-
-    steps_per_call = max(1, min(steps_per_call, iters))
 
     from nafae_tpu.config import load_config
     from nafae_tpu.models.grounding import init_params
@@ -636,10 +635,35 @@ def bench_jax_serve(s, iters=256, steps_per_call=256):
                      jnp.asarray(b["frame_mask"]),
                      jnp.asarray(b["word_mask"]),
                      jnp.asarray(b["region_mask"]))
-            return acc + jnp.sum(out["region"]), None
+            # EVERY output must feed the carry, or XLA dead-code-eliminates
+            # it out of the measured program (r4 correction: summing only
+            # out["region"] let DCE drop the box gather, beta softmax and
+            # scores — the "serve" number was really sim+argmax only;
+            # verified by optimized-HLO op counts, see docs/PERF.md)
+            r = jnp.sum(out["region"])
+            if all_outputs:
+                live = (jnp.sum(out["box"]) + jnp.sum(out["beta"])
+                        + jnp.sum(out["score"]) + jnp.sum(out["video_score"]))
+                r = r + live.astype(jnp.int32)
+            return acc + r, None
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None,
                               length=steps_per_call)
         return acc
+
+    return serves, params, feats
+
+
+def bench_jax_serve(s, iters=256, steps_per_call=256):
+    """Serving throughput: the nafae_tpu.serve program (similarity +
+    argmax region + one-hot box select + frame attention/β + scores),
+    bf16 compute — the per-batch work GroundingServer/the AOT artifact
+    does, minus host JSON. Same scan + carry-dependence + best-of-4
+    protocol as bench_jax_eval, plus the all-outputs DCE guard (see
+    make_serve_program)."""
+    import jax
+
+    steps_per_call = max(1, min(steps_per_call, iters))
+    serves, params, feats = make_serve_program(s, steps_per_call)
 
     _PROGRESS["stage"] = "compile"
     int(serves(params, feats))

@@ -41,9 +41,16 @@ def grounding_hits(s: jax.Array, boxes: jax.Array, gt_boxes: jax.Array,
     gt_boxes [B,K,T,4] per-(word,frame) GT; gt_mask [B,K,T] (1 = annotated).
     Returns (correct [B,K,T] float, gt_mask) — host code aggregates per class.
     """
+    from nafae_tpu.ops.grounding import PRECISION
+
     r_star = jnp.argmax(s, axis=-1)                               # [B,K,T]
-    pred = jnp.take_along_axis(
-        boxes[:, None],                                           # [B,1,T,R,4]
-        r_star[..., None, None], axis=-2)[..., 0, :]              # [B,K,T,4]
+    # One-hot einsum instead of take_along_axis: the R-gather of the argmax
+    # box becomes a tiny MXU contraction (the select_top_regions lesson —
+    # gathers serialize on TPU, 0/1-weight matmuls don't). HIGHEST keeps
+    # the selected coordinates bitwise-exact (each output sums exactly one
+    # f32 product by 1.0).
+    onehot = jax.nn.one_hot(r_star, s.shape[-1], dtype=boxes.dtype)
+    pred = jnp.einsum("bktr,btrc->bktc", onehot, boxes,
+                      precision=PRECISION)                        # [B,K,T,4]
     iou = box_iou(pred, gt_boxes)                                 # [B,K,T]
     return (iou > iou_thresh).astype(jnp.float32) * gt_mask, gt_mask

@@ -74,10 +74,12 @@ def make_ground_fn(cfg: Config):
             compute_dtype=cdt, region_mask=region_mask)
         s = out["s"].astype(jnp.float32)            # [B,K,T,R]
         best = jnp.argmax(s, axis=-1)                # [B,K,T]
-        b, k, t, r = s.shape
-        boxes_bk = jnp.broadcast_to(boxes[:, None], (b, k, t, r, 4))
-        best_box = jnp.take_along_axis(
-            boxes_bk, best[..., None, None], axis=3)[..., 0, :]
+        # one-hot einsum box selection (exact: 0/1 weights under HIGHEST) —
+        # the R-gather becomes a tiny MXU contraction instead of a
+        # serialized TPU gather; same form as ops/iou.grounding_hits
+        onehot = jax.nn.one_hot(best, s.shape[-1], dtype=boxes.dtype)
+        best_box = jnp.einsum("bktr,btrc->bktc", onehot, boxes,
+                              precision=G.PRECISION)
         return {
             "region": best.astype(jnp.int32),                 # [B,K,T]
             "score": jnp.max(s, axis=-1),                     # [B,K,T]

@@ -35,6 +35,28 @@ def test_bench_inline_quick_runs():
     assert np.isfinite(loss)
 
 
+def test_serve_bench_outputs_survive_dce():
+    """The serve-bench program must still CONTAIN the serving outputs'
+    work after XLA optimization (r4 correction: reducing only
+    out['region'] let dead-code elimination drop the box selection, the
+    beta softmax and the scores — the 'serve' number was really
+    sim+argmax only). Tripwire: the optimized HLO keeps the softmax
+    (exp/divide) and at least the box-select contraction."""
+    serves, params, feats = bench.make_serve_program(bench.QUICK,
+                                                     steps_per_call=2)
+    hlo = serves.lower(params, feats).compile().as_text()
+    body = [l for l in hlo.splitlines() if " = " in l]
+    n_exp = sum("exp" in l.split(" = ", 1)[1][:40] for l in body)
+    n_div = sum("divide" in l.split(" = ", 1)[1][:40] for l in body)
+    assert n_exp >= 1 and n_div >= 1, (n_exp, n_div)  # beta softmax alive
+    n_dot = sum(("dot(" in l.split(" = ", 1)[1][:40]
+                 or "dot." in l.split(" = ", 1)[1][:40]
+                 or "convolution" in l.split(" = ", 1)[1][:60])
+                for l in body)
+    # projection + similarity + one-hot box select >= 3 contractions
+    assert n_dot >= 3, n_dot
+
+
 def test_bench_torch_baseline_and_cache(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "BASELINE_CACHE",
                         str(tmp_path / "cache.json"))
