@@ -469,6 +469,56 @@ def _offsets(window: int) -> list[int]:
     return [o for o in range(-window, window + 1) if o != 0]
 
 
+# A/B flag (scripts/ab_step_variants.py): route the big cross einsums
+# through a custom VJP whose dw contraction consumes the [I,J,K,T,R]
+# cotangent i-batched ([JK,TR] is contiguous per i in the natural i-major
+# layout), so XLA needs no jk-major transpose of the ~26 MB tensor before
+# the dw_emb matmul (the "dw_emb cross transposes" line in PERF.md's
+# device-time table). Identical math; summation order differs only by the
+# final i-reduction.
+CROSS_BATCHED_DW = False
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _cross_sim_batched_dw(we, ve, precision):
+    return jnp.einsum("jke,itre->ijktr", we, ve,
+                      preferred_element_type=jnp.float32,
+                      precision=precision)
+
+
+def _cross_sim_batched_dw_fwd(we, ve, precision):
+    return _cross_sim_batched_dw(we, ve, precision), (we, ve)
+
+
+def _cross_sim_batched_dw_bwd(precision, res, ds):
+    we, ve = res
+    # i-batched dw: dot_general(batch=i, contract=(t,r)) reads ds in its
+    # natural layout — no transpose; the small [I,J,K,E] partials reduce
+    # over i afterwards. ds rides in the operands' compute dtype (bf16
+    # mode: the opted-in reduced-precision contract; f32 mode: unchanged).
+    dsc = ds.astype(ve.dtype)
+    dwe = jnp.einsum("ijktr,itre->ijke", dsc, ve,
+                     preferred_element_type=jnp.float32,
+                     precision=precision).sum(0).astype(we.dtype)
+    dve = jnp.einsum("ijktr,jke->itre", dsc, we,
+                     preferred_element_type=jnp.float32,
+                     precision=precision).astype(ve.dtype)
+    return dwe, dve
+
+
+_cross_sim_batched_dw.defvjp(_cross_sim_batched_dw_fwd,
+                             _cross_sim_batched_dw_bwd)
+
+
+def _cross_sim(we, ve):
+    if CROSS_BATCHED_DW:
+        return _cross_sim_batched_dw(we, ve, PRECISION)
+    return jnp.einsum("jke,itre->ijktr", we, ve,
+                      preferred_element_type=jnp.float32, precision=PRECISION)
+
+
 def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
                  v_emb: jax.Array, frame_mask: jax.Array,
                  temp: float, pool: str,
@@ -521,15 +571,13 @@ def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
     # bf16-storage variant (preferred_element_type=bf16, f32 cast after the
     # max) measured 22 us/step SLOWER at config4 shapes: XLA's extra
     # converts around the max backward cost more than the halved HBM bytes.
-    s = jnp.einsum("jke,itre->ijktr", we, ve,
-                   preferred_element_type=jnp.float32, precision=PRECISION)        # [I,J,K,T,R]
+    s = _cross_sim(we, ve)                                    # [I,J,K,T,R]
     s = mask_regions(s, region_mask)
     a = frame_mil_max(s, fm)                                  # [I,J,K,T]
     frame_logits = g_learned
     if ctx_pool:
         we2, ue = _cast2(w_emb, u, dtype)
-        shat = jnp.einsum("jke,itre->ijktr", we2, ue,
-                          preferred_element_type=jnp.float32, precision=PRECISION)
+        shat = _cross_sim(we2, ue)
         shat = mask_regions(shat, region_mask)
         ahat = frame_mil_max(shat, fm)
         frame_logits = _masked_word_mean(ahat, wm)

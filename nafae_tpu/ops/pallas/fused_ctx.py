@@ -174,6 +174,32 @@ def _fwd_kernel(vf_ref, colv_ref, fml_ref, u_ref,
             mix * scale).astype(u_ref.dtype)
 
 
+def _fwd_kernel_res(vf_ref, colv_ref, fml_ref, u_ref, alpha_ref,
+                    *, T, w, r, r_pad, inv_temp, precision, tile):
+    """Forward variant that ALSO stores the banded alpha slabs (one
+    [M_t, N_t] block per full tile) so the backward can skip the score
+    recompute — the alpha-as-residual trade (docs/PERF.md "Known
+    headroom"). Only full tiles are stored; T % tile == 0 is enforced by
+    the wrapper (the residual buffer is tile-regular)."""
+    vf = vf_ref[0]
+    colv = colv_ref[0]
+    fml = fml_ref[0]
+    for i, t0 in enumerate(range(0, T, tile)):
+        gt = min(tile, T - t0)
+        alpha, _, _, cols, _, _ = _tile_alpha(
+            vf, colv, fml, t0, gt, w=w, r=r, r_pad=r_pad,
+            inv_temp=inv_temp, precision=precision)
+        c0 = t0 * r_pad
+        n_t = (gt + 2 * w) * r_pad
+        alpha_ref[0, i] = alpha.astype(alpha_ref.dtype)
+        scale = _row_scale(fml[:, c0:c0 + n_t], gt * r_pad, n_t, r_pad, w)
+        mix = jax.lax.dot_general(
+            alpha.astype(vf.dtype), cols, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        u_ref[0, t0 * r_pad:(t0 + gt) * r_pad, :] = (
+            mix * scale).astype(u_ref.dtype)
+
+
 def _bwd_kernel(vf_ref, colv_ref, fml_ref, du_ref, dvf_ref, dvc_ref,
                 *, T, w, r, r_pad, inv_temp, precision, tile):
     """dvf: mixing + neighbor-side logits grads (all N_ext rows, the
@@ -225,6 +251,57 @@ def _bwd_kernel(vf_ref, colv_ref, fml_ref, du_ref, dvf_ref, dvc_ref,
         dvc_ref[0, t0 * r_pad:t0 * r_pad + m_t, :] = jax.lax.dot_general(
             dsf, cols, dn, preferred_element_type=jnp.float32,
             precision=precision)                            # [M_t, E]
+
+
+def _bwd_kernel_res(vf_ref, colv_ref, fml_ref, alpha_ref, du_ref,
+                    dvf_ref, dvc_ref,
+                    *, T, w, r, r_pad, inv_temp, precision, tile):
+    """Backward with alpha loaded from the forward's residual instead of
+    recomputed: drops the score-recompute half of the merged [2M,E]x[E,N]
+    matmul and the exp/band-softmax VPU work, at the cost of the alpha
+    band's HBM round-trip. The bs>0 (live-group) mask is recomputed from
+    the column-validity row — bs = Σ exp over live columns, so bs>0 iff
+    the group has any live column (exact, no scores needed)."""
+    vf = vf_ref[0]
+    colv = colv_ref[0]
+    fml = fml_ref[0]
+    du = du_ref[0]
+    dn = (((1,), (0,)), ((), ()))
+    dn_t = (((1,), (1,)), ((), ()))
+    dn_c = (((0,), (0,)), ((), ()))
+    dvf_ref[0] = jnp.zeros(dvf_ref.shape[1:], jnp.float32)
+    for i, t0 in enumerate(range(0, T, tile)):
+        gt = min(tile, T - t0)
+        m_t = gt * r_pad
+        n_t = (gt + 2 * w) * r_pad
+        c0 = t0 * r_pad
+        vc = vf[(w + t0) * r_pad:(w + t0) * r_pad + m_t, :]
+        cols = vf[c0:c0 + n_t, :]
+        alpha = alpha_ref[0, i].astype(jnp.float32)
+        scale = _row_scale(fml[:, c0:c0 + n_t], m_t, n_t, r_pad, w)
+        du_t = (du[t0 * r_pad:t0 * r_pad + m_t, :] * scale).astype(vf.dtype)
+        dalpha = jax.lax.dot_general(du_t, cols, dn_t,
+                                     preferred_element_type=jnp.float32,
+                                     precision=precision)    # [M_t, N_t]
+        band = _band(m_t, n_t, r_pad, r, w)
+        live = band & (colv[:, c0:c0 + n_t] > 0)
+        sel1, sel2 = _selectors(n_t, gt + 2 * w, r_pad, dtype=vf.dtype)
+        # live-group mask == (bs > 0) of the recompute path
+        lg = _sel_dot(jnp.where(live, 1.0, 0.0), sel1, vf.dtype)
+        ls = _sel_dot(lg, sel2, vf.dtype)
+        ad = alpha * dalpha
+        gs2 = _sel_dot(ad.astype(vf.dtype), sel1, vf.dtype)
+        bs2 = _sel_dot(gs2, sel2, vf.dtype)
+        ds = jnp.where(ls > 0, (ad - alpha * bs2) * inv_temp, 0.0)
+        dsf = ds.astype(vf.dtype)
+        contrib = jax.lax.dot_general(
+            jnp.concatenate([alpha.astype(vf.dtype), dsf], axis=0),
+            jnp.concatenate([du_t, vc], axis=0), dn_c,
+            preferred_element_type=jnp.float32, precision=precision)
+        dvf_ref[0, c0:c0 + n_t, :] = dvf_ref[0, c0:c0 + n_t, :] + contrib
+        dvc_ref[0, t0 * r_pad:t0 * r_pad + m_t, :] = jax.lax.dot_general(
+            dsf, cols, dn, preferred_element_type=jnp.float32,
+            precision=precision)
 
 
 def _specs(n_ext, e, out):
@@ -293,6 +370,75 @@ def _ctx_core_bwd(window, temp, t, r, r_pad, tile, res, du):
 _ctx_core.defvjp(_ctx_core_fwd, _ctx_core_bwd)
 
 
+# --- alpha-as-residual variant (A/B: docs/PERF.md "Known headroom") --------
+# Trades the backward's score recompute (half of its merged [2M,E]x[E,N]
+# matmul + the exp/band-softmax VPU work) for an HBM round-trip of the
+# banded alpha slabs saved by the forward. Requires T % tile == 0 (regular
+# residual layout); the wrapper falls back to the recompute path otherwise.
+ALPHA_RESIDUAL = False   # flipped by scripts/ab_ctx_residual.py for A/B
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _ctx_core_res(vf, colv, fml, window, temp, t, r, r_pad, tile):
+    u, _ = _ctx_core_res_fwd(vf, colv, fml, window, temp, t, r, r_pad, tile)
+    return u
+
+
+def _ctx_core_res_fwd(vf, colv, fml, window, temp, t, r, r_pad, tile):
+    b, n_ext, e = vf.shape
+    m_rows = t * r_pad
+    assert t % tile == 0, (t, tile)
+    n_tiles = t // tile
+    m_t = tile * r_pad
+    n_t = (tile + 2 * window) * r_pad
+    kern = functools.partial(_fwd_kernel_res, T=t, w=window, r=r,
+                             r_pad=r_pad, inv_temp=1.0 / temp,
+                             precision=_prec(vf.dtype), tile=tile)
+    ins, outs = _specs(n_ext, e, [(m_rows, e)])
+    vma = _vma_of(vf, colv, fml)
+    outs.append(pl.BlockSpec((1, n_tiles, m_t, n_t),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM))
+    u, alpha = pl.pallas_call(
+        kern, grid=(b,), in_specs=ins, out_specs=outs,
+        out_shape=[_sds((b, m_rows, e), vf.dtype, vma),
+                   # alpha rides in the compute dtype (bf16 mode halves the
+                   # round-trip bytes; the backward consumes it in that
+                   # dtype anyway — the opted-in reduced-precision contract)
+                   _sds((b, n_tiles, m_t, n_t), vf.dtype, vma)],
+        interpret=_interpret(),
+    )(vf, colv, fml)
+    return u, (vf, colv, fml, alpha)
+
+
+def _ctx_core_res_bwd(window, temp, t, r, r_pad, tile, res, du):
+    vf, colv, fml, alpha = res
+    b, n_ext, e = vf.shape
+    m_rows = t * r_pad
+    n_tiles, m_t, n_t = alpha.shape[1:]
+    kern = functools.partial(_bwd_kernel_res, T=t, w=window, r=r,
+                             r_pad=r_pad, inv_temp=1.0 / temp,
+                             precision=_prec(vf.dtype), tile=tile)
+    ins, outs = _specs(n_ext, e, [(n_ext, e), (m_rows, e)])
+    ins.append(pl.BlockSpec((1, n_tiles, m_t, n_t),
+                            lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM))
+    ins.append(pl.BlockSpec((1, m_rows, e), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM))
+    vma = _vma_of(vf, colv, fml, du)
+    dvf, dvc = pl.pallas_call(
+        kern, grid=(b,), in_specs=ins, out_specs=outs,
+        out_shape=[_sds((b, n_ext, e), jnp.float32, vma),
+                   _sds((b, m_rows, e), jnp.float32, vma)],
+        interpret=_interpret(),
+    )(vf, colv, fml, alpha, du.astype(vf.dtype))
+    dvf = dvf.at[:, window * r_pad:window * r_pad + m_rows, :].add(dvc)
+    return dvf.astype(vf.dtype), None, None
+
+
+_ctx_core_res.defvjp(_ctx_core_res_fwd, _ctx_core_res_bwd)
+
+
 def _pick_tile(t: int, w: int) -> int:
     """Frame-tile size. Sweep on v5e at production shapes (T=20, w=3, bf16,
     after the selector-dtype fix): tile=10 360 us fwd+bwd, tile=4 385,
@@ -350,8 +496,10 @@ def ctx_mix_pallas(v_ext: jax.Array, fm_ext: jax.Array, window: int,
         rm = jnp.pad(rm_ext, ((0, 0), (0, 0), (0, r_pad - r))) \
             if r_pad != r else rm_ext
         colv = colv * rm.reshape(b, 1, n_ext)
-    u = _ctx_core(vf, colv, fml, window, float(temp), t, r, r_pad,
-                  tile)                                     # [B, T*r_pad, E]
+    core = (_ctx_core_res if ALPHA_RESIDUAL and t % tile == 0
+            else _ctx_core)
+    u = core(vf, colv, fml, window, float(temp), t, r, r_pad,
+             tile)                                          # [B, T*r_pad, E]
     # fm_c masking and the /den averaging are already folded into the
     # kernel's store (per-row scale from the frame-validity row)
     u = u.reshape(b, t, r_pad, e)[:, :, :r, :]

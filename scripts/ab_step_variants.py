@@ -1,0 +1,117 @@
+"""Within-process A/B of experimental train-step variants (chip required).
+
+Builds the FULL config-4 train step once per named variant in ONE process
+(docs/PERF.md methodology: cross-process comparisons are meaningless here)
+and reports best-of-N each. Variants are module flags read at trace time:
+
+- base       — the production step (all flags off)
+- alpha_res  — ctx kernel saves the banded alpha slabs in the forward and
+               skips the score recompute in the backward
+               (fused_ctx.ALPHA_RESIDUAL; PERF.md "Known headroom")
+- cross_dw   — the B×B cross einsums route dw through an i-batched custom
+               VJP, killing the jk-major transpose of the ~26 MB cotangent
+               (grounding.CROSS_BATCHED_DW; the "dw_emb cross transposes"
+               device-table line)
+- both       — alpha_res + cross_dw
+
+    scripts/tpu_run.sh scripts/ab_step_variants.py [--variants base,cross_dw]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--variants", default="base,alpha_res,cross_dw,both")
+    p.add_argument("--spc", type=int, default=64)
+    p.add_argument("--repeats", type=int, default=4)
+    p.add_argument("--calls", type=int, default=4)
+    p.add_argument("--tile", type=int, default=0,
+                   help="ctx kernel tile override (0 = production auto)")
+    p.add_argument("--dtype", default="bfloat16")
+    args = p.parse_args()
+
+    from nafae_tpu.utils import (apply_platform_override,
+                                 enable_compilation_cache,
+                                 require_tpu_or_exit3)
+    apply_platform_override()
+    require_tpu_or_exit3("ab_step_variants")
+    enable_compilation_cache()
+    import jax
+    import bench
+    import nafae_tpu.ops.grounding as GR
+    import nafae_tpu.ops.pallas.fused_ctx as FC
+    from nafae_tpu.config import load_config
+    from nafae_tpu.train import TrainState, make_optimizer, make_train_step
+
+    s = bench.SHAPES
+    batch = {k: jax.device_put(v) for k, v in bench.make_batch(s).items()}
+    cfg = load_config(preset_name="config4", overrides=[
+        f"model.feat_dim={s['D']}", f"model.embed_dim={s['E']}",
+        f"data.batch_size={s['B']}", f"loss.num_clusters={s['KC']}",
+        f"loss.ctx_window={s['W']}", "loss.kmeans_interval=100",
+        "train.kernels=auto", f"model.dtype={args.dtype}",
+        "model.matmul_precision=default"])
+    if args.tile:
+        FC._pick_tile = lambda t, w: args.tile
+    step = make_train_step(cfg, make_optimizer(cfg))
+
+    FLAGS = {
+        "base": (False, False),
+        "alpha_res": (True, False),
+        "cross_dw": (False, True),
+        "both": (True, True),
+    }
+
+    def build(alpha_res, cross_dw):
+        FC.ALPHA_RESIDUAL = alpha_res      # both read at trace time
+        GR.CROSS_BATCHED_DW = cross_dw
+
+        @jax.jit
+        def multi(state, batch):
+            def body(st, _):
+                st, m = step(st, batch)
+                return st, m["loss"]
+            return jax.lax.scan(body, state, None, length=args.spc)
+        return multi
+
+    def measure(multi):
+        state = TrainState.create(jax.random.PRNGKey(0), cfg)
+        state, losses = multi(state, batch)
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            for _ in range(args.calls):
+                state, losses = multi(state, batch)
+            float(np.asarray(state.params["b_v"])[0])
+            best = min(best, time.perf_counter() - t0)
+        return best / (args.calls * args.spc), float(losses[-1])
+
+    res = {}
+    for name in args.variants.split(","):
+        dt, loss = measure(build(*FLAGS[name]))
+        res[name] = dt
+        print(f"{name}: {dt * 1e6:.1f} us/step loss={loss:.4f}", flush=True)
+    FC.ALPHA_RESIDUAL = False
+    GR.CROSS_BATCHED_DW = False
+    base = res.get("base")
+    if base:
+        for name, dt in res.items():
+            if name != "base":
+                print(f"{name} vs base: {(base - dt) * 1e6:+.1f} us/step "
+                      f"(positive = {name} wins)")
+
+
+if __name__ == "__main__":
+    main()
+    sys.stdout.flush()
+    os._exit(0)   # axon teardown can hang after chip use (see bench.py)

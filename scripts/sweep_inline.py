@@ -46,12 +46,17 @@ def main():
         # scale steps-per-call down as the per-step work grows so each
         # timing call stays ~O(100 ms) and the sweep fits a chip window
         spc = max(8, min(args.spc, args.spc * 16 // (b * t)))
-        cfg, batch, multi = bench.make_inline_setup(
-            overrides=extra, b=b, t=t, image_size=args.image_size,
-            steps_per_call=spc)
-        dt, loss = bench.measure_inline(cfg, batch, multi, spc,
-                                        ncalls=args.calls,
-                                        repeats=args.repeats)
+        try:
+            cfg, batch, multi = bench.make_inline_setup(
+                overrides=extra, b=b, t=t, image_size=args.image_size,
+                steps_per_call=spc)
+            dt, loss = bench.measure_inline(cfg, batch, multi, spc,
+                                            ncalls=args.calls,
+                                            repeats=args.repeats)
+        except Exception as e:    # one OOM shape must not kill the sweep
+            print(f"[B={b} T={t}] FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+            continue
         fps = b * t / dt
         per_img_us = dt * 1e6 / (b * t)
         rows.append((shape, b * t, dt * 1e6, fps, per_img_us))

@@ -164,6 +164,44 @@ def test_ctx_mix_pallas_matches_context_mix():
                                        rtol=1e-4, atol=1e-5)
 
 
+def test_ctx_mix_pallas_alpha_residual_matches():
+    """ALPHA_RESIDUAL=True (backward consumes the forward's saved alpha
+    band instead of recomputing scores): values and grads must match the
+    recompute path / jnp reference; T % tile != 0 silently falls back to
+    recompute (still correct)."""
+    import nafae_tpu.ops.pallas.fused_ctx as FC
+
+    rng = np.random.RandomState(5)
+    B, T, R, E, w = 2, 8, 5, 16, 2
+    v = G.l2_normalize(jnp.asarray(rng.randn(B, T, R, E).astype(np.float32)))
+    fm_np = (rng.rand(B, T) > 0.3).astype(np.float32)
+    fm = jnp.asarray(fm_np)
+    v_ext = jnp.pad(v, ((0, 0), (w, w), (0, 0), (0, 0)))
+    fm_ext = jnp.pad(fm, ((0, 0), (w, w)))
+    rm_np = (rng.rand(B, T, R) > 0.4).astype(np.float32)
+    rm_ext = jnp.pad(jnp.asarray(rm_np), ((0, 0), (w, w), (0, 0)))
+
+    u_ref, nv_ref = G.context_mix(v_ext, fm_ext, w, 0.1, rm_ext=rm_ext)
+    g_ref = jax.grad(lambda ve: jnp.sum(jnp.sin(
+        G.context_mix(ve, fm_ext, w, 0.1, rm_ext=rm_ext)[0] * 1.3)))(v_ext)
+    try:
+        FC.ALPHA_RESIDUAL = True
+        for tile in (2, 4, 3):              # 3 does not divide 8 -> fallback
+            u, nv = FC.ctx_mix_pallas(v_ext, fm_ext, w, 0.1, rm_ext=rm_ext,
+                                      tile=tile)
+            np.testing.assert_array_equal(np.asarray(nv),
+                                          np.asarray(nv_ref))
+            np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                       rtol=1e-5, atol=1e-6)
+            g = jax.grad(lambda ve: jnp.sum(jnp.sin(
+                FC.ctx_mix_pallas(ve, fm_ext, w, 0.1, rm_ext=rm_ext,
+                                  tile=tile)[0] * 1.3)))(v_ext)
+            np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                       rtol=1e-4, atol=1e-5)
+    finally:
+        FC.ALPHA_RESIDUAL = False
+
+
 def test_ctx_mix_pallas_bf16_close_to_f32():
     """bf16 compute mode (the bench/production dtype) stays within bf16
     rounding of the f32 reference for values and grads, banded and not."""
