@@ -197,6 +197,16 @@ class DetectorConfig:
                                   # halves backbone activation HBM traffic
                                   # (safe: BN frozen, params stay f32, RPN
                                   # outputs + pooled feats return to f32)
+    stem_s2d: bool = False        # compute the 7x7/s2 stem as a
+                                  # space-to-depth 4x4/s1 conv (exact same
+                                  # sums, checkpoint tree unchanged). The
+                                  # classic TPU fix for the input-channel-
+                                  # starved stem (586 us/step, 6.6% MFU) —
+                                  # but MEASURED SLOWER here: 5215 vs 4055
+                                  # us/step inline (ab_inline r4; this
+                                  # toolchain's emitter handles the s2d
+                                  # form worse). Knob kept for future
+                                  # toolchains; default stays off.
     frame_rate: float = 1.0       # sampled frames / second of video
     weights: str = ""             # optional torchvision resnet50 .pth to seed
                                   # the backbone/head (utils/torch_convert)

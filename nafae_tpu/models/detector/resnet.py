@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -84,6 +85,55 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+class StemConv(nn.Module):
+    """The 7×7/s2 stem conv, computed as a space-to-depth 4×4/s1 conv.
+
+    The naive 7×7 on 3 input channels is INPUT-CHANNEL-STARVED on the MXU
+    (128-deep reduction fed 21 elements/tap): traced at 586 µs/step = 15%
+    of the whole inline config-5 step at 6.6% MFU. The classic TPU fix:
+    pad the kernel 7→8 at the front, fold 2×2 input pixels into channels
+    (x[2I+p, 2J+q, c] → x2[I, J, (p,q,c)]), and run the EXACT same sums as
+    a 4×4 stride-1 conv on 12 channels with padding (2,1) —
+      y[i] = Σ_{d∈0..6} W[d]·x[2i+d−3] = Σ_{a∈0..3,p} W'[2a+p]·x2[i+a−2, p·]
+    (W'[0]=0 from the pad). Same math, different summation grouping.
+
+    The param tree is nn.Conv's (kernel [7,7,3,F] under the caller-given
+    name), so torch converters and existing checkpoints are untouched.
+    s2d=False runs the plain 7×7 form (odd input sizes also fall back).
+
+    MEASURED (r4, ab_inline within-process, full config-5 step): s2d=True
+    4055 → 5215 µs/step — this toolchain's conv emitter handles the
+    4×4/s1/12-channel form WORSE than the native 7×7/s2, so the default
+    stays False; the knob + exactness test remain for future toolchains
+    (docs/PERF.md "headroom closed").
+    """
+    features: int = 64
+    s2d: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (7, 7, 3, self.features))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            k = k.astype(self.dtype)
+        n, h, w, c = x.shape
+        dn = ("NHWC", "HWIO", "NHWC")
+        if not self.s2d or h % 2 or w % 2:
+            return jax.lax.conv_general_dilated(
+                x, k, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn)
+        kp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))   # 7→8, zeros FRONT
+        k2 = kp.reshape(4, 2, 4, 2, c, self.features) \
+               .transpose(0, 2, 1, 3, 4, 5) \
+               .reshape(4, 4, 4 * c, self.features)
+        x2 = x.reshape(n, h // 2, 2, w // 2, 2, c) \
+              .transpose(0, 1, 3, 2, 4, 5) \
+              .reshape(n, h // 2, w // 2, 4 * c)
+        return jax.lax.conv_general_dilated(
+            x2, k2, (1, 1), ((2, 1), (2, 1)), dimension_numbers=dn)
+
+
 class ResNetC4(nn.Module):
     """Stages conv1..conv4 -> feature map at stride 16, 1024 channels.
 
@@ -94,6 +144,8 @@ class ResNetC4(nn.Module):
     """
     blocks: Sequence[int] = (3, 4, 6)      # resnet50 conv2..conv4
     dtype: jnp.dtype | None = None
+    stem_s2d: bool = False      # measured slower on this toolchain — see
+                                # StemConv and config.DetectorConfig.stem_s2d
 
     @nn.compact
     def __call__(self, x):
@@ -101,9 +153,10 @@ class ResNetC4(nn.Module):
             x = x.astype(self.dtype)
         # torch-symmetric padding (conv1 (3,3), pool (1,1)) — flax SAME is
         # asymmetric at stride 2, which shifts the grid under converted
-        # torch weights (r2 review fix)
-        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype)(x)
+        # torch weights (r2 review fix). name="Conv_0" keeps the param tree
+        # identical to the old nn.Conv stem (checkpoints/converters).
+        y = StemConv(64, s2d=self.stem_s2d, dtype=self.dtype,
+                     name="Conv_0")(x)
         y = FrozenBN(64, self.dtype)(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2),

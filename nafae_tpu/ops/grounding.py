@@ -469,52 +469,16 @@ def _offsets(window: int) -> list[int]:
     return [o for o in range(-window, window + 1) if o != 0]
 
 
-# A/B flag (scripts/ab_step_variants.py): route the big cross einsums
-# through a custom VJP whose dw contraction consumes the [I,J,K,T,R]
-# cotangent i-batched ([JK,TR] is contiguous per i in the natural i-major
-# layout), so XLA needs no jk-major transpose of the ~26 MB tensor before
-# the dw_emb matmul (the "dw_emb cross transposes" line in PERF.md's
-# device-time table). Identical math; summation order differs only by the
-# final i-reduction.
-CROSS_BATCHED_DW = False
-
-import functools as _functools
-
-
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _cross_sim_batched_dw(we, ve, precision):
-    return jnp.einsum("jke,itre->ijktr", we, ve,
-                      preferred_element_type=jnp.float32,
-                      precision=precision)
-
-
-def _cross_sim_batched_dw_fwd(we, ve, precision):
-    return _cross_sim_batched_dw(we, ve, precision), (we, ve)
-
-
-def _cross_sim_batched_dw_bwd(precision, res, ds):
-    we, ve = res
-    # i-batched dw: dot_general(batch=i, contract=(t,r)) reads ds in its
-    # natural layout — no transpose; the small [I,J,K,E] partials reduce
-    # over i afterwards. ds rides in the operands' compute dtype (bf16
-    # mode: the opted-in reduced-precision contract; f32 mode: unchanged).
-    dsc = ds.astype(ve.dtype)
-    dwe = jnp.einsum("ijktr,itre->ijke", dsc, ve,
-                     preferred_element_type=jnp.float32,
-                     precision=precision).sum(0).astype(we.dtype)
-    dve = jnp.einsum("ijktr,jke->itre", dsc, we,
-                     preferred_element_type=jnp.float32,
-                     precision=precision).astype(ve.dtype)
-    return dwe, dve
-
-
-_cross_sim_batched_dw.defvjp(_cross_sim_batched_dw_fwd,
-                             _cross_sim_batched_dw_bwd)
-
-
 def _cross_sim(we, ve):
-    if CROSS_BATCHED_DW:
-        return _cross_sim_batched_dw(we, ve, PRECISION)
+    # NOTE (r4, measured dead end — do not retry): a custom-VJP variant
+    # whose dw contraction was i-batched (consuming the [I,J,K,T,R]
+    # cotangent in its natural layout to avoid the jk-major transpose
+    # before the dw_emb matmul) measured 1437.8 vs 1061.6 us/step on the
+    # full config-4 step (ab_step_variants.py, within-process) — the
+    # custom VJP forces the ~26 MB cotangent to MATERIALIZE as the bwd
+    # rule's input, while XLA's own transpose plan keeps the max-backward
+    # select fused into it. The ~67 us of dw transposes are cheaper than
+    # breaking that fusion; see docs/PERF.md "headroom closed".
     return jnp.einsum("jke,itre->ijktr", we, ve,
                       preferred_element_type=jnp.float32, precision=PRECISION)
 

@@ -370,12 +370,16 @@ def _ctx_core_bwd(window, temp, t, r, r_pad, tile, res, du):
 _ctx_core.defvjp(_ctx_core_fwd, _ctx_core_bwd)
 
 
-# --- alpha-as-residual variant (A/B: docs/PERF.md "Known headroom") --------
-# Trades the backward's score recompute (half of its merged [2M,E]x[E,N]
-# matmul + the exp/band-softmax VPU work) for an HBM round-trip of the
-# banded alpha slabs saved by the forward. Requires T % tile == 0 (regular
-# residual layout); the wrapper falls back to the recompute path otherwise.
-ALPHA_RESIDUAL = False   # flipped by scripts/ab_ctx_residual.py for A/B
+# --- alpha-as-residual variant (r4 PRODUCTION DEFAULT) ----------------------
+# The forward saves the banded alpha slabs so the backward skips the score
+# recompute (half of its merged [2M,E]x[E,N] matmul + the exp/band-softmax
+# VPU work) for an HBM round-trip of the band. Within-process A/B on the
+# full config-4 step (ab_step_variants.py): 1061.6 -> 1044.3 us/step
+# (-17.3 us). Requires T % tile == 0 (regular residual layout) and a
+# bounded slab (long clips would blow the VMEM output block); the wrapper
+# falls back to the recompute path otherwise.
+ALPHA_RESIDUAL = True
+_ALPHA_SLAB_MAX_BYTES = 2 << 20   # per-video residual block cap (VMEM)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
@@ -496,8 +500,10 @@ def ctx_mix_pallas(v_ext: jax.Array, fm_ext: jax.Array, window: int,
         rm = jnp.pad(rm_ext, ((0, 0), (0, 0), (0, r_pad - r))) \
             if r_pad != r else rm_ext
         colv = colv * rm.reshape(b, 1, n_ext)
+    slab_bytes = ((t // max(tile, 1)) * tile * r_pad
+                  * (tile + 2 * window) * r_pad * v_ext.dtype.itemsize)
     core = (_ctx_core_res if ALPHA_RESIDUAL and t % tile == 0
-            else _ctx_core)
+            and slab_bytes <= _ALPHA_SLAB_MAX_BYTES else _ctx_core)
     u = core(vf, colv, fml, window, float(temp), t, r, r_pad,
              tile)                                          # [B, T*r_pad, E]
     # fm_c masking and the /den averaging are already folded into the

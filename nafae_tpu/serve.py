@@ -550,6 +550,12 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--max-request-mb", type=int, default=64,
+                   help="reject request bodies larger than this (413)")
+    p.add_argument("--max-segments", type=int, default=64,
+                   help="reject requests with more segments (400)")
+    p.add_argument("--request-timeout", type=float, default=120.0,
+                   help="seconds before an in-flight request 503s")
     args = p.parse_args(argv)
     from nafae_tpu.utils import cli_startup
     cli_startup()
@@ -567,7 +573,10 @@ def main(argv=None):
         print(json.dumps({"serving": f"http://{args.host}:{httpd.server_address[1]}",
                           "backend": jax.default_backend()}), flush=True)
 
-    srv.serve_http(args.host, args.port, ready_cb=ready)
+    srv.serve_http(args.host, args.port, ready_cb=ready,
+                   max_request_bytes=args.max_request_mb << 20,
+                   max_segments=args.max_segments,
+                   request_timeout=args.request_timeout)
 
 
 if __name__ == "__main__":

@@ -2,19 +2,18 @@
 
 Builds the FULL config-4 train step once per named variant in ONE process
 (docs/PERF.md methodology: cross-process comparisons are meaningless here)
-and reports best-of-N each. Variants are module flags read at trace time:
+and reports best-of-N each. Variants are (module, attr, value) flags set at
+trace time, declared in FLAGS below:
 
-- base       — the production step (all flags off)
-- alpha_res  — ctx kernel saves the banded alpha slabs in the forward and
-               skips the score recompute in the backward
-               (fused_ctx.ALPHA_RESIDUAL; PERF.md "Known headroom")
-- cross_dw   — the B×B cross einsums route dw through an i-batched custom
-               VJP, killing the jk-major transpose of the ~26 MB cotangent
-               (grounding.CROSS_BATCHED_DW; the "dw_emb cross transposes"
-               device-table line)
-- both       — alpha_res + cross_dw
+- base            — the production step (current defaults, nothing touched)
+- alpha_recompute — ctx kernel recomputes the band scores in the backward
+                    instead of saving the alpha slabs (the pre-r4 default;
+                    fused_ctx.ALPHA_RESIDUAL=False)
 
-    scripts/tpu_run.sh scripts/ab_step_variants.py [--variants base,cross_dw]
+(r4 history: alpha_res won +17.3 µs/step and became the default; cross_dw
+lost −376 µs/step and was deleted — docs/PERF.md "headroom closed".)
+
+    scripts/tpu_run.sh scripts/ab_step_variants.py [--variants base,...]
 """
 
 from __future__ import annotations
@@ -31,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--variants", default="base,alpha_res,cross_dw,both")
+    p.add_argument("--variants", default="base,alpha_recompute")
     p.add_argument("--spc", type=int, default=64)
     p.add_argument("--repeats", type=int, default=4)
     p.add_argument("--calls", type=int, default=4)
@@ -48,7 +47,6 @@ def main():
     enable_compilation_cache()
     import jax
     import bench
-    import nafae_tpu.ops.grounding as GR
     import nafae_tpu.ops.pallas.fused_ctx as FC
     from nafae_tpu.config import load_config
     from nafae_tpu.train import TrainState, make_optimizer, make_train_step
@@ -65,16 +63,21 @@ def main():
         FC._pick_tile = lambda t, w: args.tile
     step = make_train_step(cfg, make_optimizer(cfg))
 
+    # variant -> list of (module, attr, value) applied before tracing;
+    # "base" applies nothing (production defaults). Add experimental
+    # module flags here; flags are restored to defaults after each build.
     FLAGS = {
-        "base": (False, False),
-        "alpha_res": (True, False),
-        "cross_dw": (False, True),
-        "both": (True, True),
+        "base": [],
+        "alpha_recompute": [(FC, "ALPHA_RESIDUAL", False)],
     }
+    defaults = {(m, a): getattr(m, a) for fl in FLAGS.values()
+                for m, a, _ in fl}
 
-    def build(alpha_res, cross_dw):
-        FC.ALPHA_RESIDUAL = alpha_res      # both read at trace time
-        GR.CROSS_BATCHED_DW = cross_dw
+    def build(flags):
+        for (m, a), v in defaults.items():
+            setattr(m, a, v)
+        for m, a, v in flags:              # read at trace time
+            setattr(m, a, v)
 
         @jax.jit
         def multi(state, batch):
@@ -98,11 +101,11 @@ def main():
 
     res = {}
     for name in args.variants.split(","):
-        dt, loss = measure(build(*FLAGS[name]))
+        dt, loss = measure(build(FLAGS[name]))
         res[name] = dt
         print(f"{name}: {dt * 1e6:.1f} us/step loss={loss:.4f}", flush=True)
-    FC.ALPHA_RESIDUAL = False
-    GR.CROSS_BATCHED_DW = False
+    for (m, a), v in defaults.items():
+        setattr(m, a, v)
     base = res.get("base")
     if base:
         for name, dt in res.items():

@@ -91,6 +91,41 @@ def test_generate_anchors_count():
     assert a.shape == (4 * 5 * 6, 4)
 
 
+def test_stem_s2d_exact_and_same_param_tree():
+    """The space-to-depth stem (detector.stem_s2d, the r4 TPU form of the
+    7x7/s2 conv) computes the same sums as the plain form — outputs match
+    to f32 tolerance, the param tree and init VALUES are identical (same
+    kernel [7,7,3,F] under Conv_0, so checkpoints/converters are
+    untouched), and odd input sizes fall back to the plain conv."""
+    import jax
+
+    from nafae_tpu.models.detector.resnet import ResNetC4, StemConv
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    m_plain = ResNetC4(blocks=(1, 1, 1), stem_s2d=False)
+    m_s2d = ResNetC4(blocks=(1, 1, 1), stem_s2d=True)
+    p_plain = m_plain.init(jax.random.PRNGKey(0), x)
+    p_s2d = m_s2d.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(p_plain)
+            == jax.tree_util.tree_structure(p_s2d))
+    for a, b in zip(jax.tree_util.tree_leaves(p_plain),
+                    jax.tree_util.tree_leaves(p_s2d)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    y1 = m_plain.apply(p_plain, x)
+    y2 = m_s2d.apply(p_plain, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-5, atol=1e-5)
+    # odd spatial size: s2d falls back to the plain conv (same module)
+    x_odd = jnp.asarray(rng.randn(1, 63, 63, 3).astype(np.float32))
+    stem = StemConv(8)
+    ps = stem.init(jax.random.PRNGKey(1), x_odd)
+    np.testing.assert_allclose(
+        np.asarray(stem.apply(ps, x_odd)),
+        np.asarray(StemConv(8, s2d=False).apply(ps, x_odd)),
+        rtol=1e-5, atol=1e-5)
+
+
 def test_extractor_end_to_end_shapes():
     cfg = DetectorConfig(image_size=64, num_proposals=5, rpn_pre_nms_topk=32,
                          anchor_scales=(16, 32), anchor_ratios=(0.5, 1.0, 2.0))

@@ -103,36 +103,6 @@ def test_kmeans_empty_cluster_kept():
     np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
 
 
-def test_cross_batched_dw_grads_match():
-    """grounding.CROSS_BATCHED_DW (i-batched dw contraction in the cross
-    einsum's custom VJP — kills the jk-major cotangent transpose on TPU):
-    values and BOTH grads must match the default autodiff path."""
-    from nafae_tpu.ops import grounding as G
-
-    rng = np.random.RandomState(11)
-    I, J, K, T, R, E = 4, 4, 3, 5, 4, 16
-    w = jnp.asarray(rng.randn(J, K, E).astype(np.float32))
-    v = jnp.asarray(rng.randn(I, T, R, E).astype(np.float32))
-    wm = jnp.asarray((rng.rand(J, K) > 0.2).astype(np.float32))
-    fm = jnp.asarray((rng.rand(I, T) > 0.2).astype(np.float32))
-
-    def loss(w_, v_):
-        rows = G.cross_scores(w_, wm, G.l2_normalize(v_), fm, 0.1,
-                              "context", ctx_window=2)
-        return jnp.sum(jnp.sin(rows * 1.3))
-
-    v0, g0 = jax.value_and_grad(loss, argnums=(0, 1))(w, v)
-    try:
-        G.CROSS_BATCHED_DW = True
-        v1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(w, v)
-    finally:
-        G.CROSS_BATCHED_DW = False
-    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
-    for a, b, name in zip(g0, g1, ("dw", "dv")):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-6, err_msg=name)
-
-
 def test_kmeans_plusplus_picks_normalized_valid_rows():
     """Every seeded center is the l2-normalization of some VALID candidate
     row; invalid rows are never drawn; distinct rows while enough exist."""

@@ -184,6 +184,7 @@ def test_ctx_mix_pallas_alpha_residual_matches():
     u_ref, nv_ref = G.context_mix(v_ext, fm_ext, w, 0.1, rm_ext=rm_ext)
     g_ref = jax.grad(lambda ve: jnp.sum(jnp.sin(
         G.context_mix(ve, fm_ext, w, 0.1, rm_ext=rm_ext)[0] * 1.3)))(v_ext)
+    old = FC.ALPHA_RESIDUAL
     try:
         FC.ALPHA_RESIDUAL = True
         for tile in (2, 4, 3):              # 3 does not divide 8 -> fallback
@@ -198,8 +199,14 @@ def test_ctx_mix_pallas_alpha_residual_matches():
                                   tile=tile)[0] * 1.3)))(v_ext)
             np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                        rtol=1e-4, atol=1e-5)
-    finally:
+        # the recompute path stays exact too (long clips fall back to it)
         FC.ALPHA_RESIDUAL = False
+        u2, _ = FC.ctx_mix_pallas(v_ext, fm_ext, w, 0.1, rm_ext=rm_ext,
+                                  tile=4)
+        np.testing.assert_allclose(np.asarray(u2), np.asarray(u_ref),
+                                   rtol=1e-5, atol=1e-6)
+    finally:
+        FC.ALPHA_RESIDUAL = old
 
 
 def test_ctx_mix_pallas_bf16_close_to_f32():
