@@ -129,6 +129,32 @@ def mask_regions(s: jax.Array, region_mask: jax.Array | None) -> jax.Array:
     return jnp.where(rm > 0, s, NEG)
 
 
+def diag_argmax_t(w_emb: jax.Array, v_emb: jax.Array,
+                  region_mask: jax.Array | None,
+                  dtype=None) -> jax.Array:
+    """argmax_r of the diag similarity via a TRANSPOSED einsum: [B,K,R,T].
+
+    jnp.argmax over the last axis of the [B,K,T,R] similarity tensor lowers
+    to a variadic reduce over the R=20 LANE axis (20 of 128 lanes live) —
+    a 37.8 us/step VPU loop fusion at config4 shapes (docs/PERF.md r4
+    trace). Re-emitting the similarity with output order "bkrt" puts T in
+    lanes and R in sublanes, so the argmax reduces over SUBLANES with all
+    lanes live. The extra dot is MXU work (~14 us) the reduce saves twice
+    over. Same products, same lowest-index tie rule.
+
+    Used by the production reduced-precision path only (train.py ARGMAX_T):
+    the oracle-parity f32 path keeps the canonical argmax-of-s form so the
+    materialized s tensor and the selection index agree bitwise.
+    """
+    we, ve = _cast2(w_emb, v_emb, dtype)
+    st = jnp.einsum("bke,btre->bkrt", we, ve,
+                    preferred_element_type=jnp.float32,
+                    precision=PRECISION)                       # [B,K,R,T]
+    if region_mask is not None:
+        st = jnp.where(region_mask.transpose(0, 2, 1)[:, None] > 0, st, NEG)
+    return jnp.argmax(st, axis=2)                              # [B,K,T]
+
+
 def frame_mil_max(s: jax.Array, frame_mask: jax.Array) -> jax.Array:
     """MIL max over regions: a[..,k,t] = max_r s (invalid frames -> 0).
 

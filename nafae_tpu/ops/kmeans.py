@@ -18,17 +18,38 @@ from nafae_tpu.ops.grounding import l2_normalize
 
 
 
-def kmeans_assign(f: jax.Array, centers: jax.Array) -> jax.Array:
-    """Cosine assignment c* = argmax_c f·Ĉ[c].  f [..,E], centers [Kc,E] -> [..]."""
-    sims = jnp.einsum("...e,ce->...c", f, l2_normalize(centers),
-                      preferred_element_type=jnp.float32,
-                      precision=G.PRECISION)
-    return jnp.argmax(sims, axis=-1)
+def kmeans_assign(f: jax.Array, centers: jax.Array,
+                  dtype=None) -> jax.Array:
+    """Cosine assignment c* = argmax_c f·Ĉ[c].  f [..,E], centers [Kc,E] -> [..].
+
+    dtype: compute dtype for the sims contraction (the production bf16
+    mode passes model.dtype). None keeps the f32 einsum at module
+    PRECISION — the oracle-parity path. With a dtype the sims run as ONE
+    transposed 2-D dot on the MXU ([Kc,E]x[N,E] -> [Kc,N]) and the argmax
+    reduces over the Kc SUBLANE axis: XLA loop-fuses the default
+    [..,E]x[Kc,E] form into a VPU multiply+reduce (40.6 us/step at config4
+    shapes, ~4 TF/s — docs/PERF.md r4 trace) because the argmax over the
+    Kc=67 lane axis blocks the dot emitter. Same products, same
+    first-index tie rule (argmax over axis 0 = lowest c wins, like
+    argmax over the last axis of the untransposed sims).
+    """
+    cn = l2_normalize(centers)
+    if dtype is None:
+        sims = jnp.einsum("...e,ce->...c", f, cn,
+                          preferred_element_type=jnp.float32,
+                          precision=G.PRECISION)
+        return jnp.argmax(sims, axis=-1)
+    f2 = f.reshape(-1, f.shape[-1]).astype(dtype)
+    sims = jax.lax.dot_general(cn.astype(dtype), f2,
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=G.PRECISION)          # [Kc, N]
+    return jnp.argmax(sims, axis=0).reshape(f.shape[:-1])
 
 
-def _lloyd_step(carry, _, f, valid, axis_name):
+def _lloyd_step(carry, _, f, valid, axis_name, assign_dtype=None):
     centers = carry
-    assign = kmeans_assign(f, centers)                        # [N]
+    assign = kmeans_assign(f, centers, dtype=assign_dtype)    # [N]
     onehot = jax.nn.one_hot(assign, centers.shape[0], dtype=f.dtype)  # [N,Kc]
     onehot = onehot * valid[:, None]
     sums = jnp.einsum("nc,ne->ce", onehot, f,
@@ -47,14 +68,17 @@ def _lloyd_step(carry, _, f, valid, axis_name):
 
 def kmeans_lloyd(f: jax.Array, valid: jax.Array, centers: jax.Array,
                  iters: int, ema: float = 0.0,
-                 axis_name: str | None = None) -> jax.Array:
+                 axis_name: str | None = None,
+                 assign_dtype=None) -> jax.Array:
     """Run `iters` Lloyd iterations; returns updated, normalized centers.
 
     f [N,E] flattened selected features, valid [N] (0/1), centers [Kc,E].
     ema: blend toward the OLD centers (docs/MATH.md: C ← norm((1−ρ)C_lloyd + ρC_old)).
+    assign_dtype: forwarded to kmeans_assign (MXU sims in the compute dtype).
     """
     old = l2_normalize(centers)
-    step = lambda c, x: _lloyd_step(c, x, f, valid, axis_name)
+    step = lambda c, x: _lloyd_step(c, x, f, valid, axis_name,
+                                    assign_dtype=assign_dtype)
     new, _ = jax.lax.scan(step, old, None, length=iters)
     if ema > 0.0:
         new = l2_normalize((1.0 - ema) * new + ema * old)

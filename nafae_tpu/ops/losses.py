@@ -128,7 +128,8 @@ def context_loss(s: jax.Array, shat: jax.Array, word_mask: jax.Array,
 
 def select_top_regions(s: jax.Array, v_emb: jax.Array, word_mask: jax.Array,
                        frame_mask: jax.Array,
-                       region_mask: jax.Array | None = None
+                       region_mask: jax.Array | None = None,
+                       r_star: jax.Array | None = None
                        ) -> tuple[jax.Array, jax.Array]:
     """Per-(word,frame) argmax region features (stop-grad selection).
 
@@ -138,8 +139,13 @@ def select_top_regions(s: jax.Array, v_emb: jax.Array, word_mask: jax.Array,
     region_mask [B,T,R]: frames with zero valid regions are excluded from
     `valid` — their argmax over all-NEG scores would gather a dead slot's
     embedding into the cluster loss and the k-means refresh.
+    r_star [B,K,T]: precomputed argmax indices (the production bf16 path
+    supplies ops/grounding.diag_argmax_t's sublane-reduced form — the
+    default argmax over the R=20 LANE axis is a 37.8 us/step VPU loop
+    fusion at config4 shapes; docs/PERF.md r4 trace).
     """
-    r_star = jnp.argmax(s, axis=-1)                                # [B,K,T]
+    if r_star is None:
+        r_star = jnp.argmax(s, axis=-1)                            # [B,K,T]
     # one-hot matmul instead of take_along_axis: the gather's backward is a
     # scatter-add into [B,T,R,E] (sort-based on TPU, ~50 us/step at
     # production shapes); as an einsum both directions ride the MXU
@@ -160,13 +166,15 @@ def select_top_regions(s: jax.Array, v_emb: jax.Array, word_mask: jax.Array,
     return f, valid
 
 
-def cluster_loss_terms(f: jax.Array, valid: jax.Array, centers: jax.Array
+def cluster_loss_terms(f: jax.Array, valid: jax.Array, centers: jax.Array,
+                       assign_dtype=None
                        ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """(numerator, denominator, assignments) of L_clu — the mesh-able form
     (like context_loss_terms): the train step psums num/den across the mesh
     before dividing, so ONE implementation of the MATH.md cluster formula
-    serves both the oracle-parity path and the sharded training path."""
-    assign = kmeans_assign(f, centers)                             # [..]
+    serves both the oracle-parity path and the sharded training path.
+    assign_dtype: forwarded to kmeans_assign (MXU sims, compute dtype)."""
+    assign = kmeans_assign(f, centers, dtype=assign_dtype)         # [..]
     target = jax.lax.stop_gradient(jnp.take(centers, assign, axis=0))
     sq = jnp.sum((f - target) ** 2, axis=-1)                       # [..]
     return jnp.sum(sq * valid), jnp.sum(valid), assign

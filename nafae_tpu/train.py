@@ -30,6 +30,17 @@ from nafae_tpu.parallel import sharding as S
 # itself only engages under the pallas/auto-on-TPU kernel modes)
 DIAG_KERNEL = True
 
+# r4 tail-attack flags (scripts/ab_step_variants.py), both reduced-precision-
+# mode only (cdt is not None) — the f32 oracle-parity path is untouched:
+# ARGMAX_T: region selection argmax from the transposed diag einsum
+#   (ops/grounding.diag_argmax_t — sublane reduce instead of the 37.8 us
+#   lane-axis loop fusion).
+# ASSIGN_MXU: k-means assignment sims as one transposed 2-D MXU dot in the
+#   compute dtype (ops/kmeans.kmeans_assign dtype= — replaces a 40.6 us
+#   VPU loop fusion).
+ARGMAX_T = False
+ASSIGN_MXU = False
+
 
 @struct.dataclass
 class TrainState:
@@ -260,13 +271,18 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
             aux["l_ctx"] = l_ctx
 
     # --- visual clustering loss ----------------------------------------------
-    f, valid = L.select_top_regions(s, v_emb, wm, fm, region_mask=rm)
+    r_star = (G.diag_argmax_t(w_emb, v_emb, rm, dtype=cdt)
+              if ARGMAX_T and cdt is not None else None)
+    f, valid = L.select_top_regions(s, v_emb, wm, fm, region_mask=rm,
+                                    r_star=r_star)
     # aux carries the canonical [B,T,K,...] layout (same as the fused diag
     # route) so the bank path can all_gather the frame axis at dim 1
     aux["sel_feats"] = jax.lax.stop_gradient(f).transpose(0, 2, 1, 3)
     aux["sel_valid"] = valid.transpose(0, 2, 1)
     if lc.cluster_weight > 0:
-        num, den, _ = L.cluster_loss_terms(f, valid, centers)
+        num, den, _ = L.cluster_loss_terms(
+            f, valid, centers,
+            assign_dtype=cdt if ASSIGN_MXU else None)
         l_clu = _global_mean(num, den, all_axes)
         total = total + lc.cluster_weight * l_clu
         aux["l_clu"] = l_clu
@@ -351,11 +367,14 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
             # counter, so under shard_map every device takes the same branch
             # and the psums inside kmeans_lloyd stay collective-safe.
             do = (state.step % cfg.loss.kmeans_interval) == 0
+            adt = (jnp.dtype(cfg.model.dtype)
+                   if ASSIGN_MXU and cfg.model.dtype != "float32" else None)
             centers = jax.lax.cond(
                 do,
                 lambda c: kmeans_lloyd(f, valid, c, cfg.loss.kmeans_iters,
                                        cfg.loss.kmeans_ema,
-                                       all_axes if all_axes else None),
+                                       all_axes if all_axes else None,
+                                       assign_dtype=adt),
                 lambda c: c,
                 centers)
         else:

@@ -48,6 +48,7 @@ def main():
     import jax
     import bench
     import nafae_tpu.ops.pallas.fused_ctx as FC
+    import nafae_tpu.train as TR
     from nafae_tpu.config import load_config
     from nafae_tpu.train import TrainState, make_optimizer, make_train_step
 
@@ -69,6 +70,11 @@ def main():
     FLAGS = {
         "base": [],
         "alpha_recompute": [(FC, "ALPHA_RESIDUAL", False)],
+        # r4 tail attack (docs/PERF.md r4 trace): sublane-reduced selection
+        # argmax / MXU k-means assignment, reduced-precision mode only
+        "argmax_t": [(TR, "ARGMAX_T", True)],
+        "assign_mxu": [(TR, "ASSIGN_MXU", True)],
+        "tail_both": [(TR, "ARGMAX_T", True), (TR, "ASSIGN_MXU", True)],
     }
     defaults = {(m, a): getattr(m, a) for fl in FLAGS.values()
                 for m, a, _ in fl}

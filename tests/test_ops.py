@@ -131,6 +131,58 @@ def test_kmeans_assign_shape():
     assert a.shape == (2, 3, 5) and a.dtype == jnp.int32 or a.dtype == jnp.int64
 
 
+def test_kmeans_assign_mxu_dtype_matches_default():
+    """kmeans_assign(dtype=...) — the transposed 2-D MXU dot form used by
+    train.ASSIGN_MXU — returns the same assignments and the same lowest-c
+    tie rule as the default einsum+argmax form (f32 exact; bf16 on data
+    whose sims survive the cast)."""
+    rng = np.random.RandomState(7)
+    f = jnp.asarray(rng.randn(4, 9, 16).astype(np.float32))
+    c = jnp.asarray(rng.randn(11, 16).astype(np.float32))
+    base = kmeans_assign(f, c)
+    np.testing.assert_array_equal(np.asarray(kmeans_assign(f, c, dtype=jnp.float32)),
+                                  np.asarray(base))
+    # bf16 comparison on margin-separated data (random near-ties can
+    # legitimately flip under the cast): points sit on top of their center
+    fm = jnp.take(c, base.reshape(-1) % c.shape[0], axis=0).reshape(f.shape)
+    fm = fm + 0.01 * f
+    bm = kmeans_assign(fm, c)
+    np.testing.assert_array_equal(np.asarray(kmeans_assign(fm, c, dtype=jnp.bfloat16)),
+                                  np.asarray(bm))
+    # tie rule: duplicate centers -> identical sims -> lowest index wins
+    cdup = jnp.concatenate([c[:1], c[:1], c], axis=0)
+    fd = jnp.broadcast_to(c[0], (3, 16))
+    for dt in (None, jnp.float32, jnp.bfloat16):
+        a = kmeans_assign(fd, cdup, dtype=dt)
+        np.testing.assert_array_equal(np.asarray(a), np.zeros(3, np.int64))
+
+
+def test_diag_argmax_t_matches_argmax_of_s():
+    """ops/grounding.diag_argmax_t (train.ARGMAX_T: the sublane-reduced
+    transposed-einsum selection argmax) == argmax_r of the masked diag
+    similarity tensor — values, region-mask exclusion, and the
+    lowest-r tie rule."""
+    rng = np.random.RandomState(11)
+    B, K, T, R, E = 3, 5, 7, 6, 32
+    w = jnp.asarray(rng.randn(B, K, E).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, T, R, E).astype(np.float32))
+    rm_np = (rng.rand(B, T, R) > 0.3).astype(np.float32)
+    rm_np[:, :, 0] = 1.0                    # no all-masked frame ambiguity
+    rm = jnp.asarray(rm_np)
+    for mask in (None, rm):
+        s = G.mask_regions(G.similarity_tensor(w, v), mask)
+        ref = jnp.argmax(s, axis=-1)
+        for dt in (None, jnp.bfloat16):
+            got = G.diag_argmax_t(w, v, mask, dtype=dt)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # tie rule: duplicate region rows -> equal products -> lowest r in both
+    vdup = v.at[:, :, 1].set(v[:, :, 0])
+    s = G.mask_regions(G.similarity_tensor(w, vdup), None)
+    np.testing.assert_array_equal(
+        np.asarray(G.diag_argmax_t(w, vdup, None)),
+        np.asarray(jnp.argmax(s, axis=-1)))
+
+
 def test_iou_identity_and_disjoint():
     a = jnp.array([0.0, 0.0, 10.0, 10.0])
     b = jnp.array([20.0, 20.0, 30.0, 30.0])
