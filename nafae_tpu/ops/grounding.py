@@ -129,30 +129,23 @@ def mask_regions(s: jax.Array, region_mask: jax.Array | None) -> jax.Array:
     return jnp.where(rm > 0, s, NEG)
 
 
-def diag_argmax_t(w_emb: jax.Array, v_emb: jax.Array,
-                  region_mask: jax.Array | None,
-                  dtype=None) -> jax.Array:
-    """argmax_r of the diag similarity via a TRANSPOSED einsum: [B,K,R,T].
+def argmax_regions_2d(s: jax.Array) -> jax.Array:
+    """argmax_r of the [B,K,T,R] similarity via a [R, B·K·T] relayout.
 
-    jnp.argmax over the last axis of the [B,K,T,R] similarity tensor lowers
-    to a variadic reduce over the R=20 LANE axis (20 of 128 lanes live) —
-    a 37.8 us/step VPU loop fusion at config4 shapes (docs/PERF.md r4
-    trace). Re-emitting the similarity with output order "bkrt" puts T in
-    lanes and R in sublanes, so the argmax reduces over SUBLANES with all
-    lanes live. The extra dot is MXU work (~14 us) the reduce saves twice
-    over. Same products, same lowest-index tie rule.
-
-    Used by the production reduced-precision path only (train.py ARGMAX_T):
-    the oracle-parity f32 path keeps the canonical argmax-of-s form so the
-    materialized s tensor and the selection index agree bitwise.
+    jnp.argmax over the last axis of s lowers to a variadic reduce over the
+    R=20 LANE axis (20 of 128 lanes live) fused into the diag einsum — a
+    37.8 us/step VPU loop at config4 shapes (docs/PERF.md r4 trace).
+    Transposing the MATERIALIZED s to [R, B·K·T] puts the reduce over
+    sublanes with all 128 lanes live; the relayout copy is ~205 KB bf16.
+    Same tensor, same values, same lowest-r tie rule (argmax over axis 0
+    returns the first maximal r, like argmax over the last axis) — the
+    selection is bitwise-identical to jnp.argmax(s, -1), unlike the r4
+    re-emitted-transposed-einsum attempt (+99.9 us/step LOSS, deleted —
+    see PERF.md "headroom closed").
     """
-    we, ve = _cast2(w_emb, v_emb, dtype)
-    st = jnp.einsum("bke,btre->bkrt", we, ve,
-                    preferred_element_type=jnp.float32,
-                    precision=PRECISION)                       # [B,K,R,T]
-    if region_mask is not None:
-        st = jnp.where(region_mask.transpose(0, 2, 1)[:, None] > 0, st, NEG)
-    return jnp.argmax(st, axis=2)                              # [B,K,T]
+    b, k, t, r = s.shape
+    st = s.reshape(b * k * t, r).T                  # [R, B·K·T]
+    return jnp.argmax(st, axis=0).reshape(b, k, t).astype(jnp.int32)
 
 
 def frame_mil_max(s: jax.Array, frame_mask: jax.Array) -> jax.Array:

@@ -139,10 +139,10 @@ def select_top_regions(s: jax.Array, v_emb: jax.Array, word_mask: jax.Array,
     region_mask [B,T,R]: frames with zero valid regions are excluded from
     `valid` — their argmax over all-NEG scores would gather a dead slot's
     embedding into the cluster loss and the k-means refresh.
-    r_star [B,K,T]: precomputed argmax indices (the production bf16 path
-    supplies ops/grounding.diag_argmax_t's sublane-reduced form — the
-    default argmax over the R=20 LANE axis is a 37.8 us/step VPU loop
-    fusion at config4 shapes; docs/PERF.md r4 trace).
+    r_star [B,K,T]: precomputed argmax indices (train.ARGMAX_2D supplies
+    ops/grounding.argmax_regions_2d's relayout-sublane form — the default
+    argmax over the R=20 LANE axis is a 37.8 us/step VPU loop fusion at
+    config4 shapes; docs/PERF.md r4 trace).
     """
     if r_star is None:
         r_star = jnp.argmax(s, axis=-1)                            # [B,K,T]

@@ -32,14 +32,14 @@ DIAG_KERNEL = True
 
 # r4 tail-attack flags (scripts/ab_step_variants.py), both reduced-precision-
 # mode only (cdt is not None) — the f32 oracle-parity path is untouched:
-# ARGMAX_T: region selection argmax from the transposed diag einsum
-#   (ops/grounding.diag_argmax_t — sublane reduce instead of the 37.8 us
-#   lane-axis loop fusion).
-# ASSIGN_MXU: k-means assignment sims as one transposed 2-D MXU dot in the
-#   compute dtype (ops/kmeans.kmeans_assign dtype= — replaces a 40.6 us
-#   VPU loop fusion).
-ARGMAX_T = False
-ASSIGN_MXU = False
+# ASSIGN_MXU (production default, −35.9 us/step within-process): k-means
+#   assignment sims as one transposed 2-D MXU dot in the compute dtype
+#   (ops/kmeans.kmeans_assign dtype= — replaces a 40.6 us VPU loop fusion).
+# ARGMAX_2D: region-selection argmax over the relayouted [R, B·K·T] view of
+#   the materialized s (ops/grounding.argmax_regions_2d — bitwise-same
+#   selection; candidate for the 37.8 us lane-axis loop fusion).
+ASSIGN_MXU = True
+ARGMAX_2D = False
 
 
 @struct.dataclass
@@ -271,8 +271,8 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
             aux["l_ctx"] = l_ctx
 
     # --- visual clustering loss ----------------------------------------------
-    r_star = (G.diag_argmax_t(w_emb, v_emb, rm, dtype=cdt)
-              if ARGMAX_T and cdt is not None else None)
+    r_star = (G.argmax_regions_2d(s)
+              if ARGMAX_2D and cdt is not None else None)
     f, valid = L.select_top_regions(s, v_emb, wm, fm, region_mask=rm,
                                     r_star=r_star)
     # aux carries the canonical [B,T,K,...] layout (same as the fused diag

@@ -45,6 +45,27 @@ def main():
     apply_platform_override()
     require_tpu_or_exit3("ab_step_variants")
     enable_compilation_cache()
+
+    # Backend init can succeed while the FIRST DEVICE USE hangs forever
+    # (observed r4: device_put blocked 30 min with 0 progress — the r3
+    # outage mode, docs/PERF.md). Same contract as bench.py: a watchdog
+    # thread exits 3 unless a variant completes within the deadline, so
+    # tpu_run.sh retries in a fresh process. Each finished variant rearms.
+    import threading
+    deadline = float(os.environ.get("NAFAE_AB_DEADLINE", "900"))
+    progress = threading.Event()
+
+    def _watchdog():
+        while True:
+            progress.clear()
+            if not progress.wait(deadline):
+                print(f"ab_step_variants: no variant finished in "
+                      f"{deadline:.0f} s; exiting 3 for the tpu_run.sh "
+                      "retry loop", file=sys.stderr)
+                sys.stderr.flush()
+                os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
     import bench
     import nafae_tpu.ops.pallas.fused_ctx as FC
@@ -70,11 +91,13 @@ def main():
     FLAGS = {
         "base": [],
         "alpha_recompute": [(FC, "ALPHA_RESIDUAL", False)],
-        # r4 tail attack (docs/PERF.md r4 trace): sublane-reduced selection
-        # argmax / MXU k-means assignment, reduced-precision mode only
-        "argmax_t": [(TR, "ARGMAX_T", True)],
-        "assign_mxu": [(TR, "ASSIGN_MXU", True)],
-        "tail_both": [(TR, "ARGMAX_T", True), (TR, "ASSIGN_MXU", True)],
+        # r4 tail attack (docs/PERF.md r4 trace + "headroom closed"):
+        # assign_vpu — the pre-r4 k-means assignment (f32-promoted VPU loop
+        #   fusion; ASSIGN_MXU won −35.9 us/step and is the default)
+        # argmax_2d — selection argmax over the relayouted materialized s
+        #   (the re-emitted transposed-einsum form lost +99.9 us, deleted)
+        "assign_vpu": [(TR, "ASSIGN_MXU", False)],
+        "argmax_2d": [(TR, "ARGMAX_2D", True)],
     }
     defaults = {(m, a): getattr(m, a) for fl in FLAGS.values()
                 for m, a, _ in fl}
@@ -109,6 +132,7 @@ def main():
     for name in args.variants.split(","):
         dt, loss = measure(build(FLAGS[name]))
         res[name] = dt
+        progress.set()
         print(f"{name}: {dt * 1e6:.1f} us/step loss={loss:.4f}", flush=True)
     for (m, a), v in defaults.items():
         setattr(m, a, v)

@@ -157,29 +157,28 @@ def test_kmeans_assign_mxu_dtype_matches_default():
         np.testing.assert_array_equal(np.asarray(a), np.zeros(3, np.int64))
 
 
-def test_diag_argmax_t_matches_argmax_of_s():
-    """ops/grounding.diag_argmax_t (train.ARGMAX_T: the sublane-reduced
-    transposed-einsum selection argmax) == argmax_r of the masked diag
-    similarity tensor — values, region-mask exclusion, and the
-    lowest-r tie rule."""
+def test_argmax_regions_2d_bitwise_matches_argmax_of_s():
+    """ops/grounding.argmax_regions_2d (train.ARGMAX_2D: the relayouted
+    [R, B·K·T] selection argmax) is the SAME tensor reduced in a different
+    layout — bitwise-identical indices to jnp.argmax(s, -1), including the
+    masked-region NEG entries and the lowest-r tie rule."""
     rng = np.random.RandomState(11)
     B, K, T, R, E = 3, 5, 7, 6, 32
     w = jnp.asarray(rng.randn(B, K, E).astype(np.float32))
     v = jnp.asarray(rng.randn(B, T, R, E).astype(np.float32))
     rm_np = (rng.rand(B, T, R) > 0.3).astype(np.float32)
-    rm_np[:, :, 0] = 1.0                    # no all-masked frame ambiguity
     rm = jnp.asarray(rm_np)
     for mask in (None, rm):
-        s = G.mask_regions(G.similarity_tensor(w, v), mask)
-        ref = jnp.argmax(s, axis=-1)
         for dt in (None, jnp.bfloat16):
-            got = G.diag_argmax_t(w, v, mask, dtype=dt)
-            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
-    # tie rule: duplicate region rows -> equal products -> lowest r in both
+            s = G.mask_regions(G.similarity_tensor(w, v, dtype=dt), mask)
+            np.testing.assert_array_equal(
+                np.asarray(G.argmax_regions_2d(s)),
+                np.asarray(jnp.argmax(s, axis=-1)))
+    # tie rule: duplicate region rows -> equal scores -> lowest r in both
     vdup = v.at[:, :, 1].set(v[:, :, 0])
-    s = G.mask_regions(G.similarity_tensor(w, vdup), None)
+    s = G.similarity_tensor(w, vdup)
     np.testing.assert_array_equal(
-        np.asarray(G.diag_argmax_t(w, vdup, None)),
+        np.asarray(G.argmax_regions_2d(s)),
         np.asarray(jnp.argmax(s, axis=-1)))
 
 

@@ -296,3 +296,4 @@ def test_tail_loop_fires_eval_once_per_interval(synth_root, tmp_path):
     state, _ = fit(cfg, eval_fn=lambda s: calls.append(int(s.step)))
     assert int(state.step) == 12
     assert calls == [10], calls     # exactly one firing, at the interval
+
