@@ -11,6 +11,8 @@ Conventions: masks are float (0/1). NEG = -1e9 is the masked-max/-softmax fill.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -85,6 +87,66 @@ def project_regions(feats: jax.Array, w_v: jax.Array, b_v: jax.Array,
                             precision=PRECISION)
     v = v.reshape(b, t, r, -1) + b_v.astype(jnp.float32)
     return l2_normalize(v)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def project_regions_fused(feats: jax.Array, w_v: jax.Array, b_v: jax.Array,
+                          dtype) -> jax.Array:
+    """project_regions + the downstream compute-dtype cast, with the
+    normalize BACKWARD run in the compute dtype (train.PROJ_FUSED,
+    reduced-precision mode only).
+
+    Forward math is identical to `project_regions(...).astype(dtype)`
+    (bitwise: same dot, same f32 bias+rsqrt epilogue, same final cast).
+    What changes is the autodiff plan: XLA's backward of the f32 normalize
+    chain reads/writes f32 [B·T·R, E] tensors (~57 µs/step of pure HBM at
+    config4 shapes — docs/PERF.md device-time table) and saves an f32
+    residual in the forward. Here the residuals are the bf16 OUTPUT itself
+    plus the [N,1] f32 inverse norms, and the backward computes
+    dv = (g − v̂·(g·v̂)) · inv with f32 row-reductions but compute-dtype
+    reads/writes, then feeds the dW/db dots directly. feats is frozen data
+    everywhere this runs (train.py:138 stop_gradients the inline detector;
+    the packed loader feats are inputs), so its cotangent is a symbolic
+    zero.
+    """
+    out, _ = _proj_fused_fwd(feats, w_v, b_v, dtype)
+    return out
+
+
+def _proj_fused_fwd(feats, w_v, b_v, dtype):
+    b, t, r, d = feats.shape
+    f2 = feats.reshape(b * t * r, d).astype(dtype)
+    v = jax.lax.dot_general(f2, w_v.astype(dtype), (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=PRECISION)                 # [N,E] f32
+    v = v + b_v.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-8)
+    vhat = (v * inv).astype(dtype)                               # [N,E]
+    # feats rides along only to shape the (DCE'd) zero cotangent — an alias,
+    # not a copy
+    return vhat.reshape(b, t, r, -1), (f2, vhat, inv, feats)
+
+
+def _proj_fused_bwd(dtype, res, g):
+    f2, vhat, inv, feats = res
+    n, e = vhat.shape
+    g2 = g.reshape(n, e)
+    # row dots g·v̂ with f32 accumulation (bf16 products are exact in f32)
+    gd = jnp.einsum("ne,ne->n", g2, vhat,
+                    preferred_element_type=jnp.float32,
+                    precision=PRECISION)[:, None]                # [N,1] f32
+    dv32 = (g2.astype(jnp.float32) - vhat.astype(jnp.float32) * gd) * inv
+    dv = dv32.astype(dtype)                                      # [N,E]
+    dw = jax.lax.dot_general(f2, dv, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=PRECISION)                # [D,E] f32
+    db = jnp.sum(dv32, axis=0)                                   # [E] f32
+    # feats is frozen data at every call site (train.py stop_gradients the
+    # inline detector; loader feats are inputs) — the zero cotangent is DCE'd
+    return (jnp.zeros_like(feats), dw, db)
+
+
+project_regions_fused.defvjp(_proj_fused_fwd, _proj_fused_bwd)
 
 
 def similarity_tensor(w_emb: jax.Array, v_emb: jax.Array,

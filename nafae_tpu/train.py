@@ -35,11 +35,16 @@ DIAG_KERNEL = True
 # ASSIGN_MXU (production default, −35.9 us/step within-process): k-means
 #   assignment sims as one transposed 2-D MXU dot in the compute dtype
 #   (ops/kmeans.kmeans_assign dtype= — replaces a 40.6 us VPU loop fusion).
-# ARGMAX_2D: region-selection argmax over the relayouted [R, B·K·T] view of
-#   the materialized s (ops/grounding.argmax_regions_2d — bitwise-same
-#   selection; candidate for the 37.8 us lane-axis loop fusion).
+# ARGMAX_2D (production default, −50.3 us/step within-process): region-
+#   selection argmax over the relayouted [R, B·K·T] view of the
+#   materialized s (ops/grounding.argmax_regions_2d — bitwise-same
+#   selection; replaces a 37.8 us lane-axis loop fusion).
+# PROJ_FUSED: projection+normalize as ONE custom-VJP op whose backward
+#   runs in the compute dtype with bf16 residuals (the XLA normalize-bwd
+#   fusion moves ~40 MB of f32/step — ops/grounding.project_regions_fused).
 ASSIGN_MXU = True
-ARGMAX_2D = False
+ARGMAX_2D = True
+PROJ_FUSED = False
 
 
 @struct.dataclass
@@ -151,15 +156,21 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
     cdt = None if mc.dtype == "float32" else jnp.dtype(mc.dtype)
     w_emb = G.embed_words(batch["word_ids"], params["word_emb"],
                           m_sim=params.get("m_sim"))
-    v_emb = G.project_regions(feats, params["w_v"], params["b_v"],
-                              dtype=jnp.dtype(mc.dtype))
-    if cdt is not None:
-        # store v̂ in the compute dtype: every consumer (similarity, ctx
-        # kernel, select one-hot, cross einsum) casts to it anyway, and the
-        # f32 [B,T,R,E] copy is pure HBM traffic — measured -61 us/step at
-        # config4 shapes. The normalize itself stays f32 inside
-        # project_regions; f32 mode (oracle parity) is unchanged.
-        v_emb = v_emb.astype(cdt)
+    if PROJ_FUSED and cdt is not None:
+        # same forward bitwise; the normalize backward runs in the compute
+        # dtype with bf16 residuals (ops/grounding.project_regions_fused)
+        v_emb = G.project_regions_fused(feats, params["w_v"], params["b_v"],
+                                        cdt)
+    else:
+        v_emb = G.project_regions(feats, params["w_v"], params["b_v"],
+                                  dtype=jnp.dtype(mc.dtype))
+        if cdt is not None:
+            # store v̂ in the compute dtype: every consumer (similarity, ctx
+            # kernel, select one-hot, cross einsum) casts to it anyway, and
+            # the f32 [B,T,R,E] copy is pure HBM traffic — measured -61
+            # us/step at config4 shapes. The normalize itself stays f32
+            # inside project_regions; f32 mode (oracle parity) is unchanged.
+            v_emb = v_emb.astype(cdt)
     s = G.mask_regions(G.similarity_tensor(w_emb, v_emb, dtype=cdt), rm)
 
     # --- context mixing (shared by context pooling and the ctx loss: the

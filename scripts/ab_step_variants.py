@@ -97,7 +97,11 @@ def main():
         # argmax_2d — selection argmax over the relayouted materialized s
         #   (the re-emitted transposed-einsum form lost +99.9 us, deleted)
         "assign_vpu": [(TR, "ASSIGN_MXU", False)],
-        "argmax_2d": [(TR, "ARGMAX_2D", True)],
+        "argmax_lanes": [(TR, "ARGMAX_2D", False)],
+        # proj_fused — custom-VJP projection+normalize: backward in the
+        #   compute dtype, bf16 residuals (candidate for the ~57 us
+        #   normalize-bwd HBM fusion)
+        "proj_fused": [(TR, "PROJ_FUSED", True)],
     }
     defaults = {(m, a): getattr(m, a) for fl in FLAGS.values()
                 for m, a, _ in fl}

@@ -289,3 +289,43 @@ def test_kmeans_ema():
     np.testing.assert_allclose(np.asarray(blended), np.asarray(expect),
                                rtol=1e-5, atol=1e-6)
     assert float(jnp.abs(blended - pure).max()) > 1e-3
+
+
+def test_project_regions_fused_matches_reference():
+    """ops/grounding.project_regions_fused (train.PROJ_FUSED): forward is
+    BITWISE project_regions(...).astype(dtype); w_v/b_v gradients match the
+    f32-backward reference to bf16 tolerance; feats' cotangent is zero."""
+    rng = np.random.RandomState(5)
+    B, T, R, D, E = 2, 4, 3, 24, 16
+    feats = jnp.asarray(rng.randn(B, T, R, D).astype(np.float32))
+    w_v = jnp.asarray((rng.randn(D, E) / np.sqrt(D)).astype(np.float32))
+    b_v = jnp.asarray(rng.randn(E).astype(np.float32) * 0.1)
+    dt = jnp.bfloat16
+
+    ref_fwd = G.project_regions(feats, w_v, b_v, dtype=dt).astype(dt)
+    got_fwd = G.project_regions_fused(feats, w_v, b_v, dt)
+    assert got_fwd.dtype == dt
+    np.testing.assert_array_equal(np.asarray(got_fwd, np.float32),
+                                  np.asarray(ref_fwd, np.float32))
+
+    probe = jnp.asarray(rng.randn(B, T, R, E).astype(np.float32))
+
+    def loss_ref(w, b):
+        v = G.project_regions(feats, w, b, dtype=dt).astype(dt)
+        return jnp.sum(v.astype(jnp.float32) * probe)
+
+    def loss_fused(w, b):
+        v = G.project_regions_fused(feats, w, b, dt)
+        return jnp.sum(v.astype(jnp.float32) * probe)
+
+    gw_ref, gb_ref = jax.grad(loss_ref, argnums=(0, 1))(w_v, b_v)
+    gw, gb = jax.grad(loss_fused, argnums=(0, 1))(w_v, b_v)
+    scale = float(jnp.abs(gw_ref).max())
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               atol=2e-2 * scale)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_ref),
+                               atol=2e-2 * max(1.0, float(jnp.abs(gb_ref).max())))
+
+    gf = jax.grad(lambda f: jnp.sum(
+        G.project_regions_fused(f, w_v, b_v, dt).astype(jnp.float32)))(feats)
+    np.testing.assert_array_equal(np.asarray(gf), np.zeros_like(feats))
