@@ -39,12 +39,13 @@ DIAG_KERNEL = True
 #   selection argmax over the relayouted [R, B·K·T] view of the
 #   materialized s (ops/grounding.argmax_regions_2d — bitwise-same
 #   selection; replaces a 37.8 us lane-axis loop fusion).
-# PROJ_FUSED: projection+normalize as ONE custom-VJP op whose backward
-#   runs in the compute dtype with bf16 residuals (the XLA normalize-bwd
-#   fusion moves ~40 MB of f32/step — ops/grounding.project_regions_fused).
+# PROJ_FUSED (production default, −19.9 us/step within-process):
+#   projection+normalize as ONE custom-VJP op whose backward runs in the
+#   compute dtype with bf16 residuals (the XLA normalize-bwd fusion moves
+#   ~40 MB of f32/step — ops/grounding.project_regions_fused).
 ASSIGN_MXU = True
 ARGMAX_2D = True
-PROJ_FUSED = False
+PROJ_FUSED = True
 
 
 @struct.dataclass

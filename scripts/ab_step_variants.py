@@ -98,10 +98,9 @@ def main():
         #   (the re-emitted transposed-einsum form lost +99.9 us, deleted)
         "assign_vpu": [(TR, "ASSIGN_MXU", False)],
         "argmax_lanes": [(TR, "ARGMAX_2D", False)],
-        # proj_fused — custom-VJP projection+normalize: backward in the
-        #   compute dtype, bf16 residuals (candidate for the ~57 us
-        #   normalize-bwd HBM fusion)
-        "proj_fused": [(TR, "PROJ_FUSED", True)],
+        # proj_unfused — XLA-autodiff projection+normalize (the pre-r4
+        #   form; PROJ_FUSED won −19.9 us/step and is the default)
+        "proj_unfused": [(TR, "PROJ_FUSED", False)],
     }
     defaults = {(m, a): getattr(m, a) for fl in FLAGS.values()
                 for m, a, _ in fl}
