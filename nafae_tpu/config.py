@@ -207,6 +207,11 @@ class DetectorConfig:
                                   # toolchain's emitter handles the s2d
                                   # form worse). Knob kept for future
                                   # toolchains; default stays off.
+    stem_pad_ch: int = 0          # zero-pad the stem conv's INPUT channels
+                                  # (3 -> this) at trace time — exact, same
+                                  # checkpoint tree; emitter channel-tiling
+                                  # knob for the starved 3-channel input.
+                                  # 0 disables.
     frame_rate: float = 1.0       # sampled frames / second of video
     weights: str = ""             # optional torchvision resnet50 .pth to seed
                                   # the backbone/head (utils/torch_convert)

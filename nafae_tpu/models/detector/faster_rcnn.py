@@ -49,7 +49,8 @@ class FasterRCNNExtractor(nn.Module):
             # the C5 RoI head is identical (2048-d pooled features)
             from nafae_tpu.models.detector.resnet import RESNET_BLOCKS
             self.backbone = ResNetC4(blocks=RESNET_BLOCKS[self.cfg.backbone],
-                                     dtype=dt, stem_s2d=self.cfg.stem_s2d)
+                                     dtype=dt, stem_s2d=self.cfg.stem_s2d,
+                                     stem_pad_ch=self.cfg.stem_pad_ch)
             self.head = ResNetC5Head(dtype=dt)
         else:
             raise ValueError(

@@ -101,6 +101,14 @@ class StemConv(nn.Module):
     name), so torch converters and existing checkpoints are untouched.
     s2d=False runs the plain 7×7 form (odd input sizes also fall back).
 
+    pad_ch: zero-pad the INPUT channel dim (and the kernel) to this count
+    at trace time — exact (the extra products are 0·x) with the same param
+    tree; a knob for the emitter's channel tiling on the starved 3-channel
+    input. 0 disables. MEASURED a wash (r4 ab_inline, full config-5 step:
+    pad_ch=8 −5.2 µs, pad_ch=16 −3.4 µs ≈ noise) — the emitter already
+    pads the starved channel dim internally; knob kept for other
+    toolchains (docs/PERF.md "headroom closed").
+
     MEASURED (r4, ab_inline within-process, full config-5 step): s2d=True
     4055 → 5215 µs/step — this toolchain's conv emitter handles the
     4×4/s1/12-channel form WORSE than the native 7×7/s2, so the default
@@ -110,6 +118,7 @@ class StemConv(nn.Module):
     features: int = 64
     s2d: bool = True
     dtype: jnp.dtype | None = None
+    pad_ch: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -119,6 +128,11 @@ class StemConv(nn.Module):
             x = x.astype(self.dtype)
             k = k.astype(self.dtype)
         n, h, w, c = x.shape
+        if self.pad_ch > c:
+            pad = ((0, 0),) * 3 + ((0, self.pad_ch - c),)
+            x = jnp.pad(x, pad)
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, self.pad_ch - c), (0, 0)))
+            c = self.pad_ch
         dn = ("NHWC", "HWIO", "NHWC")
         if not self.s2d or h % 2 or w % 2:
             return jax.lax.conv_general_dilated(
@@ -146,6 +160,7 @@ class ResNetC4(nn.Module):
     dtype: jnp.dtype | None = None
     stem_s2d: bool = False      # measured slower on this toolchain — see
                                 # StemConv and config.DetectorConfig.stem_s2d
+    stem_pad_ch: int = 0        # StemConv.pad_ch (exact zero-pad knob)
 
     @nn.compact
     def __call__(self, x):

@@ -124,6 +124,19 @@ def test_stem_s2d_exact_and_same_param_tree():
         np.asarray(stem.apply(ps, x_odd)),
         np.asarray(StemConv(8, s2d=False).apply(ps, x_odd)),
         rtol=1e-5, atol=1e-5)
+    # input-channel zero-pad (detector.stem_pad_ch) is exact with the SAME
+    # param tree (kernel stays [7,7,3,F]); composes with both stem forms
+    x_ev = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    base = StemConv(8, s2d=False)
+    pb = base.init(jax.random.PRNGKey(2), x_ev)
+    y_ref = base.apply(pb, x_ev)
+    for m in (StemConv(8, s2d=False, pad_ch=8),
+              StemConv(8, s2d=True, pad_ch=16)):
+        assert (jax.tree_util.tree_structure(m.init(jax.random.PRNGKey(2),
+                                                    x_ev))
+                == jax.tree_util.tree_structure(pb))
+        np.testing.assert_allclose(np.asarray(m.apply(pb, x_ev)),
+                                   np.asarray(y_ref), rtol=1e-5, atol=1e-5)
 
 
 def test_extractor_end_to_end_shapes():
