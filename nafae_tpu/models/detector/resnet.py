@@ -170,8 +170,8 @@ class ResNetC4(nn.Module):
         # asymmetric at stride 2, which shifts the grid under converted
         # torch weights (r2 review fix). name="Conv_0" keeps the param tree
         # identical to the old nn.Conv stem (checkpoints/converters).
-        y = StemConv(64, s2d=self.stem_s2d, dtype=self.dtype,
-                     name="Conv_0")(x)
+        y = StemConv(64, s2d=self.stem_s2d, pad_ch=self.stem_pad_ch,
+                     dtype=self.dtype, name="Conv_0")(x)
         y = FrozenBN(64, self.dtype)(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2),
