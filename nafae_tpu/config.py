@@ -207,6 +207,12 @@ class DetectorConfig:
                                   # toolchain's emitter handles the s2d
                                   # form worse). Knob kept for future
                                   # toolchains; default stays off.
+    roi_impl: str = "separable"   # RoIAlign form: "separable" (two batched
+                                  # matmuls, Wy@feat@Wx^T), "combined" (one
+                                  # dot against the folded [PQ,HW] pooling
+                                  # matrix — 4x FLOPs, no 92 MB bf16
+                                  # intermediate; ops/roi_align.py), or
+                                  # "pallas" (ops/pallas/roi_align.py).
     stem_pad_ch: int = 0          # zero-pad the stem conv's INPUT channels
                                   # (3 -> this) at trace time — exact, same
                                   # checkpoint tree; emitter channel-tiling
@@ -342,6 +348,10 @@ def validate(cfg: Config) -> Config:
             "loss.kmeans_source='bank' with multiple data.frame_buckets "
             "requires mesh.frame_axis=1 (the frame-sharded bank slot "
             "cannot pad smaller buckets consistently across SP shards)")
+    if cfg.detector.roi_impl not in ("separable", "combined", "pallas"):
+        raise ValueError(
+            f"unknown detector.roi_impl {cfg.detector.roi_impl!r}; "
+            "choose separable | combined | pallas")
     if cfg.model.matmul_precision not in ("highest", "default"):
         # everything-else would silently map to DEFAULT (bf16 MXU passes,
         # ~1e-3 error) in ops.grounding.matmul_precision — a typo must not

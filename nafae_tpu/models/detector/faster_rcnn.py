@@ -92,19 +92,22 @@ class FasterRCNNExtractor(nn.Module):
                        else "approx" if cfg.approx_topk else "exact"),
             topk_window=cfg.topk_window, deltas_raw=deltas_raw)
 
-        if self.use_pallas_roi_align:
+        roi_impl = "pallas" if self.use_pallas_roi_align else cfg.roi_impl
+        if roi_impl == "pallas":
             from nafae_tpu.ops.pallas.roi_align import roi_align_pallas
-            pooled = jax.vmap(
-                lambda f, bx: roi_align_pallas(f, bx, out_size=7,
-                                               spatial_scale=1.0 / stride)
-            )(feat, boxes)
+            roi_fn = roi_align_pallas
+        elif roi_impl == "combined":
+            # one-dot form: no [N,P,W,C] HBM intermediate (ops/roi_align.py)
+            from nafae_tpu.ops.roi_align import roi_align_combined
+            roi_fn = roi_align_combined
         else:
             # MXU-native separable-matmul RoIAlign (ops/roi_align.py)
             from nafae_tpu.ops.roi_align import roi_align_matmul
-            pooled = jax.vmap(
-                lambda f, bx: roi_align_matmul(f, bx, out_size=7,
-                                               spatial_scale=1.0 / stride)
-            )(feat, boxes)                                   # [B,R,7,7,1024]
+            roi_fn = roi_align_matmul
+        pooled = jax.vmap(
+            lambda f, bx: roi_fn(f, bx, out_size=7,
+                                 spatial_scale=1.0 / stride)
+        )(feat, boxes)                                       # [B,R,7,7,1024]
 
         r = cfg.num_proposals
         roi_feats = self.head(pooled.reshape(b * r, 7, 7, pooled.shape[-1]))

@@ -117,3 +117,40 @@ def roi_align_matmul(feat: jax.Array, boxes: jax.Array, out_size: int = 7,
                      preferred_element_type=jnp.float32,
                      precision=_G.PRECISION)
     return out.astype(feat.dtype)
+
+
+def roi_align_combined(feat: jax.Array, boxes: jax.Array, out_size: int = 7,
+                       spatial_scale: float = 1.0, sampling_ratio: int = 2
+                       ) -> jax.Array:
+    """One-dot RoIAlign: fold BOTH separable axes into a single pooling
+    matrix W2[n,(p,q),(h,w)] = wy[n,p,h]·wx[n,q,w] and contract with the
+    flattened feature map in one MXU dot, out = W2 @ feat.
+
+    Same math as `roi_align_matmul` (identical wy/wx), different HBM/FLOP
+    trade: ~4x the MXU FLOPs (the reduction runs over H·W instead of H
+    then W) but NO [N,P,W,C] intermediate — at inline config-5 shapes the
+    separable pair traced HBM-bound at 13 TF/s moving a 92 MB bf16
+    intermediate (docs/PERF.md r4 inline trace, fusion.827/829). Select via
+    `detector.roi_impl=combined`.
+
+    MEASURED A LOSS at inline config-5 shapes (r4 ab_inline, full step,
+    within-process): 4075.6 → 4200.3 µs/step (+124.8) — the extra MXU
+    passes + the [N,49,400] pooling-matrix build outweigh the bandwidth
+    saved. Default stays "separable"; knob + parity test kept
+    (docs/PERF.md "headroom closed").
+    """
+    from nafae_tpu.ops import grounding as _G
+    h, w, c = feat.shape
+    n = boxes.shape[0]
+    b = boxes * spatial_scale
+    wy = bilinear_weights(b[:, (1, 3)], h, out_size, sampling_ratio)  # [N,P,H]
+    wx = bilinear_weights(b[:, (0, 2)], w, out_size, sampling_ratio)  # [N,Q,W]
+    w2 = (wy[:, :, None, :, None] * wx[:, None, :, None, :]).reshape(
+        n, out_size * out_size, h * w)                       # [N,PQ,HW]
+    # one cast of the f32 product (the separable form rounds wy/wx each);
+    # both accumulate the dot in f32 via preferred_element_type
+    w2 = w2.astype(feat.dtype)
+    out = jnp.einsum("nkm,mc->nkc", w2, feat.reshape(h * w, c),
+                     preferred_element_type=jnp.float32,
+                     precision=_G.PRECISION)
+    return out.reshape(n, out_size, out_size, c).astype(feat.dtype)

@@ -1,6 +1,7 @@
 """Detector stack tests: NMS, RoIAlign, RPN decode, full extractor shapes."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -167,6 +168,34 @@ def test_extractor_end_to_end_shapes():
     b = np.asarray(out["boxes"])
     assert (b[..., 2] >= b[..., 0]).all() and (b[..., 3] >= b[..., 1]).all()
     assert (b >= 0).all() and (b <= 64).all()
+
+
+def test_extractor_roi_impl_combined_matches_separable():
+    """detector.roi_impl=combined is the same math as the separable default
+    (one folded dot vs two matmuls) — extractor outputs must agree to float
+    tolerance under shared params; typos must fail at config load."""
+    cfg = DetectorConfig(image_size=64, num_proposals=5, rpn_pre_nms_topk=32,
+                         anchor_scales=(16, 32), anchor_ratios=(0.5, 1.0, 2.0))
+    from nafae_tpu.models.detector.faster_rcnn import init_detector
+    model, params = init_detector(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray(np.random.RandomState(1).rand(2, 64, 64, 3)
+                       .astype(np.float32))
+    ref = jax.jit(model.apply)(params, imgs)
+    import dataclasses
+    cfg_cb = dataclasses.replace(cfg, roi_impl="combined")
+    from nafae_tpu.models.detector.faster_rcnn import FasterRCNNExtractor
+    model_cb = FasterRCNNExtractor(cfg_cb)
+    out = jax.jit(model_cb.apply)(params, imgs)
+    np.testing.assert_allclose(np.asarray(out["feats"]),
+                               np.asarray(ref["feats"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out["boxes"]),
+                                  np.asarray(ref["boxes"]))
+    # typo fail-fast at config load (config.validate)
+    from nafae_tpu.config import load_config
+    with pytest.raises(ValueError, match="unknown detector.roi_impl"):
+        load_config(preset_name="config1",
+                    overrides=["detector.roi_impl=combinedd"])
 
 
 def test_windowed_topk():

@@ -253,7 +253,8 @@ def test_cross_scores_pallas_ctx_pool_uses_kernel():
 
 
 def test_roi_align_pallas_matches_reference():
-    from nafae_tpu.ops.roi_align import roi_align, roi_align_matmul
+    from nafae_tpu.ops.roi_align import (roi_align, roi_align_combined,
+                                         roi_align_matmul)
     from nafae_tpu.ops.pallas.roi_align import roi_align_pallas
     rng = np.random.RandomState(0)
     feat = jnp.asarray(rng.randn(12, 14, 8).astype(np.float32))
@@ -262,8 +263,11 @@ def test_roi_align_pallas_matches_reference():
     boxes = jnp.asarray(np.concatenate([xy, xy + wh], 1).astype(np.float32))
     ref = roi_align(feat, boxes, out_size=7, spatial_scale=0.5)
     mm = roi_align_matmul(feat, boxes, out_size=7, spatial_scale=0.5)
+    cb = roi_align_combined(feat, boxes, out_size=7, spatial_scale=0.5)
     pk = roi_align_pallas(feat, boxes, out_size=7, spatial_scale=0.5)
     np.testing.assert_allclose(np.asarray(mm), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cb), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(pk), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
