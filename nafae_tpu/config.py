@@ -218,6 +218,12 @@ class DetectorConfig:
                                   # checkpoint tree; emitter channel-tiling
                                   # knob for the starved 3-channel input.
                                   # 0 disables.
+    stem_nminor: bool = False     # feed the stem conv a [H,W,C,N]
+                                  # transposed operand (exact, same
+                                  # checkpoint tree) — the {0,3,2,1}
+                                  # layout the emitter asks for, aiming to
+                                  # fuse the standalone input relayout
+                                  # copy into the producer fusion.
     frame_rate: float = 1.0       # sampled frames / second of video
     weights: str = ""             # optional torchvision resnet50 .pth to seed
                                   # the backbone/head (utils/torch_convert)

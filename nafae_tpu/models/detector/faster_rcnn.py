@@ -50,7 +50,8 @@ class FasterRCNNExtractor(nn.Module):
             from nafae_tpu.models.detector.resnet import RESNET_BLOCKS
             self.backbone = ResNetC4(blocks=RESNET_BLOCKS[self.cfg.backbone],
                                      dtype=dt, stem_s2d=self.cfg.stem_s2d,
-                                     stem_pad_ch=self.cfg.stem_pad_ch)
+                                     stem_pad_ch=self.cfg.stem_pad_ch,
+                                     stem_nminor=self.cfg.stem_nminor)
             self.head = ResNetC5Head(dtype=dt)
         else:
             raise ValueError(

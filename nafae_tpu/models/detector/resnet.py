@@ -119,6 +119,12 @@ class StemConv(nn.Module):
     s2d: bool = True
     dtype: jnp.dtype | None = None
     pad_ch: int = 0
+    nminor: bool = False   # feed the conv a [H,W,C,N] operand (exact
+                           # transpose + dimension_numbers) — physically
+                           # the {0,3,2,1} layout the emitter asks for,
+                           # aiming to fuse the 130 µs standalone input
+                           # relayout copy into the producer fusion
+                           # (docs/PERF.md r4 inline trace, copy.231).
 
     @nn.compact
     def __call__(self, x):
@@ -134,6 +140,10 @@ class StemConv(nn.Module):
             k = jnp.pad(k, ((0, 0), (0, 0), (0, self.pad_ch - c), (0, 0)))
             c = self.pad_ch
         dn = ("NHWC", "HWIO", "NHWC")
+        if self.nminor:
+            return jax.lax.conv_general_dilated(
+                x.transpose(1, 2, 3, 0), k, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("HWCN", "HWIO", "NHWC"))
         if not self.s2d or h % 2 or w % 2:
             return jax.lax.conv_general_dilated(
                 x, k, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn)
@@ -161,6 +171,7 @@ class ResNetC4(nn.Module):
     stem_s2d: bool = False      # measured slower on this toolchain — see
                                 # StemConv and config.DetectorConfig.stem_s2d
     stem_pad_ch: int = 0        # StemConv.pad_ch (exact zero-pad knob)
+    stem_nminor: bool = False   # StemConv.nminor ([H,W,C,N] operand knob)
 
     @nn.compact
     def __call__(self, x):
@@ -171,7 +182,8 @@ class ResNetC4(nn.Module):
         # torch weights (r2 review fix). name="Conv_0" keeps the param tree
         # identical to the old nn.Conv stem (checkpoints/converters).
         y = StemConv(64, s2d=self.stem_s2d, pad_ch=self.stem_pad_ch,
-                     dtype=self.dtype, name="Conv_0")(x)
+                     nminor=self.stem_nminor, dtype=self.dtype,
+                     name="Conv_0")(x)
         y = FrozenBN(64, self.dtype)(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2),

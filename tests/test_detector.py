@@ -138,19 +138,26 @@ def test_stem_s2d_exact_and_same_param_tree():
                 == jax.tree_util.tree_structure(pb))
         np.testing.assert_allclose(np.asarray(m.apply(pb, x_ev)),
                                    np.asarray(y_ref), rtol=1e-5, atol=1e-5)
-    # and the knob must PLUMB: ResNetC4(stem_pad_ch=...) changes nothing
-    # numerically vs the default under the same params (regression for the
-    # stem call actually forwarding pad_ch)
+    # nminor ([H,W,C,N] operand) is a pure transpose + dimension_numbers
+    # change — exact, same param tree
+    np.testing.assert_allclose(
+        np.asarray(StemConv(8, s2d=False, nminor=True).apply(pb, x_ev)),
+        np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+    # and the knobs must PLUMB: ResNetC4(stem_pad_ch/stem_nminor) change
+    # nothing numerically vs the default under the same params (regression
+    # for the stem call actually forwarding them)
     from nafae_tpu.models.detector.resnet import ResNetC4
     xb = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
     net0 = ResNetC4(blocks=(1,))
     p0 = net0.init(jax.random.PRNGKey(3), xb)
-    netp = ResNetC4(blocks=(1,), stem_pad_ch=8)
-    assert (jax.tree_util.tree_structure(netp.init(jax.random.PRNGKey(3), xb))
-            == jax.tree_util.tree_structure(p0))
-    np.testing.assert_allclose(np.asarray(netp.apply(p0, xb)),
-                               np.asarray(net0.apply(p0, xb)),
-                               rtol=1e-5, atol=1e-5)
+    for netp in (ResNetC4(blocks=(1,), stem_pad_ch=8),
+                 ResNetC4(blocks=(1,), stem_nminor=True)):
+        assert (jax.tree_util.tree_structure(
+                    netp.init(jax.random.PRNGKey(3), xb))
+                == jax.tree_util.tree_structure(p0))
+        np.testing.assert_allclose(np.asarray(netp.apply(p0, xb)),
+                                   np.asarray(net0.apply(p0, xb)),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_extractor_end_to_end_shapes():
