@@ -564,6 +564,24 @@ def _cross_sim(we, ve):
                       preferred_element_type=jnp.float32, precision=PRECISION)
 
 
+# NOTE (r4, second measured dead end on the cross backward — do not
+# retry): a one-hot custom VJP for `max_r(mask(cross_sim))` (save only
+# argmax r*; backward builds ONE masked-cotangent matrix M[itr, jk] =
+# da·1[r==r*]·1[rm>0] feeding dv̂ = M·ŵ and dŵ = Mᵀ·v̂ as MXU dots, so
+# the forward could fuse einsum+mask+max+argmax without materializing
+# the f32 [I,J,K,T,R] scores) measured 1017.7 → 1583.7 µs/step (+566,
+# LOSS) on the full config-4 step. The variant's trace shows why: M's
+# [ITR, JK] dot layouts cannot be produced from the [I,J,K,T]-shaped
+# r*/da without crossing a 5-D transpose, and Mosaic/XLA materialized
+# every step — s32 and bf16 [I,J,K,T,R] broadcasts (4 × 42–67 µs), two
+# non-bitcast [12800,256] reshapes per dot operand (50–70 µs each), a
+# 91 µs copy ≈ 660 µs of pure layout traffic; the forward max+argmax
+# also split from the einsum into 2 × 43 µs iota_reduce fusions. XLA's
+# ~28 µs VPU select loop-fusions ARE the fused form of this
+# contraction: both custom-VJP attacks on the cross backward
+# (i-batched dw above, one-hot M here) lost to layout materialization.
+
+
 def cross_scores(w_emb: jax.Array, word_mask: jax.Array,
                  v_emb: jax.Array, frame_mask: jax.Array,
                  temp: float, pool: str,

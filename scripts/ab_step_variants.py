@@ -68,6 +68,7 @@ def main():
     threading.Thread(target=_watchdog, daemon=True).start()
     import jax
     import bench
+    import nafae_tpu.ops.grounding as G
     import nafae_tpu.ops.pallas.fused_ctx as FC
     import nafae_tpu.train as TR
     from nafae_tpu.config import load_config
@@ -101,6 +102,11 @@ def main():
         # proj_unfused — XLA-autodiff projection+normalize (the pre-r4
         #   form; PROJ_FUSED won −19.9 us/step and is the default)
         "proj_unfused": [(TR, "PROJ_FUSED", False)],
+        # (r4 history: cross_onehot — a one-hot custom-VJP cross-MIL max
+        # whose backward fed dv̂/dŵ as MXU dots over a shared selection
+        # matrix — lost +566.0 µs/step to materialized 5-D broadcast/
+        # reshape layout traffic and was deleted; see the NOTE at
+        # ops/grounding._cross_sim and docs/PERF.md "headroom closed".)
     }
     defaults = {(m, a): getattr(m, a) for fl in FLAGS.values()
                 for m, a, _ in fl}

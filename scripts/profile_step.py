@@ -78,6 +78,12 @@ def main():
     p.add_argument("--image-size", type=int, default=320)
     p.add_argument("--inline-shapes", default="B=2,T=8")
     p.add_argument("--det-dtype", default="bfloat16")
+    p.add_argument("--flags", default="",
+                   help="comma-separated experimental module flags set "
+                        "before tracing, e.g. "
+                        "'grounding.CROSS_ONEHOT=True,train.PROJ_FUSED=False'"
+                        " (module names resolve under nafae_tpu/ops and "
+                        "nafae_tpu; values are Python literals)")
     args = p.parse_args()
 
     # CLAUDE.md rule: a lost chip silently falls back to CPU, so every
@@ -90,6 +96,25 @@ def main():
     require_tpu_or_exit3("profile_step")
     enable_compilation_cache()
     import jax
+
+    if args.flags:
+        import ast
+        import importlib
+        for kv in args.flags.split(","):
+            path, val = kv.split("=", 1)
+            modname, attr = path.rsplit(".", 1)
+            for prefix in ("nafae_tpu.ops.", "nafae_tpu.", ""):
+                try:
+                    mod = importlib.import_module(prefix + modname)
+                    break
+                except ImportError:
+                    continue
+            else:
+                raise SystemExit(f"--flags: module {modname!r} not found")
+            if not hasattr(mod, attr):
+                raise SystemExit(f"--flags: {mod.__name__} has no {attr}")
+            setattr(mod, attr, ast.literal_eval(val))
+            print(f"[flags] {mod.__name__}.{attr} = {val}", flush=True)
 
     s = {k: int(v) for k, v in
          (kv.split("=") for kv in args.shapes.split(","))}
