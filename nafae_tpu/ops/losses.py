@@ -166,6 +166,33 @@ def select_top_regions(s: jax.Array, v_emb: jax.Array, word_mask: jax.Array,
     return f, valid
 
 
+# MEASURED DEAD END (default stays off; knob + bitwise test kept): gather
+# the cluster-loss target centers with a one-hot MXU dot instead of
+# jnp.take. The take lowers as a 14.5 µs kCustom dynamic-gather writing the
+# 5 MB [B·K·T, E] target tensor (docs/PERF.md r4 trace, fusion.204); the
+# one-hot form is the same trick that won −19 µs at select_top_regions —
+# each one-hot row has a single 1, so the HIGHEST-precision contraction is
+# EXACT (bitwise the gathered row; f32 centers make HIGHEST mandatory for
+# exactness, unlike the bf16 selector dots). Within-process A/B on the full
+# config-4 step: 970.7 → 1037.8 µs/step (−67.1, LOSS) — the HIGHEST dot is
+# 6-pass on this toolchain (CLAUDE.md Pallas/precision rules), so the
+# [5120,67]×[67,256] contraction costs ~5× the gather it replaces. A
+# reduced-precision 1-pass dot would round the f32 centers and change the
+# MATH.md cluster target, so there is no exact fast form; the gather stays.
+# docs/PERF.md "headroom closed".
+CLUSTER_TARGET_ONEHOT = False
+
+
+def _cluster_target(centers: jax.Array, assign: jax.Array) -> jax.Array:
+    if not CLUSTER_TARGET_ONEHOT:
+        return jnp.take(centers, assign, axis=0)
+    onehot = (assign[..., None] ==
+              jnp.arange(centers.shape[0])).astype(centers.dtype)
+    return jax.lax.dot_general(onehot, centers, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
 def cluster_loss_terms(f: jax.Array, valid: jax.Array, centers: jax.Array,
                        assign_dtype=None
                        ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -174,8 +201,10 @@ def cluster_loss_terms(f: jax.Array, valid: jax.Array, centers: jax.Array,
     before dividing, so ONE implementation of the MATH.md cluster formula
     serves both the oracle-parity path and the sharded training path.
     assign_dtype: forwarded to kmeans_assign (MXU sims, compute dtype)."""
+    n = f.shape[:-1]
     assign = kmeans_assign(f, centers, dtype=assign_dtype)         # [..]
-    target = jax.lax.stop_gradient(jnp.take(centers, assign, axis=0))
+    target = jax.lax.stop_gradient(
+        _cluster_target(centers, assign.reshape(-1)).reshape(*n, -1))
     sq = jnp.sum((f - target) ** 2, axis=-1)                       # [..]
     return jnp.sum(sq * valid), jnp.sum(valid), assign
 

@@ -68,7 +68,7 @@ def main():
     threading.Thread(target=_watchdog, daemon=True).start()
     import jax
     import bench
-    import nafae_tpu.ops.grounding as G
+    import nafae_tpu.ops.losses as LS
     import nafae_tpu.ops.pallas.fused_ctx as FC
     import nafae_tpu.train as TR
     from nafae_tpu.config import load_config
@@ -107,6 +107,12 @@ def main():
         # matrix — lost +566.0 µs/step to materialized 5-D broadcast/
         # reshape layout traffic and was deleted; see the NOTE at
         # ops/grounding._cross_sim and docs/PERF.md "headroom closed".)
+        # cluster_onehot — cluster-loss target centers via a one-hot MXU
+        #   dot instead of the 14.5 µs kCustom dynamic-gather (exact).
+        #   MEASURED LOSS: 970.7 → 1037.8 µs/step (−67.1) — exactness on
+        #   f32 centers forces a HIGHEST-precision (6-pass) dot; see the
+        #   ops/losses.CLUSTER_TARGET_ONEHOT note and PERF.md.
+        "cluster_onehot": [(LS, "CLUSTER_TARGET_ONEHOT", True)],
     }
     defaults = {(m, a): getattr(m, a) for fl in FLAGS.values()
                 for m, a, _ in fl}

@@ -329,3 +329,40 @@ def test_project_regions_fused_matches_reference():
     gf = jax.grad(lambda f: jnp.sum(
         G.project_regions_fused(f, w_v, b_v, dt).astype(jnp.float32)))(feats)
     np.testing.assert_array_equal(np.asarray(gf), np.zeros_like(feats))
+
+
+def test_cluster_target_onehot_bitwise_matches_take():
+    """ops/losses.CLUSTER_TARGET_ONEHOT: the one-hot MXU gather of the
+    cluster-loss target centers is BITWISE jnp.take (single-1 rows under a
+    HIGHEST-precision contraction), and cluster_loss_terms is unchanged —
+    values and f-gradient."""
+    rng = np.random.RandomState(13)
+    f = jnp.asarray(rng.randn(3, 4, 5, 16).astype(np.float32))
+    valid = jnp.asarray((rng.rand(3, 4, 5) > 0.3).astype(np.float32))
+    centers = jnp.asarray(rng.randn(7, 16).astype(np.float32))
+
+    def run(flag):
+        old = L.CLUSTER_TARGET_ONEHOT
+        L.CLUSTER_TARGET_ONEHOT = flag
+        try:
+            num, den, assign = L.cluster_loss_terms(f, valid, centers)
+            g = jax.grad(lambda x: L.cluster_loss_terms(x, valid, centers)[0])(f)
+            return num, den, assign, g
+        finally:
+            L.CLUSTER_TARGET_ONEHOT = old
+
+    n0, d0, a0, g0 = run(False)
+    n1, d1, a1, g1 = run(True)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a0))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g0))
+    # the raw target rows themselves are bitwise the gathered center rows
+    t0 = L._cluster_target(centers, a0.reshape(-1))
+    old = L.CLUSTER_TARGET_ONEHOT
+    L.CLUSTER_TARGET_ONEHOT = True
+    try:
+        t1 = L._cluster_target(centers, a0.reshape(-1))
+    finally:
+        L.CLUSTER_TARGET_ONEHOT = old
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
