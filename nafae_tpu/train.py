@@ -47,6 +47,21 @@ ASSIGN_MXU = True
 ARGMAX_2D = True
 PROJ_FUSED = True
 
+# OPT_FLAT — MEASURED DEAD END (default stays off; flag + parity test
+# kept): wrap the optimizer in optax.flatten so the global-norm clip and
+# adamw update run over ONE raveled [P] vector instead of one fusion chain
+# per param leaf — the VERDICT-r3 "attack the near-zero-FLOP tail as a
+# tail" experiment. Within-process A/B on the full config-4 step: 995.3 →
+# 1005.4 µs/step (−10.1, LOSS) — the flatten wrapper's ravel/unravel
+# concats cost more than the per-leaf fusion overhead they remove
+# (docs/PERF.md "headroom closed"). Elementwise math is unchanged; the
+# global-norm sum order differs (per-leaf partials vs one vector reduce),
+# so updates match to f32 reduction tolerance, not bitwise. Read at
+# make_optimizer() time — TrainState.create and make_train_step must be
+# called AFTER setting it. Mesh-safe: state_partition_spec's opt_state=P()
+# is a prefix spec.
+OPT_FLAT = False
+
 
 @struct.dataclass
 class TrainState:
@@ -97,9 +112,12 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         opt = optax.sgd(sched, momentum=0.9)
     else:
         opt = optax.adamw(sched, weight_decay=cfg.train.weight_decay)
-    if cfg.train.grad_clip <= 0:       # 0 disables clipping (clip_by_global_
-        return opt                     # norm(0.0) would zero every update)
-    return optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip), opt)
+    if cfg.train.grad_clip > 0:        # <=0 disables clipping (clip_by_global_
+        opt = optax.chain(              # norm(0.0) would zero every update)
+            optax.clip_by_global_norm(cfg.train.grad_clip), opt)
+    if OPT_FLAT:
+        opt = optax.flatten(opt)       # see the OPT_FLAT note above
+    return opt
 
 
 def compute_losses(params: dict, centers: jax.Array, batch: dict, cfg: Config,

@@ -84,7 +84,6 @@ def main():
         "model.matmul_precision=default"])
     if args.tile:
         FC._pick_tile = lambda t, w: args.tile
-    step = make_train_step(cfg, make_optimizer(cfg))
 
     # variant -> list of (module, attr, value) applied before tracing;
     # "base" applies nothing (production defaults). Add experimental
@@ -113,6 +112,12 @@ def main():
         #   f32 centers forces a HIGHEST-precision (6-pass) dot; see the
         #   ops/losses.CLUSTER_TARGET_ONEHOT note and PERF.md.
         "cluster_onehot": [(LS, "CLUSTER_TARGET_ONEHOT", True)],
+        # opt_flat — optimizer (global-norm clip + adamw) over ONE raveled
+        #   vector via optax.flatten (train.OPT_FLAT note): fuses the
+        #   per-leaf update chains in the ~110 us near-zero-FLOP tail.
+        #   MEASURED LOSS: 995.3 → 1005.4 µs/step (−10.1) — the ravel/
+        #   unravel concats cost more than the fusion-count cut saves.
+        "opt_flat": [(TR, "OPT_FLAT", True)],
     }
     defaults = {(m, a): getattr(m, a) for fl in FLAGS.values()
                 for m, a, _ in fl}
@@ -122,6 +127,9 @@ def main():
             setattr(m, a, v)
         for m, a, v in flags:              # read at trace time
             setattr(m, a, v)
+        # rebuilt per variant: make_optimizer reads flags (OPT_FLAT) at
+        # BUILD time, the loss path reads the rest at trace time
+        step = make_train_step(cfg, make_optimizer(cfg))
 
         @jax.jit
         def multi(state, batch):

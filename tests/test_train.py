@@ -297,3 +297,40 @@ def test_tail_loop_fires_eval_once_per_interval(synth_root, tmp_path):
     assert int(state.step) == 12
     assert calls == [10], calls     # exactly one firing, at the interval
 
+
+
+def test_opt_flat_matches_tree_optimizer(synth_root):
+    """train.OPT_FLAT (optax.flatten over one raveled vector) applies the
+    same clip+adamw update as the per-leaf tree form: elementwise math is
+    identical, only the global-norm reduction order differs, so params
+    after two steps agree to f32 reduction tolerance."""
+    import nafae_tpu.train as TR
+    cfg = _cfg(synth_root)
+    batch = _first_batch(synth_root, cfg)
+
+    def run(flag):
+        old = TR.OPT_FLAT
+        TR.OPT_FLAT = flag
+        try:
+            step = build_train_fn(cfg, None)
+            st = TrainState.create(jax.random.PRNGKey(0), cfg)
+            for _ in range(2):
+                st, m = step(st, batch)
+            return st, m
+        finally:
+            TR.OPT_FLAT = old
+
+    s0, m0 = run(False)
+    s1, m1 = run(True)
+    # the flag engaged: adam moments live in ONE raveled [P] vector
+    nparams = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(s0.params))
+    flat_leaves = [l for l in jax.tree.leaves(s1.opt_state)
+                   if getattr(l, "shape", None) == (nparams,)]
+    assert flat_leaves, "OPT_FLAT did not flatten the optimizer state"
+    assert jax.tree.structure(s0.params) == jax.tree.structure(s1.params)
+    for k in s0.params:
+        np.testing.assert_allclose(np.asarray(s1.params[k]),
+                                   np.asarray(s0.params[k]), atol=1e-6,
+                                   err_msg=k)
+    np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]),
+                               rtol=1e-5)
