@@ -86,6 +86,12 @@ class BatchLoader:
         self.drop_remainder = drop_remainder
         self.prefetch = prefetch
         self._native = None
+        if use_native and not hasattr(dataset, "dir"):
+            # by-design skip, not a failure: the packer packs FEATURE-file
+            # datasets (.npz under dataset.dir); video datasets carry raw
+            # frames and do their native work at decode time
+            # (native decode_video_seg inside VideoSegmentDataset)
+            use_native = False
         if use_native and str(getattr(dataset, "transfer_dtype", "float32")) \
                 not in ("float32", "float16", "bfloat16"):
             use_native = False  # dtypes the native packer cannot emit

@@ -136,6 +136,12 @@ class NativePacker:
     """
 
     def __init__(self, dataset, num_threads: int = 2):
+        if not hasattr(dataset, "dir"):
+            raise TypeError(
+                f"NativePacker packs feature-file datasets (needs "
+                f"`dataset.dir` holding the .npz features); got "
+                f"{type(dataset).__name__}. Video datasets use the native "
+                f"decoder at decode time instead.")
         self.ds = dataset
         self._feat_dtype = np.dtype(getattr(dataset, "transfer_dtype",
                                             "float32"))

@@ -253,3 +253,28 @@ def test_loader_native_backend_bf16(synth_root):
                 a[k].view(np.uint16) if a[k].dtype.itemsize == 2 else a[k],
                 b[k].view(np.uint16) if b[k].dtype.itemsize == 2 else b[k],
                 err_msg=k)
+
+
+def test_video_dataset_skips_packer_without_warning():
+    """Frame datasets (no `.dir` of .npz features) skip the native packer
+    BY DESIGN — silently, not via an AttributeError-driven fallback
+    warning — and NativePacker itself rejects them with a clear error."""
+    import warnings
+
+    from nafae_tpu.data import BatchLoader
+
+    class FramesOnly:           # VideoSegmentDataset-shaped: no .dir
+        frame_buckets = ()
+
+        def __len__(self):
+            return 4
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning fails the test
+        dl = BatchLoader(FramesOnly(), batch_size=2, shuffle=False,
+                         use_native=True)
+    assert dl._native is None
+
+    import pytest as _pytest
+    with _pytest.raises(TypeError, match="feature-file datasets"):
+        native_io.NativePacker(FramesOnly())
