@@ -48,7 +48,12 @@ def grounding_hits(s: jax.Array, boxes: jax.Array, gt_boxes: jax.Array,
     # box becomes a tiny MXU contraction (the select_top_regions lesson —
     # gathers serialize on TPU, 0/1-weight matmuls don't). HIGHEST keeps
     # the selected coordinates bitwise-exact (each output sums exactly one
-    # f32 product by 1.0).
+    # f32 product by 1.0). Unlike the gather, the contraction multiplies
+    # EVERY slot by 0/1, so a non-finite value in a dead/padded slot would
+    # poison pred via 0·inf=NaN (ADVICE r4 #4) — sanitize first (identity
+    # on finite boxes, so the exactness claim stands; loaders/detector pad
+    # with zeros, making this a guard, not a behavior change).
+    boxes = jnp.nan_to_num(boxes, posinf=0.0, neginf=0.0)
     onehot = jax.nn.one_hot(r_star, s.shape[-1], dtype=boxes.dtype)
     pred = jnp.einsum("bktr,btrc->bktc", onehot, boxes,
                       precision=PRECISION)                        # [B,K,T,4]

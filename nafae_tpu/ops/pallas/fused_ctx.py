@@ -261,7 +261,15 @@ def _bwd_kernel_res(vf_ref, colv_ref, fml_ref, alpha_ref, du_ref,
     matmul and the exp/band-softmax VPU work, at the cost of the alpha
     band's HBM round-trip. The bs>0 (live-group) mask is recomputed from
     the column-validity row — bs = Σ exp over live columns, so bs>0 iff
-    the group has any live column (exact, no scores needed)."""
+    the group has any live column (no scores needed). Equivalence needs
+    one precondition: no LIVE column's exp may underflow to 0, which the
+    wrapper guarantees — the only entry point (ctx_mix_pallas) asserts
+    temp >= 0.02 and region embeddings are l2-normalized (padded rows are
+    zero vectors), so |s| <= 1/temp <= 50 and exp(s) >= exp(-50) ≈ 2e-22,
+    far above f32/bf16 underflow (8 exponent bits, min normal ~1e-38).
+    Without that bound (ctx_temp < ~0.0115) a live group could take the
+    forward's uniform fallback (zero gradient) while this gate computed a
+    nonzero one (ADVICE r4 #2); the assert makes the gates identical."""
     vf = vf_ref[0]
     colv = colv_ref[0]
     fml = fml_ref[0]

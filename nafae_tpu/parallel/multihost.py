@@ -50,18 +50,26 @@ _CLUSTER_ENV_HINTS = (
 )
 
 
+# Set after a successful initialize() in THIS module, so idempotence does
+# not depend on the private jax._src.distributed.global_state probe below
+# surviving jax upgrades (ADVICE r4 #3): if the probe breaks, a second
+# init_multihost call would otherwise re-call initialize() and raise.
+_INITIALIZED_HERE = False
+
+
 def _distributed_client_live() -> bool:
     """True iff jax.distributed.initialize already ran in this process.
 
     Checked through jax's distributed global state — NOT through
     ``jax.process_count()``, which initializes the XLA backend and would
     make a subsequent ``initialize()`` raise (it must run before any
-    backend-touching call)."""
+    backend-touching call). Falls back to the module-level flag when the
+    private-API probe fails."""
     try:
         from jax._src import distributed as _dist
         return _dist.global_state.client is not None
     except Exception:                                    # pragma: no cover
-        return False
+        return _INITIALIZED_HERE
 
 
 def init_multihost(coordinator: str | None = None,
@@ -84,6 +92,7 @@ def init_multihost(coordinator: str | None = None,
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
+    global _INITIALIZED_HERE
     if _distributed_client_live():
         return True                        # initialized earlier; idempotent
     if coordinator is not None or num_processes is not None:
@@ -91,6 +100,7 @@ def init_multihost(coordinator: str | None = None,
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)
+        _INITIALIZED_HERE = True
         return True
     if any(os.environ.get(k) for k in _CLUSTER_ENV_HINTS):
         # Cluster environment with no explicit coordinator: jax's bare
@@ -98,6 +108,7 @@ def init_multihost(coordinator: str | None = None,
         # it so a pod launch cannot silently train single-host.
         try:
             jax.distributed.initialize()
+            _INITIALIZED_HERE = True
             return True
         except Exception as e:             # detection failed — be loud
             warnings.warn(

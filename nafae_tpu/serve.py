@@ -33,9 +33,16 @@ torch-oracle parity tests cover the serving path's numerics too.
 
 from __future__ import annotations
 
+import concurrent.futures
 import functools
 import json
 import os
+
+# On Python 3.11+ concurrent.futures.TimeoutError IS the builtin
+# TimeoutError; on 3.10 (pyproject allows >=3.10) they are distinct classes
+# and `except TimeoutError` would MISS a Future.result timeout — the request
+# would 500 instead of 503 and fut.cancel() would never run (ADVICE r4 #1).
+_TIMEOUT_ERRORS = (TimeoutError, concurrent.futures.TimeoutError)
 
 import jax
 import jax.numpy as jnp
@@ -76,7 +83,11 @@ def make_ground_fn(cfg: Config):
         best = jnp.argmax(s, axis=-1)                # [B,K,T]
         # one-hot einsum box selection (exact: 0/1 weights under HIGHEST) —
         # the R-gather becomes a tiny MXU contraction instead of a
-        # serialized TPU gather; same form as ops/iou.grounding_hits
+        # serialized TPU gather; same form as ops/iou.grounding_hits.
+        # Sanitize first: the contraction multiplies every slot by 0/1, so
+        # a non-finite padded slot would poison the result via 0·inf=NaN
+        # (identity on finite boxes — ADVICE r4 #4).
+        boxes = jnp.nan_to_num(boxes, posinf=0.0, neginf=0.0)
         onehot = jax.nn.one_hot(best, s.shape[-1], dtype=boxes.dtype)
         best_box = jnp.einsum("bktr,btrc->bktc", onehot, boxes,
                               precision=G.PRECISION)
@@ -412,7 +423,7 @@ class GroundingServer:
                 try:
                     out = dispatcher.submit(samples, segs,
                                             timeout=request_timeout)
-                except TimeoutError:
+                except _TIMEOUT_ERRORS:
                     self._send(503, {"error": "inference timed out"})
                     return
                 except Exception as e:           # device-side failure
@@ -470,7 +481,7 @@ class _BatchDispatcher:
         self._q.put((samples, segs, fut))
         try:
             return fut.result(timeout=timeout)
-        except TimeoutError:
+        except _TIMEOUT_ERRORS:
             fut.cancel()          # un-started work is dropped, not run
             raise
 

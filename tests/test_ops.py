@@ -204,6 +204,24 @@ def test_grounding_hits_perfect_model():
     np.testing.assert_allclose(np.asarray(correct), np.ones((B, K, T)))
 
 
+def test_grounding_hits_ignores_nonfinite_dead_slots():
+    # the one-hot contraction multiplies EVERY region slot by 0/1, so a
+    # non-finite value in a never-selected slot must not poison the
+    # selected box via 0*inf=NaN (ADVICE r4 #4 — the guard under test)
+    B, K, T, R = 1, 2, 3, 4
+    s = jnp.zeros((B, K, T, R)).at[..., 0].set(1.0)   # argmax = region 0
+    rng = np.random.RandomState(2)
+    boxes = np.abs(rng.rand(B, T, R, 4)).astype(np.float32)
+    boxes[..., 2:] = boxes[..., :2] + 1.0
+    clean = np.array(boxes)
+    boxes[:, :, 1, :] = np.inf                         # dead slot poisoned
+    boxes[:, :, 2, :] = np.nan
+    gt = jnp.broadcast_to(jnp.asarray(clean)[:, None, :, 0, :], (B, K, T, 4))
+    gt_mask = jnp.ones((B, K, T))
+    correct, _ = grounding_hits(s, jnp.asarray(boxes), gt, gt_mask)
+    np.testing.assert_allclose(np.asarray(correct), np.ones((B, K, T)))
+
+
 def test_ranking_loss_zero_when_diagonal_dominates():
     mat = jnp.eye(4) * 10.0 - 5.0
     assert float(L.ranking_loss(mat, margin=0.1)) == 0.0
