@@ -141,6 +141,17 @@ def _proj_fused_bwd(dtype, res, g):
                              preferred_element_type=jnp.float32,
                              precision=PRECISION)                # [D,E] f32
     db = jnp.sum(dv32, axis=0)                                   # [E] f32
+    # Under shard_map(check_vma=True) the activations vary over the mesh
+    # axes while w_v/b_v are replicated at every call site; the transpose
+    # of a NON-custom backward would insert the cross-device psum
+    # automatically, but a custom_vjp must emit it itself — without it the
+    # params' cotangent is inferred varying and the bf16 mesh step fails
+    # to compile (caught by tests/test_sp.py::test_mesh_train_step_bf16,
+    # r5). Outside shard_map the vma sets are empty and this is a no-op.
+    axes = tuple(sorted(getattr(jax.typeof(dw), "vma", ())))
+    if axes:
+        dw = jax.lax.psum(dw, axes)
+        db = jax.lax.psum(db, axes)
     # feats is frozen data at every call site (train.py stop_gradients the
     # inline detector; loader feats are inputs) — the zero cotangent is DCE'd
     return (jnp.zeros_like(feats), dw, db)

@@ -208,3 +208,60 @@ def test_sp_train_step_window_wider_than_shard(synth_root):
         np.testing.assert_allclose(np.asarray(s1.params[k]),
                                    np.asarray(s2.params[k]), atol=2e-6,
                                    err_msg=k)
+
+
+def test_proj_fused_mesh_grads_match_unfused():
+    """project_regions_fused's custom backward must psum its param
+    cotangents over the mesh axes the activations vary on (a non-custom
+    backward gets that psum from shard_map's transpose automatically; the
+    custom rule must emit it itself — caught r5 when the bf16 mesh step
+    failed vma inference). f32 dtype so the dots execute on CPU."""
+    from nafae_tpu.ops.grounding import project_regions, project_regions_fused
+
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(8, 4, 6, 16).astype(np.float32))
+    w_v = jnp.asarray(rng.randn(16, 8).astype(np.float32))
+    b_v = jnp.asarray(rng.randn(8).astype(np.float32))
+
+    def loss_fused(w, b, f):
+        return jnp.sum(project_regions_fused(f, w, b, jnp.float32) ** 2)
+
+    def loss_ref(w, b, f):
+        return jnp.sum(project_regions(f, w, b) ** 2)
+
+    gw_ref, gb_ref = jax.grad(loss_ref, argnums=(0, 1))(w_v, b_v, feats)
+    mesh = _frame_mesh(4, 2)
+    fn = jax.jit(jax.shard_map(
+        lambda w, b, f: jax.grad(loss_fused, argnums=(0, 1))(w, b, f),
+        mesh=mesh,
+        in_specs=(P(), P(), P("data", "frame")),
+        out_specs=(P(), P())))
+    gw, gb = fn(w_v, b_v, feats)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mesh_train_step_bf16_compiles(synth_root):
+    """The PRODUCTION compute mode (bf16 + default precision — what bench.py
+    measures single-device) must compile under the DP×SP mesh: r5 found it
+    never had (every mesh test ran f32), and the PROJ_FUSED custom VJP was
+    missing the param-cotangent psum, failing shard_map's vma inference.
+    Compile-only: the CPU backend cannot EXECUTE bf16 dots (DotThunk), but
+    vma inference and SPMD lowering — where the bug lived — run at compile."""
+    cfg = load_config(preset_name="config4",
+                      overrides=OV + [f"data.root={synth_root}",
+                                      "mesh.data_axis=4",
+                                      "mesh.frame_axis=2",
+                                      "loss.kmeans_interval=1",
+                                      "model.dtype=bfloat16",
+                                      "model.matmul_precision=default"])
+    ds = SegmentDataset(synth_root, "train", cfg.data.max_frames,
+                        cfg.data.num_regions, cfg.data.feat_dim,
+                        cfg.data.max_words)
+    batch = next(iter(BatchLoader(ds, cfg.data.batch_size, shuffle=True,
+                                  seed=0)))
+    state = TrainState.create(jax.random.PRNGKey(0), cfg)
+    fn = build_train_fn(cfg, _frame_mesh(4, 2))
+    fn.lower(state, batch).compile()     # raises on the vma regression
