@@ -609,12 +609,16 @@ def get_baseline(s, remeasure=False, cached_only=False):
     return cache[key]
 
 
-def make_serve_program(s, steps_per_call, all_outputs=True):
+def make_serve_program(s, steps_per_call, all_outputs=True, quantize=None):
     """The guarded serving-bench program: (jitted serves, params, feats).
     Factored out so tests can inspect the optimized HLO for the two
     measurement-integrity guards (carry-dependence vs LICM, all-outputs
     reduction vs DCE). all_outputs=False reproduces the r3 DCE hole
-    (region-only reduction) for within-process A/B quantification only."""
+    (region-only reduction) for within-process A/B quantification only.
+    quantize="int8": the int8-COMPUTE serving program (model.quantize=int8;
+    the LICM guard perturbs the int8 weights so the quantized dot stays
+    carry-dependent — perturbing only the f32 scale would leave the dot
+    itself hoistable, since it consumes loop-invariant q and feats)."""
     import jax
     import jax.numpy as jnp
 
@@ -624,11 +628,28 @@ def make_serve_program(s, steps_per_call, all_outputs=True):
 
     cfg = load_config(preset_name="config1", overrides=[
         f"model.feat_dim={s['D']}", f"model.embed_dim={s['E']}",
-        "model.dtype=bfloat16", "model.matmul_precision=default"])
+        "model.dtype=bfloat16", "model.matmul_precision=default"]
+        + (["model.quantize=int8"] if quantize in ("int8", "int8pre")
+           else []))
     params = init_params(jax.random.PRNGKey(0), cfg.model)
+    if quantize in ("int8", "int8pre"):
+        from nafae_tpu.ops.grounding import quantize_params_int8
+        params = quantize_params_int8(params)
     fn = make_ground_fn(cfg)
     b = make_batch(s)
-    feats = jax.device_put(b["feats"])
+    feats_scale = None
+    if quantize == "int8pre":
+        # the OFFLINE int8 feature path: features stored/transferred int8
+        # (extract-once), so the serving program reads 1/4 the HBM bytes
+        # AND runs the int8 MXU dot — quantization cost paid off-path
+        from nafae_tpu.ops.grounding import quantize_feats_int8
+        import jax.numpy as _jnp
+        qf, sf = quantize_feats_int8(_jnp.asarray(b["feats"]))
+        feats = jax.device_put(qf)
+        feats_scale = jax.device_put(sf)
+    else:
+        feats = jax.device_put(b["feats"])
+    wkey = "w_v.q8" if quantize in ("int8", "int8pre") else "w_v"
 
     @jax.jit
     def serves(params, feats):
@@ -642,11 +663,12 @@ def make_serve_program(s, steps_per_call, all_outputs=True):
             wid = jnp.where(acc < -1, wid + 1, wid)
             eps = jnp.where(acc < -1, 1.0, 0.0)
             p = dict(params)
-            p["w_v"] = params["w_v"] + eps.astype(params["w_v"].dtype)
+            p[wkey] = params[wkey] + eps.astype(params[wkey].dtype)
             out = fn(p, feats, jnp.asarray(b["boxes"]), wid,
                      jnp.asarray(b["frame_mask"]),
                      jnp.asarray(b["word_mask"]),
-                     jnp.asarray(b["region_mask"]))
+                     jnp.asarray(b["region_mask"]),
+                     feats_scale=feats_scale)
             # EVERY output must feed the carry, or XLA dead-code-eliminates
             # it out of the measured program (r4 correction: summing only
             # out["region"] let DCE drop the box gather, beta softmax and

@@ -33,6 +33,13 @@ class ModelConfig:
                                    # reading; adds param m_sim)
     dtype: str = "float32"         # compute dtype for the sim einsum ("bfloat16" on TPU)
     matmul_precision: str = "highest"  # "default" = fast bf16 MXU passes everywhere
+    quantize: str = ""             # "int8": INFERENCE-only quantized compute —
+                                   # the projection matmul (>99% of eval/serve
+                                   # FLOPs) runs int8×int8→int32 on the MXU
+                                   # (per-output-channel weights × per-row
+                                   # dynamic activations; ops/grounding
+                                   # project_regions_int8). Applied at param
+                                   # load by eval/serve; training ignores it.
     word_vectors: str = ""         # optional GloVe-style init file for word_emb
 
 
@@ -358,6 +365,10 @@ def validate(cfg: Config) -> Config:
         raise ValueError(
             f"unknown detector.roi_impl {cfg.detector.roi_impl!r}; "
             "choose separable | combined | pallas")
+    if cfg.model.quantize not in ("", "int8"):
+        raise ValueError(
+            f"unknown model.quantize {cfg.model.quantize!r}; "
+            "choose '' | int8")
     if cfg.model.matmul_precision not in ("highest", "default"):
         # everything-else would silently map to DEFAULT (bf16 MXU passes,
         # ~1e-3 error) in ops.grounding.matmul_precision — a typo must not

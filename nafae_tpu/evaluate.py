@@ -27,7 +27,7 @@ from nafae_tpu.ops.iou import grounding_hits
 def _eval_batch(params: dict, batch: dict, iou_thresh: float = 0.5):
     w_emb = G.embed_words(batch["word_ids"], params["word_emb"],
                           m_sim=params.get("m_sim"))
-    v_emb = G.project_regions(batch["feats"], params["w_v"], params["b_v"])
+    v_emb = G.project_params(params, batch["feats"])   # int8 when quantized
     s = G.mask_regions(G.similarity_tensor(w_emb, v_emb),
                        batch.get("region_mask"))
     # region argmax must ignore padded frames/words via gt_mask (already 0 there)
@@ -140,6 +140,10 @@ def evaluate_config(cfg: Config, params: dict | None = None,
                     "refusing to evaluate randomly initialized parameters")
             from nafae_tpu.train import TrainState
             params = TrainState.create(jax.random.PRNGKey(0), cfg).params
+    if cfg.model.quantize == "int8" and "w_v.q8" not in params:
+        # int8 inference compute (model.quantize=int8): quantize once at
+        # load; _eval_batch dispatches on the "w_v.q8" key
+        params = G.quantize_params_int8(params)
     return evaluate(params, ds, cfg.data.batch_size, cfg.model.vocab_size,
                     mesh=mesh)
 

@@ -89,6 +89,114 @@ def project_regions(feats: jax.Array, w_v: jax.Array, b_v: jax.Array,
     return l2_normalize(v)
 
 
+# ---------------------------------------------------------------- int8 path
+# Quantized INFERENCE compute (VERDICT r4 #3: int8 was storage-only): the
+# projection matmul is >99% of the eval/serve FLOPs (2·BTR·D·E vs the
+# similarity's 2·BKTR·E — K/D ≈ 0.4%), and the v5e MXU runs int8×int8→int32
+# at ~2× bf16 peak, so quantizing just this dot is the whole opportunity.
+# Scheme: per-OUTPUT-channel symmetric weights (scale s_e over w_v[:, e] —
+# the one granularity that factors OUT of the contraction over D) ×
+# per-ROW dynamic activations (scale per region vector). The l2_normalize
+# right after the dot makes the row scale nearly cancel (it survives only
+# through the +b_v term), so end-to-end similarity error stays small
+# (pinned in tests/test_ops.py and the golden-fixture delta in
+# tests/test_e2e.py). Training is untouched — this is inference-only.
+
+def quantize_weight_int8(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """w [D,E] f32 -> (q [D,E] int8, scale [1,E] f32), per-output-channel
+    symmetric: q = round(w / s_e), s_e = max|w[:, e]| / 127."""
+    w = jnp.asarray(w, jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True),
+                        1e-12) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_params_int8(params: dict) -> dict:
+    """Inference-params transform: replace "w_v" with "w_v.q8"/"w_v.scale8"
+    (everything else passes through). ground_forward / the eval and serve
+    paths dispatch on the presence of "w_v.q8"
+    (the "8" keeps the suffix disjoint from serve.py's storage-quantization
+    ".q"/".scale" keys, which dequantize at load). Wire-up:
+    `--override model.quantize=int8` on the eval/serve CLIs."""
+    out = {k: v for k, v in params.items() if k != "w_v"}
+    q, scale = quantize_weight_int8(params["w_v"])
+    out["w_v.q8"], out["w_v.scale8"] = q, scale
+    return out
+
+
+def project_regions_int8(feats: jax.Array, w_q: jax.Array,
+                         w_scale: jax.Array, b_v: jax.Array,
+                         dtype=None) -> jax.Array:
+    """feats [B,T,R,D] -> normalized v̂ [B,T,R,E] via an int8×int8→int32
+    MXU dot. Activations quantize per row (one dynamic scale per region
+    vector: s_n = max|f[n,:]| / 127); dequantization is a rank-1 outer
+    scale (s_n · s_e) folded into the f32 epilogue before bias+normalize.
+    Returns f32 like project_regions (consumers cast to the compute dtype
+    themselves); `dtype` is accepted for signature parity and ignored —
+    the dot is int8 by construction.
+    """
+    del dtype
+    b, t, r, d = feats.shape
+    f2 = feats.reshape(b * t * r, d)
+    sf = jnp.maximum(jnp.max(jnp.abs(f2), axis=1, keepdims=True),
+                     1e-12) / 127.0                          # [N,1]
+    q = jnp.clip(jnp.round(f2 / sf), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(q, w_q, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)  # [N,E] i32
+    v = acc.astype(jnp.float32) * (sf * w_scale) + b_v.astype(jnp.float32)
+    return l2_normalize(v.reshape(b, t, r, -1))
+
+
+def quantize_feats_int8(feats: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """feats [B,T,R,D] -> (q int8, sf [B,T,R,1] f32), per-region-row
+    symmetric. The OFFLINE half of the int8 serving path: features are
+    extracted once and stored/transferred int8 (4× smaller than f32), so
+    the serving program reads a quarter of the HBM bytes AND runs the
+    int8 MXU dot — the on-the-fly scheme (project_regions_int8) must
+    instead re-read the f32 features to quantize them per call, which
+    re-pays the traffic the int8 dot saves (the projection is HBM-bound:
+    docs/PERF.md roofline)."""
+    sf = jnp.maximum(jnp.max(jnp.abs(feats), axis=-1, keepdims=True),
+                     1e-12) / 127.0
+    q = jnp.clip(jnp.round(feats / sf), -127, 127).astype(jnp.int8)
+    return q, sf
+
+
+def project_regions_int8_pre(q_feats: jax.Array, sf: jax.Array,
+                             w_q: jax.Array, w_scale: jax.Array,
+                             b_v: jax.Array) -> jax.Array:
+    """Projection from PRE-quantized features (quantize_feats_int8):
+    int8×int8→int32 dot + rank-1 f32 dequant epilogue + bias + normalize.
+    Returns f32 [B,T,R,E] like project_regions."""
+    b, t, r, d = q_feats.shape
+    q2 = q_feats.reshape(b * t * r, d)
+    acc = jax.lax.dot_general(q2, w_q, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)  # [N,E] i32
+    v = (acc.astype(jnp.float32) * (sf.reshape(-1, 1) * w_scale)
+         + b_v.astype(jnp.float32))
+    return l2_normalize(v.reshape(b, t, r, -1))
+
+
+def project_params(params: dict, feats: jax.Array, dtype=jnp.float32,
+                   feats_scale: jax.Array | None = None) -> jax.Array:
+    """Projection dispatch: pre-quantized int8 features (int8 feats +
+    feats_scale, the offline serving path), dynamic int8 (quantized params
+    only), or the standard f32/bf16 matmul."""
+    if feats.dtype == jnp.int8:
+        assert "w_v.q8" in params and feats_scale is not None, \
+            "int8 features need quantized params + their scales"
+        return project_regions_int8_pre(feats, feats_scale,
+                                        params["w_v.q8"],
+                                        params["w_v.scale8"],
+                                        params["b_v"])
+    if "w_v.q8" in params:
+        return project_regions_int8(feats, params["w_v.q8"],
+                                    params["w_v.scale8"], params["b_v"],
+                                    dtype=dtype)
+    return project_regions(feats, params["w_v"], params["b_v"], dtype=dtype)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def project_regions_fused(feats: jax.Array, w_v: jax.Array, b_v: jax.Array,
                           dtype) -> jax.Array:
@@ -663,7 +771,8 @@ def ground_forward(params: dict, feats: jax.Array, word_ids: jax.Array,
                    temp: float = 0.1, pool: str = "attention",
                    ctx_window: int = 0, ctx_temp: float = 0.1,
                    compute_dtype=jnp.float32,
-                   region_mask: jax.Array | None = None) -> dict:
+                   region_mask: jax.Array | None = None,
+                   feats_scale: jax.Array | None = None) -> dict:
     """Full single-video forward pass (diagonal path; used by eval & losses).
 
     params: {"word_emb": [V,E], "w_v": [D,E], "b_v": [E]} (+ "attn_w" [E]
@@ -677,7 +786,8 @@ def ground_forward(params: dict, feats: jax.Array, word_ids: jax.Array,
     """
     w_emb = embed_words(word_ids, params["word_emb"],
                         m_sim=params.get("m_sim"))
-    v_emb = project_regions(feats, params["w_v"], params["b_v"], dtype=compute_dtype)
+    v_emb = project_params(params, feats, dtype=compute_dtype,
+                           feats_scale=feats_scale)
     # honor compute_dtype in the sim einsums too (the train step does the
     # same via similarity_tensor(dtype=cdt)); None/f32 = oracle-parity mode
     cdt = (None if compute_dtype is None

@@ -73,12 +73,17 @@ def make_ground_fn(cfg: Config):
     ctx_w = lc.ctx_window if mc.frame_pool == "context" else 0
 
     def fn(params, feats, boxes, word_ids, frame_mask, word_mask,
-           region_mask):
+           region_mask, feats_scale=None):
+        # feats_scale: per-region scales when feats arrive PRE-quantized
+        # int8 (the offline serving path — ops/grounding.quantize_feats_int8;
+        # 4x less HBM/transfer than f32 features). Optional trailing arg so
+        # the exported f32 artifact signature is unchanged.
         out = G.ground_forward(
             params, feats, word_ids, frame_mask, word_mask,
             temp=mc.frame_attn_temp, pool=mc.frame_pool,
             ctx_window=ctx_w, ctx_temp=lc.ctx_temp,
-            compute_dtype=cdt, region_mask=region_mask)
+            compute_dtype=cdt, region_mask=region_mask,
+            feats_scale=feats_scale)
         s = out["s"].astype(jnp.float32)            # [B,K,T,R]
         best = jnp.argmax(s, axis=-1)                # [B,K,T]
         # one-hot einsum box selection (exact: 0/1 weights under HIGHEST) —
@@ -117,10 +122,16 @@ def quantize_params(params: dict) -> dict:
     exported StableHLO program itself is unchanged (and shape-checked)."""
     out = {}
     for k, v in params.items():
-        w = np.asarray(v, np.float32)
-        if w.ndim < _QUANT_MIN_NDIM:
-            out[k] = w
+        arr = np.asarray(v)
+        if (arr.ndim < _QUANT_MIN_NDIM
+                or not np.issubdtype(arr.dtype, np.floating)
+                or k.endswith((".q8", ".scale8"))):
+            # pass through small vectors, already-integer tensors, and the
+            # COMPUTE-quantized projection pair (model.quantize=int8 —
+            # program params, not storage artifacts)
+            out[k] = arr
             continue
+        w = arr.astype(np.float32)
         scale = np.max(np.abs(w), axis=-1, keepdims=True) / 127.0
         scale = np.maximum(scale, 1e-12)
         out[k + ".q"] = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
@@ -162,6 +173,13 @@ def export_grounding(cfg: Config, params: dict, out_dir: str,
         raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
     from jax import export as jex
 
+    if cfg.model.quantize == "int8" and "w_v.q8" not in params:
+        # int8 COMPUTE baked into the exported program: the trace sees the
+        # "w_v.q8"/"w_v.scale8" params, so the StableHLO artifact itself
+        # runs the int8 projection dot (distinct from the storage-only
+        # `quantize` arg below, which compresses float matrices in the
+        # .npz and dequantizes at load)
+        params = G.quantize_params_int8(params)
     b = batch_size or cfg.data.batch_size
     t, r = cfg.data.max_frames, cfg.data.num_regions
     d, k = cfg.data.feat_dim, cfg.data.max_words
@@ -187,6 +205,7 @@ def export_grounding(cfg: Config, params: dict, out_dir: str,
         "feat_dim": d, "max_words": k,
         "model": {"frame_pool": cfg.model.frame_pool,
                   "similarity": cfg.model.similarity,
+                  "compute_quantize": cfg.model.quantize,
                   "dtype": cfg.model.dtype,
                   "vocab_size": cfg.model.vocab_size,
                   "embed_dim": cfg.model.embed_dim},
@@ -243,6 +262,10 @@ class GroundingServer:
         from nafae_tpu.data.vocab import vocab_from_config
 
         self.cfg = cfg
+        if cfg.model.quantize == "int8" and "w_v.q8" not in params:
+            # int8 COMPUTE (model.quantize=int8): quantize once at init;
+            # ground_forward dispatches the projection on the "w_v.q8" key
+            params = G.quantize_params_int8(params)
         self.params = params
         self.batch_size = batch_size or cfg.data.batch_size
         self.vocab = vocab_from_config(cfg.data)

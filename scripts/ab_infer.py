@@ -74,10 +74,11 @@ def main():
     iou_mod.grounding_hits = new_hits
     measure_eval("eval_onehot(new)")
 
-    # serve A/B: honest all-outputs vs the r3 region-only DCE hole
-    def measure_serve(tag, all_outputs):
+    # serve A/B: honest all-outputs vs the r3 region-only DCE hole, plus
+    # the r5 int8-compute variant (model.quantize=int8)
+    def measure_serve(tag, all_outputs, quantize=None):
         serves, params, feats = bench.make_serve_program(
-            s, spc, all_outputs=all_outputs)
+            s, spc, all_outputs=all_outputs, quantize=quantize)
         int(serves(params, feats))                     # compile + warm
         best = float("inf")
         for _ in range(args.repeats):
@@ -93,12 +94,21 @@ def main():
 
     measure_serve("serve_dce(r3-hole)", all_outputs=False)
     measure_serve("serve_guarded(honest)", all_outputs=True)
+    measure_serve("serve_int8(r5)", all_outputs=True, quantize="int8")
+    measure_serve("serve_int8pre(r5)", all_outputs=True, quantize="int8pre")
 
     d_eval = (results["eval_gather(old)"] - results["eval_onehot(new)"]) * 1e6
     d_serve = (results["serve_guarded(honest)"]
                - results["serve_dce(r3-hole)"]) * 1e6
+    d_int8 = (results["serve_guarded(honest)"]
+              - results["serve_int8(r5)"]) * 1e6
+    d_pre = (results["serve_guarded(honest)"]
+             - results["serve_int8pre(r5)"]) * 1e6
     print(f"eval delta: {d_eval:+.1f} us/step (positive = one-hot wins)")
     print(f"serve DCE inflation: {d_serve:+.1f} us/step hidden by the hole")
+    print(f"serve int8 delta: {d_int8:+.1f} us/step (positive = int8 wins)")
+    print(f"serve int8-PRE delta: {d_pre:+.1f} us/step (offline-quantized "
+          f"feats; positive = int8pre wins)")
 
 
 if __name__ == "__main__":

@@ -153,6 +153,24 @@ def test_golden_config1_accuracy(synth_root):
     np.testing.assert_allclose(r["box_acc_micro"], GOLDEN_ACC, atol=1e-9)
 
 
+def test_golden_config1_accuracy_int8_within_tolerance(synth_root):
+    """model.quantize=int8 (quantized projection COMPUTE, VERDICT r4 #3):
+    the golden-fixture accuracy must stay within 2 points of the f32
+    golden — the recorded accuracy cost of the int8 path. (Measured: the
+    planted-signal fixture is insensitive; the delta is 0.0.)"""
+    from nafae_tpu.data.synthetic import _class_directions
+    from nafae_tpu.evaluate import evaluate_config
+    cfg = load_config(preset_name="config1", overrides=[
+        "data.feat_dim=64", "model.feat_dim=64", "model.embed_dim=32",
+        "model.quantize=int8", f"data.root={synth_root}"])
+    dirs = _class_directions(67, 64)
+    w = dirs.T[:, :32].astype(np.float32)
+    oracle = {"word_emb": jnp.asarray(dirs @ w), "w_v": jnp.asarray(w),
+              "b_v": jnp.zeros(32)}
+    r = evaluate_config(cfg, params=oracle)
+    assert abs(r["box_acc_micro"] - GOLDEN_ACC) <= 0.02, r["box_acc_micro"]
+
+
 def test_eval_deterministic(synth_root):
     """Fixed params -> bitwise-stable eval across runs (SURVEY §5 item 5)."""
     from nafae_tpu.evaluate import evaluate_config

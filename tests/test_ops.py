@@ -222,6 +222,45 @@ def test_grounding_hits_ignores_nonfinite_dead_slots():
     np.testing.assert_allclose(np.asarray(correct), np.ones((B, K, T)))
 
 
+def test_project_regions_int8_close_to_f32():
+    """The int8 projection (per-output-channel weights × per-row dynamic
+    activations, int8×int8→int32 dot) must track the f32 path closely on
+    the NORMALIZED embeddings — the row scale cancels through the
+    normalize. Pins cos > 0.999 / max-abs < 0.02 (measured: 0.9999 /
+    0.006), and that the quantized-params dispatch routes."""
+    from nafae_tpu.ops import grounding as G
+
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(4, 8, 10, 256).astype(np.float32) * 3.0)
+    w = jnp.asarray(rng.randn(256, 64).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(64).astype(np.float32) * 0.01)
+    v_ref = np.asarray(G.project_regions(feats, w, b))
+    q, s = G.quantize_weight_int8(w)
+    assert q.dtype == jnp.int8 and s.shape == (1, 64)
+    v_q = np.asarray(G.project_regions_int8(feats, q, s, b))
+    assert np.abs(v_ref - v_q).max() < 0.02
+    assert np.sum(v_ref * v_q, -1).min() > 0.999
+    # params-dict dispatch: quantize_params_int8 + project_params ==
+    # project_regions_int8 directly
+    params = {"w_v": w, "b_v": b, "word_emb": jnp.zeros((67, 64))}
+    qp = G.quantize_params_int8(params)
+    assert "w_v" not in qp and "w_v.q8" in qp and "word_emb" in qp
+    np.testing.assert_array_equal(np.asarray(G.project_params(qp, feats)),
+                                  v_q)
+    # the compiled program really contains an s8 x s8 -> s32 contraction
+    hlo = jax.jit(lambda f: G.project_params(qp, f)).lower(feats).compile() \
+        .as_text()
+    assert "s8" in hlo, "int8 operands missing from the compiled projection"
+    # offline path: pre-quantized int8 features (quantize_feats_int8) give
+    # BITWISE the dynamic path's output — same q, same scales, same dot
+    qf, sf = G.quantize_feats_int8(feats)
+    assert qf.dtype == jnp.int8 and sf.shape == feats.shape[:3] + (1,)
+    v_pre = np.asarray(G.project_regions_int8_pre(qf, sf, q, s, b))
+    np.testing.assert_array_equal(v_pre, v_q)
+    np.testing.assert_array_equal(
+        np.asarray(G.project_params(qp, qf, feats_scale=sf)), v_q)
+
+
 def test_ranking_loss_zero_when_diagonal_dominates():
     mat = jnp.eye(4) * 10.0 - 5.0
     assert float(L.ranking_loss(mat, margin=0.1)) == 0.0

@@ -444,3 +444,71 @@ def test_quantized_export_roundtrip(tmp_path):
                                    valid.nonzero()[1],
                                    valid.nonzero()[2]],
         expect[valid])
+
+
+def test_int8_compute_server_and_export(tmp_path):
+    """model.quantize=int8 — quantized COMPUTE (VERDICT r4 #3; distinct
+    from the storage-only artifact quantization above): the projection
+    runs as an int8×int8→int32 dot. Pins (a) the compiled serving program
+    contains int8 operands, (b) served boxes/scores track the f32 server
+    closely, (c) the AOT export bakes the int8 program in and round-trips
+    to the live quantized path's outputs."""
+    import os
+
+    from nafae_tpu.ops import grounding as G
+
+    cfg32 = _tiny_cfg()
+    cfg8 = _tiny_cfg(quantize="int8")
+    params = init_params(jax.random.PRNGKey(4), cfg32.model)
+    srv32 = GroundingServer(cfg32, dict(params))
+    srv8 = GroundingServer(cfg8, dict(params))
+    assert "w_v.q8" in srv8.params and "w_v" not in srv8.params
+
+    segs = _segments(cfg32, 4, seed=7)
+    out32 = srv32.ground_segments([dict(s) for s in segs])
+    out8 = srv8.ground_segments([dict(s) for s in segs])
+    n_frames = n_same = 0
+    for r32, r8 in zip(out32, out8):
+        for w32, w8 in zip(r32["words"], r8["words"]):
+            for f32_, f8 in zip(w32["frames"], w8["frames"]):
+                n_frames += 1
+                n_same += f32_["region"] == f8["region"]
+                assert abs(f32_["score"] - f8["score"]) < 0.05
+    assert n_same >= 0.9 * n_frames, (n_same, n_frames)
+
+    # the quantized program really computes in int8
+    hlo = jax.jit(make_ground_fn(cfg8)).lower(
+        srv8.params,
+        jax.ShapeDtypeStruct((2, 4, 3, 16), np.float32),
+        jax.ShapeDtypeStruct((2, 4, 3, 4), np.float32),
+        jax.ShapeDtypeStruct((2, 2), np.int32),
+        jax.ShapeDtypeStruct((2, 4), np.float32),
+        jax.ShapeDtypeStruct((2, 2), np.float32),
+        jax.ShapeDtypeStruct((2, 4, 3), np.float32)).compile().as_text()
+    assert "s8" in hlo
+
+    # AOT export with int8 compute baked in: artifact params carry the
+    # int8 weights; the program output equals the live quantized path
+    d8 = export_grounding(cfg8, dict(params), str(tmp_path / "i8c"))
+    call, man = load_exported(d8)
+    assert man["model"]["compute_quantize"] == "int8"
+    import numpy as _np
+    with _np.load(os.path.join(d8, "params.npz")) as z:
+        assert z["w_v.q8"].dtype == _np.int8
+    rng = np.random.default_rng(3)
+    dc = cfg8.data
+    feats = rng.normal(size=(dc.batch_size, dc.max_frames, dc.num_regions,
+                             dc.feat_dim)).astype(np.float32)
+    boxes = rng.uniform(0, 50, size=(dc.batch_size, dc.max_frames,
+                                     dc.num_regions, 4)).astype(np.float32)
+    wid = rng.integers(0, cfg8.model.vocab_size,
+                       (dc.batch_size, dc.max_words)).astype(np.int32)
+    fm = np.ones((dc.batch_size, dc.max_frames), np.float32)
+    wm = np.ones((dc.batch_size, dc.max_words), np.float32)
+    rm = np.ones((dc.batch_size, dc.max_frames, dc.num_regions), np.float32)
+    live = jax.jit(make_ground_fn(cfg8))(srv8.params, feats, boxes, wid,
+                                         fm, wm, rm)
+    art = call(feats, boxes, wid, fm, wm, rm)
+    for k in live:
+        np.testing.assert_allclose(np.asarray(art[k]), np.asarray(live[k]),
+                                   atol=1e-6, err_msg=k)
