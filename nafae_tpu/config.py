@@ -225,6 +225,16 @@ class DetectorConfig:
                                   # checkpoint tree; emitter channel-tiling
                                   # knob for the starved 3-channel input.
                                   # 0 disables.
+    fold_bn: bool = False         # fold FrozenBN affines into conv kernels
+                                  # at param load/init (exact-same-math
+                                  # load-time transform; param tree
+                                  # unchanged, idempotent —
+                                  # models/detector/resnet.fold_frozen_bn)
+    stem_im2col: bool = False     # compute the 7x7/s2 stem as XLA's
+                                  # conv_general_dilated_patches + one
+                                  # [N·Ho·Wo,147]x[147,64] matmul (exact
+                                  # same sums — the im2col-by-XLA form for
+                                  # the input-channel-starved stem)
     stem_nminor: bool = False     # feed the stem conv a [H,W,C,N]
                                   # transposed operand (exact, same
                                   # checkpoint tree) — the {0,3,2,1}

@@ -106,6 +106,9 @@ def make_extract_fn(cfg: Config, params=None, key=None):
             cfg.detector.weights, init_p,
             num_scales=len(cfg.detector.anchor_scales),
             num_ratios=len(cfg.detector.anchor_ratios))
+        if cfg.detector.fold_bn:
+            from nafae_tpu.models.detector.resnet import fold_frozen_bn
+            params = fold_frozen_bn(params)
     params = params if params is not None else init_p
     fn = jax.jit(model.apply)
     return fn, params

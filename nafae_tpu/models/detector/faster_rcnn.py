@@ -51,6 +51,7 @@ class FasterRCNNExtractor(nn.Module):
             self.backbone = ResNetC4(blocks=RESNET_BLOCKS[self.cfg.backbone],
                                      dtype=dt, stem_s2d=self.cfg.stem_s2d,
                                      stem_pad_ch=self.cfg.stem_pad_ch,
+                                     stem_im2col=self.cfg.stem_im2col,
                                      stem_nminor=self.cfg.stem_nminor)
             self.head = ResNetC5Head(dtype=dt)
         else:
@@ -143,4 +144,9 @@ def init_detector(key: jax.Array, cfg: DetectorConfig,
     model = FasterRCNNExtractor(cfg, use_pallas_roi_align, **kwargs)
     dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
     params = model.init(key, dummy)
+    if cfg.fold_bn:
+        # load-time BN fold (idempotent — call sites that replace these
+        # params with converted checkpoint weights re-apply it after load)
+        from nafae_tpu.models.detector.resnet import fold_frozen_bn
+        params = fold_frozen_bn(params)
     return model, params

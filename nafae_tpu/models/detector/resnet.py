@@ -52,6 +52,61 @@ class FrozenBN(nn.Module):
         return x * inv + shift
 
 
+_BN_EPS = 1e-5
+
+
+def fold_frozen_bn(params: dict) -> dict:
+    """Load-time transform: fold every FrozenBN affine into its preceding
+    conv's kernel (VERDICT r4 #1b). y·inv + shift with inv = scale/√(var+ε)
+    becomes conv(x, W·inv) + shift — same math, but the per-forward
+    inv/shift derivation and the post-conv multiply disappear from the
+    compiled program.
+
+    The param TREE is unchanged (checkpoints/converters untouched): the BN
+    entry is rewritten to an exact identity-with-shift — scale' = √(1+ε)
+    computed in the same f32 ops the forward uses, var' = 1, mean' = 0,
+    bias' = shift — so the forward's inv' = scale'/√(var'+ε) divides a
+    number by itself (exactly 1.0) and adds the original shift. Pairing
+    rule: flax auto-naming makes FrozenBN_i follow Conv_i in the same
+    module scope (Bottleneck, ResNetC4 stem); only 4-D no-bias conv
+    kernels are folded. IDEMPOTENT: re-folding multiplies by inv' == 1.0
+    and re-derives the same shift, so applying it after a checkpoint load
+    (extract.py / train.py) or after init is equally safe.
+    """
+    import numpy as np
+
+    z = np.sqrt(np.float32(1.0) + np.float32(_BN_EPS)).astype(np.float32)
+
+    def fold_tree(d):
+        d = {k: (fold_tree(v) if isinstance(v, dict) else v)
+             for k, v in d.items()}
+        for k in list(d):
+            if not k.startswith("FrozenBN_"):
+                continue
+            conv_key = "Conv_" + k.split("_", 1)[1]
+            conv = d.get(conv_key)
+            if not (isinstance(conv, dict)
+                    and set(conv) == {"kernel"}
+                    and np.asarray(conv["kernel"]).ndim == 4):
+                continue
+            bn = d[k]
+            scale = np.asarray(bn["scale"], np.float32)
+            var = np.asarray(bn["var"], np.float32)
+            mean = np.asarray(bn["mean"], np.float32)
+            bias = np.asarray(bn["bias"], np.float32)
+            inv = scale / np.sqrt(var + np.float32(_BN_EPS))
+            shift = bias - mean * inv
+            kernel = np.asarray(conv["kernel"], np.float32) * inv
+            d[conv_key] = {"kernel": jnp.asarray(kernel)}
+            d[k] = {"scale": jnp.full(scale.shape, z),
+                    "var": jnp.ones(var.shape, jnp.float32),
+                    "mean": jnp.zeros(mean.shape, jnp.float32),
+                    "bias": jnp.asarray(shift)}
+        return d
+
+    return fold_tree(dict(params))
+
+
 class Bottleneck(nn.Module):
     features: int
     stride: int = 1
@@ -119,6 +174,14 @@ class StemConv(nn.Module):
     s2d: bool = True
     dtype: jnp.dtype | None = None
     pad_ch: int = 0
+    im2col: bool = False   # compute the stem as XLA's
+                           # conv_general_dilated_patches + ONE
+                           # [N·Ho·Wo, 147]x[147, F] matmul — exact same
+                           # sums (patches channel order is (C,KH,KW):
+                           # kernel transposes (2,0,1,3)); hands the MXU a
+                           # dense 147-deep contraction instead of the
+                           # emitter's 3-channel-starved conv plan
+                           # (VERDICT r4 #1c).
     nminor: bool = False   # feed the conv a [H,W,C,N] operand (exact
                            # transpose + dimension_numbers) — physically
                            # the {0,3,2,1} layout the emitter asks for,
@@ -140,6 +203,17 @@ class StemConv(nn.Module):
             k = jnp.pad(k, ((0, 0), (0, 0), (0, self.pad_ch - c), (0, 0)))
             c = self.pad_ch
         dn = ("NHWC", "HWIO", "NHWC")
+        if self.im2col:
+            p = jax.lax.conv_general_dilated_patches(
+                x, (7, 7), (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn)
+            n2, ho, wo, ck = p.shape               # ck = c*49, (C,KH,KW) order
+            y = jax.lax.dot_general(
+                p.reshape(n2 * ho * wo, ck),
+                k.transpose(2, 0, 1, 3).reshape(ck, self.features),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return y.reshape(n2, ho, wo, self.features).astype(
+                x.dtype if self.dtype is None else self.dtype)
         if self.nminor:
             return jax.lax.conv_general_dilated(
                 x.transpose(1, 2, 3, 0), k, (2, 2), ((3, 3), (3, 3)),
@@ -171,6 +245,7 @@ class ResNetC4(nn.Module):
     stem_s2d: bool = False      # measured slower on this toolchain — see
                                 # StemConv and config.DetectorConfig.stem_s2d
     stem_pad_ch: int = 0        # StemConv.pad_ch (exact zero-pad knob)
+    stem_im2col: bool = False   # StemConv.im2col (patches+matmul form)
     stem_nminor: bool = False   # StemConv.nminor ([H,W,C,N] operand knob)
 
     @nn.compact
@@ -182,6 +257,7 @@ class ResNetC4(nn.Module):
         # torch weights (r2 review fix). name="Conv_0" keeps the param tree
         # identical to the old nn.Conv stem (checkpoints/converters).
         y = StemConv(64, s2d=self.stem_s2d, pad_ch=self.stem_pad_ch,
+                     im2col=self.stem_im2col,
                      nminor=self.stem_nminor, dtype=self.dtype,
                      name="Conv_0")(x)
         y = FrozenBN(64, self.dtype)(y)

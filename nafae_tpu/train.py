@@ -698,6 +698,9 @@ def fit(cfg: Config, mesh=None, log_fn=None, eval_fn=None):
                 cfg.detector.weights, det_params,
                 num_scales=len(cfg.detector.anchor_scales),
                 num_ratios=len(cfg.detector.anchor_ratios))
+            if cfg.detector.fold_bn:
+                from nafae_tpu.models.detector.resnet import fold_frozen_bn
+                det_params = fold_frozen_bn(det_params)
         extractor = (det_model.apply, det_params)
     else:
         ds = SegmentDataset(cfg.data.root, cfg.data.split, cfg.data.max_frames,

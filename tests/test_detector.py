@@ -160,6 +160,80 @@ def test_stem_s2d_exact_and_same_param_tree():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_stem_im2col_exact_and_plumbed():
+    """detector.stem_im2col: the patches+matmul stem computes the same
+    sums as the 7x7/s2 conv (to f32 accumulation-order tolerance) with the
+    SAME param tree, and the knob plumbs through ResNetC4."""
+    import jax
+
+    from nafae_tpu.models.detector.resnet import ResNetC4, StemConv
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    base = StemConv(8, s2d=False)
+    pb = base.init(jax.random.PRNGKey(2), x)
+    y_ref = base.apply(pb, x)
+    m = StemConv(8, s2d=False, im2col=True)
+    assert (jax.tree_util.tree_structure(m.init(jax.random.PRNGKey(2), x))
+            == jax.tree_util.tree_structure(pb))
+    np.testing.assert_allclose(np.asarray(m.apply(pb, x)),
+                               np.asarray(y_ref), rtol=1e-4, atol=1e-4)
+    net0 = ResNetC4(blocks=(1,))
+    p0 = net0.init(jax.random.PRNGKey(3), x)
+    net_i = ResNetC4(blocks=(1,), stem_im2col=True)
+    np.testing.assert_allclose(np.asarray(net_i.apply(p0, x)),
+                               np.asarray(net0.apply(p0, x)),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fold_frozen_bn_exact_idempotent_same_tree():
+    """detector.fold_bn (models/detector/resnet.fold_frozen_bn): folding
+    every FrozenBN affine into its conv kernel preserves the detector's
+    outputs (f32 tolerance — the multiply moves across the convolution),
+    keeps the param TREE identical, makes each BN an exact identity+shift
+    (inv' == 1.0 bitwise), and is idempotent."""
+    import jax
+
+    from nafae_tpu.models.detector.resnet import (FrozenBN, ResNetC4,
+                                                  fold_frozen_bn)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    net = ResNetC4(blocks=(2, 1))
+    p0 = net.init(jax.random.PRNGKey(0), x)
+    # make the BN stats non-trivial so the fold actually moves something
+    p0 = jax.tree_util.tree_map_with_path(
+        lambda path, v: (v + 0.3 * np.abs(rng.randn(*v.shape)).astype(
+            np.float32) if "FrozenBN" in str(path) else v), p0)
+    y_ref = net.apply(p0, x)
+    pf = fold_frozen_bn(p0)
+    assert (jax.tree_util.tree_structure(pf)
+            == jax.tree_util.tree_structure(p0))
+    np.testing.assert_allclose(np.asarray(net.apply(pf, x)),
+                               np.asarray(y_ref), rtol=2e-4, atol=2e-4)
+    # folded BN is an exact identity+shift: scale'/sqrt(var'+eps) == 1.0
+    bn = pf["params"]["FrozenBN_0"]
+    inv = np.asarray(bn["scale"]) / np.sqrt(np.asarray(bn["var"]) + 1e-5)
+    np.testing.assert_array_equal(inv, np.ones_like(inv))
+    # idempotent: folding again changes nothing bitwise
+    pff = fold_frozen_bn(pf)
+    for a, b in zip(jax.tree_util.tree_leaves(pf),
+                    jax.tree_util.tree_leaves(pff)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # plumbs through init_detector(cfg.fold_bn)
+    from nafae_tpu.models.detector.faster_rcnn import init_detector
+    cfg = DetectorConfig(image_size=64, num_proposals=4,
+                         rpn_pre_nms_topk=16, anchor_scales=(16, 32),
+                         fold_bn=True)
+    model, params = init_detector(jax.random.PRNGKey(0), cfg)
+    bn0 = params["params"]["backbone"]["FrozenBN_0"]
+    np.testing.assert_array_equal(np.asarray(bn0["mean"]),
+                                  np.zeros_like(np.asarray(bn0["mean"])))
+    out = model.apply(params, jnp.asarray(
+        rng.rand(2, 64, 64, 3).astype(np.float32)))
+    assert np.isfinite(np.asarray(out["feats"])).all()
+
+
 def test_extractor_end_to_end_shapes():
     cfg = DetectorConfig(image_size=64, num_proposals=5, rpn_pre_nms_topk=32,
                          anchor_scales=(16, 32), anchor_ratios=(0.5, 1.0, 2.0))
