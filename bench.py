@@ -687,6 +687,77 @@ def make_serve_program(s, steps_per_call, all_outputs=True, quantize=None):
     return serves, params, feats
 
 
+def make_artifact_serve_program(artifact_dir, steps_per_call):
+    """The guarded serving-bench program over an AOT-exported artifact
+    (VERDICT r4 #4: every recorded serve number measured the live-jit
+    path; this measures the StableHLO program a deployment host runs).
+    Same LICM guard (carry-dependent w_v perturbation) and DCE guard
+    (all outputs reduced into the carry) as make_serve_program. Returns
+    (serves, params, feats, s) with s derived from the artifact manifest
+    so flops/MFU use the artifact's own shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from nafae_tpu.serve import load_exported
+
+    call, man = load_exported(artifact_dir)
+    exported, params = call.exported, call.params
+    s = dict(B=man["batch_size"], T=man["max_frames"],
+             R=man["num_regions"], D=man["feat_dim"], K=man["max_words"],
+             E=man["model"]["embed_dim"], V=man["model"]["vocab_size"],
+             KC=67, W=3)
+    b = make_batch(s)
+    feats = jax.device_put(b["feats"])
+    wkey = "w_v.q8" if "w_v.q8" in params else "w_v"
+
+    @jax.jit
+    def serves(params, feats):
+        def body(acc, _):
+            wid = jnp.asarray(b["word_ids"])
+            wid = jnp.where(acc < -1, wid + 1, wid)
+            eps = jnp.where(acc < -1, 1.0, 0.0)
+            p = dict(params)
+            p[wkey] = params[wkey] + eps.astype(params[wkey].dtype)
+            out = exported.call(p, feats, jnp.asarray(b["boxes"]), wid,
+                                jnp.asarray(b["frame_mask"]),
+                                jnp.asarray(b["word_mask"]),
+                                jnp.asarray(b["region_mask"]))
+            r = jnp.sum(out["region"])
+            live = (jnp.sum(out["box"]) + jnp.sum(out["beta"])
+                    + jnp.sum(out["score"]) + jnp.sum(out["video_score"]))
+            return acc + r + live.astype(jnp.int32), None
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None,
+                              length=steps_per_call)
+        return acc
+
+    return serves, params, feats, s
+
+
+def bench_artifact_serve(artifact_dir, iters=256, steps_per_call=256):
+    """Serving throughput of the AOT artifact (bench --mode serve
+    --artifact DIR). Returns (fps, dt, s)."""
+    import time as _t
+
+    steps_per_call = max(1, min(steps_per_call, iters))
+    serves, params, feats, s = make_artifact_serve_program(
+        artifact_dir, steps_per_call)
+    _PROGRESS["stage"] = "compile"
+    int(serves(params, feats))
+    ncalls = max(1, iters // steps_per_call)
+    _PROGRESS["stage"] = "measure"
+    best = float("inf")
+    for _ in range(4):
+        t0 = _t.perf_counter()
+        for _ in range(ncalls):
+            acc = serves(params, feats)
+        int(acc)
+        best = min(best, _t.perf_counter() - t0)
+        _PROGRESS["value"] = round(
+            s["B"] * s["T"] * ncalls * steps_per_call / best, 1)
+    dt = best / (ncalls * steps_per_call)
+    return s["B"] * s["T"] / dt, dt, s
+
+
 def bench_jax_serve(s, iters=256, steps_per_call=256):
     """Serving throughput: the nafae_tpu.serve program (similarity +
     argmax region + one-hot box select + frame attention/β + scores),
@@ -738,6 +809,11 @@ def main():
                    help="e2e = config-5 inline step (frames -> frozen "
                         "detector -> fused losses in one XLA program); "
                         "serve = the nafae_tpu.serve inference program")
+    p.add_argument("--artifact", default=None, metavar="DIR",
+                   help="with --mode serve: measure the AOT-exported "
+                        "artifact in DIR (nafae-serve --export) instead of "
+                        "the live-jit program; shapes/FLOPs come from the "
+                        "artifact manifest")
     p.add_argument("--battery", dest="battery", action="store_true",
                    default=None,
                    help="after the train headline, also measure + emit one "
@@ -768,6 +844,18 @@ def main():
         return round(flops / dt / PEAK_FLOPS, 4)
 
     if args.mode == "serve":
+        if args.artifact:
+            fps, dt, s_art = bench_artifact_serve(args.artifact,
+                                                  iters=args.iters)
+            _emit({
+                "value": round(fps, 1),
+                "vs_baseline": None,
+                "step_us": round(dt * 1e6, 1),
+                "flops_per_step": serve_step_flops(s_art),
+                "mfu": _mfu(serve_step_flops(s_art), dt),
+                "artifact": args.artifact,
+            })
+            return
         fps, dt = bench_jax_serve(s, iters=args.iters)
         _emit({
             "value": round(fps, 1),

@@ -242,6 +242,13 @@ def load_exported(out_dir: str):
         return exported.call(params, feats, boxes, word_ids, frame_mask,
                              word_mask, region_mask)
 
+    # expose the raw pieces for callers that need params as an explicit
+    # argument (bench.make_artifact_serve_program's LICM guard perturbs
+    # the projection weight per step, which requires calling
+    # exported.call(params, ...) directly)
+    call.exported = exported
+    call.params = params
+    call.manifest = manifest
     return call, manifest
 
 
