@@ -1,0 +1,76 @@
+"""Single-chip long-clip sweep: config-4 train step at growing T until the
+HBM ceiling (VERDICT r4 #4b: the long-clip story stopped at T=160 with no
+measured ceiling / SP-crossover point).
+
+One process (within-process comparability; fresh compile per shape). For
+each (B, T) the full config-4 step (bf16 + auto kernels, the bench
+protocol at reduced iters) is measured; an OOM is caught and recorded as
+the ceiling for that B. The dominant long-clip tensor is the ranking
+cross einsum's f32 [B,B,K,T,R] scores (B²·K·T·R·4 bytes — quadratic in B,
+linear in T), so the ceiling moves with B; the sweep includes reduced-B
+rows to separate the T-scaling of the ctx/projection path from the B²
+ranking cost.
+
+Usage: scripts/tpu_run.sh scripts/sweep_longclip.py [--iters 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SWEEP = [
+    (32, 20),     # the bench headline shape, as the anchor
+    (8, 160),     # the r3 long-clip record point
+    (8, 320),
+    (8, 640),
+    (4, 640),
+    (2, 1280),
+    (1, 2560),
+    (1, 5120),
+]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=64)
+    p.add_argument("--spc", type=int, default=32)
+    args = p.parse_args()
+
+    from nafae_tpu.utils import (apply_platform_override,
+                                 enable_compilation_cache,
+                                 require_tpu_or_exit3)
+    apply_platform_override()
+    require_tpu_or_exit3("sweep_longclip")
+    enable_compilation_cache()
+    import bench
+
+    print("| B | T | frames/step | µs/step | µs/frame | note |")
+    print("|---|---|---|---|---|---|")
+    for b, t in SWEEP:
+        s = dict(bench.SHAPES)
+        s.update(B=b, T=t)
+        try:
+            fps, dt, loss = bench.bench_jax(
+                s, iters=args.iters, steps_per_call=args.spc, repeats=2)
+            print(f"| {b} | {t} | {b * t} | {dt * 1e6:,.1f} | "
+                  f"{dt * 1e6 / (b * t):.2f} | loss={loss:.3f} |",
+                  flush=True)
+        except Exception as e:
+            msg = str(e)
+            oom = ("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+                   or "out of memory" in msg)
+            print(f"| {b} | {t} | {b * t} | — | — | "
+                  f"{'OOM (HBM ceiling)' if oom else type(e).__name__}: "
+                  f"{msg[:120]} |", flush=True)
+            if not oom:
+                raise
+
+
+if __name__ == "__main__":
+    main()
+    sys.stdout.flush()
+    os._exit(0)   # axon teardown can hang after chip use
