@@ -758,17 +758,19 @@ def bench_artifact_serve(artifact_dir, iters=256, steps_per_call=256):
     return s["B"] * s["T"] / dt, dt, s
 
 
-def bench_jax_serve(s, iters=256, steps_per_call=256):
+def bench_jax_serve(s, iters=256, steps_per_call=256, quantize=None):
     """Serving throughput: the nafae_tpu.serve program (similarity +
     argmax region + one-hot box select + frame attention/β + scores),
     bf16 compute — the per-batch work GroundingServer/the AOT artifact
     does, minus host JSON. Same scan + carry-dependence + best-of-4
     protocol as bench_jax_eval, plus the all-outputs DCE guard (see
-    make_serve_program)."""
+    make_serve_program). quantize: None | "int8" (dynamic) | "int8pre"
+    (offline-quantized features)."""
     import jax
 
     steps_per_call = max(1, min(steps_per_call, iters))
-    serves, params, feats = make_serve_program(s, steps_per_call)
+    serves, params, feats = make_serve_program(s, steps_per_call,
+                                               quantize=quantize)
 
     _PROGRESS["stage"] = "compile"
     int(serves(params, feats))
@@ -809,6 +811,11 @@ def main():
                    help="e2e = config-5 inline step (frames -> frozen "
                         "detector -> fused losses in one XLA program); "
                         "serve = the nafae_tpu.serve inference program")
+    p.add_argument("--quantize", dest="serve_quantize", default=None,
+                   choices=("int8", "int8pre"),
+                   help="with --mode serve: measure the int8-COMPUTE "
+                        "program (dynamic activation quantization) or the "
+                        "offline pre-quantized-features form (int8pre)")
     p.add_argument("--artifact", default=None, metavar="DIR",
                    help="with --mode serve: measure the AOT-exported "
                         "artifact in DIR (nafae-serve --export) instead of "
@@ -856,14 +863,21 @@ def main():
                 "artifact": args.artifact,
             })
             return
-        fps, dt = bench_jax_serve(s, iters=args.iters)
-        _emit({
+        fps, dt = bench_jax_serve(s, iters=args.iters,
+                                  quantize=args.serve_quantize)
+        out = {
             "value": round(fps, 1),
             "vs_baseline": None,
             "step_us": round(dt * 1e6, 1),
             "flops_per_step": serve_step_flops(s),
             "mfu": _mfu(serve_step_flops(s), dt),
-        })
+        }
+        if args.serve_quantize:
+            # MFU against the bf16 peak over the SAME analytic FLOPs —
+            # comparable to the f32/bf16 serve number, not re-rated to
+            # the int8 peak (report the quantize mode so the reader knows)
+            out["quantize"] = args.serve_quantize
+        _emit(out)
         return
 
     if args.mode == "eval":
