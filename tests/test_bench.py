@@ -57,6 +57,36 @@ def test_serve_bench_outputs_survive_dce():
     assert n_dot >= 3, n_dot
 
 
+def test_artifact_serve_bench_guarded(tmp_path):
+    """bench --mode serve --artifact: the guarded program over the
+    deserialized StableHLO artifact must (a) keep the serving outputs
+    alive after optimization (DCE guard) and (b) run, with shapes taken
+    from the artifact manifest."""
+    import jax
+
+    from nafae_tpu.config import load_config
+    from nafae_tpu.models.grounding import init_params
+    from nafae_tpu.serve import export_grounding
+
+    s = bench.QUICK
+    cfg = load_config(preset_name="config1", overrides=[
+        f"model.feat_dim={s['D']}", f"model.embed_dim={s['E']}",
+        f"data.batch_size={s['B']}", f"data.max_frames={s['T']}",
+        f"data.num_regions={s['R']}", f"data.feat_dim={s['D']}",
+        f"data.max_words={s['K']}"])
+    params = init_params(jax.random.PRNGKey(0), cfg.model)
+    d = export_grounding(cfg, params, str(tmp_path / "art"))
+    serves, aparams, feats, s_art = bench.make_artifact_serve_program(d, 2)
+    assert s_art["B"] == s["B"] and s_art["D"] == s["D"]
+    hlo = serves.lower(aparams, feats).compile().as_text()
+    body = [l for l in hlo.splitlines() if " = " in l]
+    n_exp = sum("exp" in l.split(" = ", 1)[1][:40] for l in body)
+    n_div = sum("divide" in l.split(" = ", 1)[1][:40] for l in body)
+    assert n_exp >= 1 and n_div >= 1, (n_exp, n_div)   # beta softmax alive
+    fps, dt, _ = bench.bench_artifact_serve(d, iters=4, steps_per_call=2)
+    assert fps > 0 and dt > 0
+
+
 def test_analytic_flops_match_cost_analysis():
     """The analytic flops_per_step counts bench reports (the train/eval/
     serve MFU denominators) must track XLA's own cost_analysis of the
