@@ -78,6 +78,10 @@ def main():
     p.add_argument("--image-size", type=int, default=320)
     p.add_argument("--inline-shapes", default="B=2,T=8")
     p.add_argument("--det-dtype", default="bfloat16")
+    p.add_argument("--overrides", default="",
+                   help="comma-separated extra config overrides appended "
+                        "after the kernels/dtype ones, e.g. "
+                        "'detector.fold_bn=true,detector.stem_im2col=true'")
     p.add_argument("--flags", default="",
                    help="comma-separated experimental module flags set "
                         "before tracing, e.g. "
@@ -129,7 +133,8 @@ def main():
         cfg, batch, multi = bench.make_inline_setup(
             overrides=[f"train.kernels={args.kernels}",
                        f"model.dtype={args.dtype}",
-                       f"detector.dtype={args.det_dtype}"],
+                       f"detector.dtype={args.det_dtype}"]
+            + [o for o in args.overrides.split(",") if o],
             b=sh["B"], t=sh["T"], image_size=args.image_size,
             steps_per_call=args.spc)
         step = None
@@ -140,7 +145,7 @@ def main():
             f"loss.ctx_window={s['W']}", "loss.kmeans_interval=100",
             f"train.kernels={args.kernels}",
             f"model.dtype={args.dtype}", "model.matmul_precision=default",
-        ])
+        ] + [o for o in args.overrides.split(",") if o])
         batch = {k: jax.device_put(v) for k, v in bench.make_batch(s).items()}
         step = make_train_step(cfg, make_optimizer(cfg))
 
