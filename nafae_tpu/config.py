@@ -40,6 +40,13 @@ class ModelConfig:
                                    # dynamic activations; ops/grounding
                                    # project_regions_int8). Applied at param
                                    # load by eval/serve; training ignores it.
+                                   # "int8pre": same int8 dot, but features
+                                   # arrive PRE-quantized from disk/request
+                                   # (extract --quantize int8) — ¼ the
+                                   # feature bytes on top of the int8 MXU;
+                                   # the measured serving win (docs/PERF.md
+                                   # "r5 inference work": dynamic int8
+                                   # LOSES, int8pre wins +30%).
     word_vectors: str = ""         # optional GloVe-style init file for word_emb
 
 
@@ -375,10 +382,10 @@ def validate(cfg: Config) -> Config:
         raise ValueError(
             f"unknown detector.roi_impl {cfg.detector.roi_impl!r}; "
             "choose separable | combined | pallas")
-    if cfg.model.quantize not in ("", "int8"):
+    if cfg.model.quantize not in ("", "int8", "int8pre"):
         raise ValueError(
             f"unknown model.quantize {cfg.model.quantize!r}; "
-            "choose '' | int8")
+            "choose '' | int8 | int8pre")
     if cfg.model.matmul_precision not in ("highest", "default"):
         # everything-else would silently map to DEFAULT (bf16 MXU passes,
         # ~1e-3 error) in ops.grounding.matmul_precision — a typo must not

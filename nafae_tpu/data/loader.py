@@ -95,6 +95,11 @@ class BatchLoader:
         if use_native and str(getattr(dataset, "transfer_dtype", "float32")) \
                 not in ("float32", "float16", "bfloat16"):
             use_native = False  # dtypes the native packer cannot emit
+        if use_native and getattr(dataset, "keep_int8", False):
+            # int8pre passthrough (int8 feats + scales to the device): the
+            # packer emits float batches only — by-design skip, the Python
+            # loader moves ¼ the feature bytes anyway
+            use_native = False
         if use_native:
             try:
                 from nafae_tpu.utils.native_io import NativePacker

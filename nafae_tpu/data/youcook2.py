@@ -9,6 +9,15 @@ On-disk layout (produced by `nafae_tpu.extract` or `data/synthetic.py`):
   root/split/index.jsonl   — one JSON per segment: id, file, num_frames, num_words
   root/split/<id>.npz      — feats [T,R,D] (f16/f32), boxes [T,R,4],
                              word_ids [K], gt_boxes [K,T,4], gt_mask [K,T] (eval)
+
+int8 feature files (`nafae_tpu.extract --quantize int8`) store feats as
+int8 [T,R,D] plus per-region scales feats_scale f32 [T,R]
+(ops/grounding.quantize_feats_int8 semantics). By default the dataset
+dequantizes them on load, so one extraction serves train and f32 eval
+unchanged; `keep_int8=True` (the model.quantize=int8pre inference path —
+docs/PERF.md "r5 inference work") passes the int8 payload + scales
+through so the serving/eval program reads ¼ the feature bytes and runs
+the projection as an int8×int8→int32 MXU dot.
 """
 
 from __future__ import annotations
@@ -22,8 +31,10 @@ import numpy as np
 class SegmentDataset:
     def __init__(self, root: str, split: str, max_frames: int, num_regions: int,
                  feat_dim: int, max_words: int, with_gt: bool = False,
-                 frame_buckets: tuple = (), transfer_dtype: str = "float32"):
+                 frame_buckets: tuple = (), transfer_dtype: str = "float32",
+                 keep_int8: bool = False):
         self.transfer_dtype = np.dtype(transfer_dtype)
+        self.keep_int8 = keep_int8
         self.dir = os.path.join(root, split)
         self.max_frames = max_frames
         # ascending UNIQUE bucket sizes; () = single bucket at max_frames
@@ -53,8 +64,25 @@ class SegmentDataset:
     def __getitem__(self, i: int) -> dict[str, np.ndarray]:
         meta = self.index[i]
         with np.load(os.path.join(self.dir, meta["file"])) as z:
+            fz, fscale = z["feats"], None
+            if fz.dtype == np.int8 and "feats_scale" in z.files:
+                if self.keep_int8:
+                    feats = fz                                   # passthrough
+                    fscale = z["feats_scale"].astype(np.float32)
+                else:   # one extraction serves the f32 train/eval paths too
+                    feats = (fz.astype(np.float32)
+                             * z["feats_scale"][..., None]).astype(
+                                 self.transfer_dtype)
+            else:
+                if self.keep_int8:
+                    raise ValueError(
+                        f"{meta['file']}: keep_int8 (model.quantize=int8pre)"
+                        " needs int8 feature files — re-extract with "
+                        "`nafae_tpu.extract --quantize int8`")
+                feats = fz.astype(self.transfer_dtype)
             sample = pad_sample(
-                feats=z["feats"].astype(self.transfer_dtype),
+                feats=feats,
+                feats_scale=fscale,
                 boxes=z["boxes"].astype(np.float32),
                 word_ids=z["word_ids"].astype(np.int32),
                 max_frames=self.bucket_of(i),
@@ -76,8 +104,14 @@ def pad_sample(feats: np.ndarray, boxes: np.ndarray, word_ids: np.ndarray,
                max_frames: int, num_regions: int, max_words: int,
                gt_boxes: np.ndarray | None = None,
                gt_mask: np.ndarray | None = None,
-               region_mask: np.ndarray | None = None) -> dict[str, np.ndarray]:
-    """Pad/truncate one segment to fixed [T,R,D]/[K] buckets with masks."""
+               region_mask: np.ndarray | None = None,
+               feats_scale: np.ndarray | None = None) -> dict[str, np.ndarray]:
+    """Pad/truncate one segment to fixed [T,R,D]/[K] buckets with masks.
+
+    feats_scale [T,R] (int8pre path only): padded slots get scale 0, which
+    dequantizes padded regions to exactly the zero vector the f32 path
+    pads with. The key is emitted ONLY when given, so the batch signature
+    (and jit cache) of the standard path is unchanged."""
     t, r, d = feats.shape
     tt, rr = min(t, max_frames), min(r, num_regions)
     k = min(len(word_ids), max_words)
@@ -96,6 +130,10 @@ def pad_sample(feats: np.ndarray, boxes: np.ndarray, word_ids: np.ndarray,
     rm[:tt, :rr] = region_mask[:tt, :rr] if region_mask is not None else 1.0
     sample = {"feats": out_f, "boxes": out_b, "word_ids": out_w,
               "frame_mask": fm, "word_mask": wm, "region_mask": rm}
+    if feats_scale is not None:
+        out_s = np.zeros((max_frames, num_regions), np.float32)
+        out_s[:tt, :rr] = feats_scale[:tt, :rr]
+        sample["feats_scale"] = out_s
     if gt_boxes is not None:
         gb = np.zeros((max_words, max_frames, 4), np.float32)
         gm = np.zeros((max_words, max_frames), np.float32)

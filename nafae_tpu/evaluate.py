@@ -27,7 +27,10 @@ from nafae_tpu.ops.iou import grounding_hits
 def _eval_batch(params: dict, batch: dict, iou_thresh: float = 0.5):
     w_emb = G.embed_words(batch["word_ids"], params["word_emb"],
                           m_sim=params.get("m_sim"))
-    v_emb = G.project_params(params, batch["feats"])   # int8 when quantized
+    # int8 when params are quantized; int8pre when the batch also carries
+    # pre-quantized feats + per-region scales (SegmentDataset keep_int8)
+    v_emb = G.project_params(params, batch["feats"],
+                             feats_scale=batch.get("feats_scale"))
     s = G.mask_regions(G.similarity_tensor(w_emb, v_emb),
                        batch.get("region_mask"))
     # region argmax must ignore padded frames/words via gt_mask (already 0 there)
@@ -126,7 +129,10 @@ def evaluate_config(cfg: Config, params: dict | None = None,
 
     ds = SegmentDataset(cfg.data.root, split, cfg.data.max_frames,
                         cfg.data.num_regions, cfg.data.feat_dim,
-                        cfg.data.max_words, with_gt=True)
+                        cfg.data.max_words, with_gt=True,
+                        # int8pre: int8 features + scales flow to the device
+                        # untouched (loud error on non-int8 files)
+                        keep_int8=cfg.model.quantize == "int8pre")
     if params is None:
         # params-only restore with shapes from the checkpoint itself: a
         # config4-trained ckpt must be evaluable under the config1 preset
@@ -140,9 +146,10 @@ def evaluate_config(cfg: Config, params: dict | None = None,
                     "refusing to evaluate randomly initialized parameters")
             from nafae_tpu.train import TrainState
             params = TrainState.create(jax.random.PRNGKey(0), cfg).params
-    if cfg.model.quantize == "int8" and "w_v.q8" not in params:
-        # int8 inference compute (model.quantize=int8): quantize once at
-        # load; _eval_batch dispatches on the "w_v.q8" key
+    if cfg.model.quantize in ("int8", "int8pre") and "w_v.q8" not in params:
+        # int8 inference compute (model.quantize=int8|int8pre): quantize
+        # once at load; _eval_batch dispatches on the "w_v.q8" key (and on
+        # int8 batch feats for the int8pre form)
         params = G.quantize_params_int8(params)
     return evaluate(params, ds, cfg.data.batch_size, cfg.model.vocab_size,
                     mesh=mesh)

@@ -114,10 +114,29 @@ def make_extract_fn(cfg: Config, params=None, key=None):
     return fn, params
 
 
+def quantize_feats_np(feats: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """numpy twin of ops/grounding.quantize_feats_int8 for extract-time
+    storage: feats [T,R,D] -> (int8 [T,R,D], per-region scales f32 [T,R]).
+    Same per-row symmetric scheme (s = max|f| / 127); np.round and
+    jnp.round are both round-half-to-even, so the two quantizers agree
+    bitwise on the same input."""
+    f = feats.astype(np.float32)
+    sf = np.maximum(np.abs(f).max(axis=-1), 1e-12) / 127.0      # [T,R]
+    q = np.clip(np.round(f / sf[..., None]), -127, 127).astype(np.int8)
+    return q, sf.astype(np.float32)
+
+
 def extract_segments(cfg: Config, annotations: list[dict], out_dir: str,
                      params=None, vocab: Vocab | None = None,
-                     frame_batch: int = 8) -> str:
-    """Run the full extraction pipeline; returns the index.jsonl path."""
+                     frame_batch: int = 8, quantize: str = "") -> str:
+    """Run the full extraction pipeline; returns the index.jsonl path.
+
+    quantize="int8": store features as int8 + per-region scales (¼ the
+    bytes on disk AND the wire format of the int8pre serving path —
+    docs/PERF.md "r5 inference work"). SegmentDataset dequantizes by
+    default, so the same extraction still serves f32 train/eval."""
+    if quantize not in ("", "int8"):
+        raise ValueError(f"quantize must be '' or 'int8', got {quantize!r}")
     from nafae_tpu.data.vocab import vocab_from_config
     vocab = vocab or vocab_from_config(cfg.data)
     os.makedirs(out_dir, exist_ok=True)
@@ -149,11 +168,17 @@ def extract_segments(cfg: Config, annotations: list[dict], out_dir: str,
                 vocab.extract(ann["sentence"], cfg.data.max_words),
                 np.int32)
             name = str(ann["id"])
-            np.savez(os.path.join(out_dir, name + ".npz"),
-                     feats=np.concatenate(feats).astype(np.float16),
-                     boxes=np.concatenate(boxes).astype(np.float32),
-                     region_mask=np.concatenate(rvalid).astype(np.float32),
-                     word_ids=word_ids)
+            arrays = {
+                "boxes": np.concatenate(boxes).astype(np.float32),
+                "region_mask": np.concatenate(rvalid).astype(np.float32),
+                "word_ids": word_ids,
+            }
+            if quantize == "int8":
+                q, sf = quantize_feats_np(np.concatenate(feats))
+                arrays["feats"], arrays["feats_scale"] = q, sf
+            else:
+                arrays["feats"] = np.concatenate(feats).astype(np.float16)
+            np.savez(os.path.join(out_dir, name + ".npz"), **arrays)
             idx.write(json.dumps({
                 "id": name, "file": name + ".npz", "num_frames": t,
                 "num_words": int(word_ids.size),
@@ -198,6 +223,11 @@ def main(argv=None):
                    help="torch detector .pth to convert and load "
                         "(faster-rcnn.pytorch lineage or torchvision "
                         "resnet50; shorthand for detector.weights)")
+    p.add_argument("--quantize", default="", choices=["", "int8"],
+                   help="int8: store features quantized (int8 + per-region "
+                        "scales, ¼ the bytes; the int8pre serving format — "
+                        "SegmentDataset dequantizes by default so train/f32 "
+                        "eval read the same files)")
     p.add_argument("--strict", action="store_true",
                    help="annotation parsers raise SchemaError on unknown/"
                         "missing fields instead of skipping (run official "
@@ -226,7 +256,7 @@ def main(argv=None):
     else:
         p.error("one of --annotations / --youcook2-json / --robowatch-json "
                 "is required")
-    index = extract_segments(cfg, anns, args.out)
+    index = extract_segments(cfg, anns, args.out, quantize=args.quantize)
     result = {"index": index, "segments": len(anns)}
     gt = None
     from nafae_tpu.data.vocab import vocab_from_config

@@ -173,12 +173,14 @@ def export_grounding(cfg: Config, params: dict, out_dir: str,
         raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
     from jax import export as jex
 
-    if cfg.model.quantize == "int8" and "w_v.q8" not in params:
+    if cfg.model.quantize in ("int8", "int8pre") and "w_v.q8" not in params:
         # int8 COMPUTE baked into the exported program: the trace sees the
         # "w_v.q8"/"w_v.scale8" params, so the StableHLO artifact itself
         # runs the int8 projection dot (distinct from the storage-only
         # `quantize` arg below, which compresses float matrices in the
-        # .npz and dequantizes at load)
+        # .npz and dequantizes at load). int8pre additionally bakes the
+        # int8 feats + feats_scale CALLING CONVENTION into the artifact —
+        # a deployment host feeds pre-quantized features straight through.
         params = G.quantize_params_int8(params)
     b = batch_size or cfg.data.batch_size
     t, r = cfg.data.max_frames, cfg.data.num_regions
@@ -187,10 +189,13 @@ def export_grounding(cfg: Config, params: dict, out_dir: str,
     aval = jax.ShapeDtypeStruct
     p_avals = {key: aval(np.asarray(v).shape, np.asarray(v).dtype)
                for key, v in params.items()}
+    int8pre = cfg.model.quantize == "int8pre"
     arg_avals = (p_avals,
-                 aval((b, t, r, d), f32), aval((b, t, r, 4), f32),
+                 aval((b, t, r, d), jnp.int8 if int8pre else f32),
+                 aval((b, t, r, 4), f32),
                  aval((b, k), i32), aval((b, t), f32), aval((b, k), f32),
-                 aval((b, t, r), f32))
+                 aval((b, t, r), f32)) \
+        + ((aval((b, t, r), f32),) if int8pre else ())
     exported = jex.export(jax.jit(make_ground_fn(cfg)))(*arg_avals)
 
     os.makedirs(out_dir, exist_ok=True)
@@ -238,9 +243,13 @@ def load_exported(out_dir: str):
     params = {k: jnp.asarray(v)
               for k, v in dequantize_params(stored).items()}
 
-    def call(feats, boxes, word_ids, frame_mask, word_mask, region_mask):
-        return exported.call(params, feats, boxes, word_ids, frame_mask,
-                             word_mask, region_mask)
+    def call(feats, boxes, word_ids, frame_mask, word_mask, region_mask,
+             feats_scale=None):
+        args = (params, feats, boxes, word_ids, frame_mask,
+                word_mask, region_mask)
+        if feats_scale is not None:      # int8pre artifact calling convention
+            args += (feats_scale,)
+        return exported.call(*args)
 
     # expose the raw pieces for callers that need params as an explicit
     # argument (bench.make_artifact_serve_program's LICM guard perturbs
@@ -269,10 +278,18 @@ class GroundingServer:
         from nafae_tpu.data.vocab import vocab_from_config
 
         self.cfg = cfg
-        if cfg.model.quantize == "int8" and "w_v.q8" not in params:
-            # int8 COMPUTE (model.quantize=int8): quantize once at init;
-            # ground_forward dispatches the projection on the "w_v.q8" key
+        if cfg.model.quantize in ("int8", "int8pre") \
+                and "w_v.q8" not in params:
+            # int8 COMPUTE (model.quantize=int8|int8pre): quantize once at
+            # init; ground_forward dispatches on the "w_v.q8" key (and on
+            # int8 batch feats for the int8pre form)
             params = G.quantize_params_int8(params)
+        # int8pre: every batch the device sees carries int8 feats + scales
+        # (¼ the feature bytes + the int8 MXU dot — the measured +30% serve
+        # win, docs/PERF.md "r5 inference work"). Requests may arrive
+        # pre-quantized (feats int8 + feats_scale, the extract --quantize
+        # int8 wire format) or f32 (quantized once at ingest, on host).
+        self.int8pre = cfg.model.quantize == "int8pre"
         self.params = params
         self.batch_size = batch_size or cfg.data.batch_size
         self.vocab = vocab_from_config(cfg.data)
@@ -284,7 +301,24 @@ class GroundingServer:
         from nafae_tpu.data.youcook2 import pad_sample
 
         dc = self.cfg.data
-        feats = np.asarray(seg["feats"], np.float32)
+        fscale = None
+        if "feats_scale" in seg:
+            # pre-quantized request (extract --quantize int8 wire format)
+            feats = np.asarray(seg["feats"], np.int8)
+            sf = np.asarray(seg["feats_scale"], np.float32)
+            if sf.shape != feats.shape[:2]:
+                raise ValueError(
+                    f"feats_scale must be [T,R]={feats.shape[:2]}, "
+                    f"got {sf.shape}")
+            if self.int8pre:
+                fscale = sf
+            else:   # f32 server: dequantize at ingest
+                feats = feats.astype(np.float32) * sf[..., None]
+        else:
+            feats = np.asarray(seg["feats"], np.float32)
+            if self.int8pre and feats.ndim == 3:
+                from nafae_tpu.extract import quantize_feats_np
+                feats, fscale = quantize_feats_np(feats)
         if feats.ndim != 3 or feats.shape[-1] != dc.feat_dim:
             raise ValueError(
                 f"feats must be [T,R,{dc.feat_dim}], got {feats.shape}")
@@ -326,7 +360,8 @@ class GroundingServer:
         if rm is not None:
             rm = np.asarray(rm, np.float32)
         return pad_sample(feats, boxes, word_ids, dc.max_frames,
-                          dc.num_regions, dc.max_words, region_mask=rm)
+                          dc.num_regions, dc.max_words, region_mask=rm,
+                          feats_scale=fscale)
 
     def ground_segments(self, segments: list[dict]) -> list[dict]:
         """segments: [{feats [T,R,D], boxes [T,R,4]?, words|word_ids|
@@ -353,7 +388,8 @@ class GroundingServer:
             out = jax.device_get(self._fn(
                 self.params, batch["feats"], batch["boxes"],
                 batch["word_ids"], batch["frame_mask"], batch["word_mask"],
-                batch["region_mask"]))
+                batch["region_mask"],
+                feats_scale=batch.get("feats_scale")))
             for i in range(n):
                 results.append(self._to_response(
                     {key: v[i] for key, v in out.items()},

@@ -174,7 +174,17 @@ class NativePacker:
                         raise KeyError(
                             f"{src}: with_gt=True but no gt_boxes — run "
                             "merge_gt_into_features (or drop with_gt)")
-                    write_nbin(dst, z["feats"].astype(np.float32),
+                    f = z["feats"].astype(np.float32)
+                    if z["feats"].dtype == np.int8 and "feats_scale" \
+                            in z.files:
+                        # int8 feature files (extract --quantize int8):
+                        # the cache stores the DEQUANTIZED values — the
+                        # same expression the Python loader uses, so the
+                        # bitwise native==python invariant holds. (int8
+                        # passthrough datasets — keep_int8 — skip the
+                        # packer in BatchLoader instead.)
+                        f = f * z["feats_scale"][..., None]
+                    write_nbin(dst, f,
                                z["boxes"], z["word_ids"],
                                z["gt_boxes"] if "gt_boxes" in z else None,
                                z["gt_mask"] if "gt_mask" in z else None,

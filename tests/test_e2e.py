@@ -171,6 +171,57 @@ def test_golden_config1_accuracy_int8_within_tolerance(synth_root):
     assert abs(r["box_acc_micro"] - GOLDEN_ACC) <= 0.02, r["box_acc_micro"]
 
 
+def test_golden_config1_accuracy_int8pre(synth_root, tmp_path):
+    """model.quantize=int8pre (pre-quantized int8 feature files — the
+    measured serving win, docs/PERF.md "r5 inference work"): quantize the
+    fixture's features to the extract --quantize int8 layout, evaluate
+    with int8 feats + scales flowing to the device untouched, and pin the
+    accuracy within the same 2-pt tolerance as the dynamic-int8 test.
+    (Measured: delta 0.0 on the planted-signal fixture.)"""
+    import os
+    import shutil
+
+    from nafae_tpu.data.synthetic import _class_directions
+    from nafae_tpu.evaluate import evaluate_config
+    from nafae_tpu.extract import quantize_feats_np
+
+    root8 = str(tmp_path / "synth8")
+    shutil.copytree(synth_root, root8)
+    val = os.path.join(root8, "val")
+    for name in os.listdir(val):
+        if not name.endswith(".npz"):
+            continue
+        p = os.path.join(val, name)
+        with np.load(p) as z:
+            arrays = {k: z[k] for k in z.files}
+        q, sf = quantize_feats_np(arrays["feats"].astype(np.float32))
+        arrays["feats"], arrays["feats_scale"] = q, sf
+        np.savez(p, **arrays)
+
+    cfg = load_config(preset_name="config1", overrides=[
+        "data.feat_dim=64", "model.feat_dim=64", "model.embed_dim=32",
+        "model.quantize=int8pre", f"data.root={root8}"])
+    dirs = _class_directions(67, 64)
+    w = dirs.T[:, :32].astype(np.float32)
+    oracle = {"word_emb": jnp.asarray(dirs @ w), "w_v": jnp.asarray(w),
+              "b_v": jnp.zeros(32)}
+    r = evaluate_config(cfg, params=oracle)
+    assert abs(r["box_acc_micro"] - GOLDEN_ACC) <= 0.02, r["box_acc_micro"]
+
+
+def test_int8pre_requires_int8_files(synth_root):
+    """keep_int8 on a float fixture must fail loudly (a silent fallback to
+    the dynamic-int8 path would re-pay the feature traffic the user asked
+    to avoid — docs/PERF.md: dynamic int8 measured SLOWER than bf16)."""
+    from nafae_tpu.evaluate import evaluate_config
+    cfg = load_config(preset_name="config1", overrides=[
+        "data.feat_dim=64", "model.feat_dim=64", "model.embed_dim=32",
+        "model.quantize=int8pre", f"data.root={synth_root}"])
+    state = TrainState.create(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="int8"):
+        evaluate_config(cfg, params=state.params)
+
+
 def test_eval_deterministic(synth_root):
     """Fixed params -> bitwise-stable eval across runs (SURVEY §5 item 5)."""
     from nafae_tpu.evaluate import evaluate_config

@@ -138,3 +138,77 @@ def test_inline_video_training(video_dir, tmp_path):
     assert int(state.step) == 2
     assert np.isfinite(float(metrics["loss"]))
     assert {"l_rank", "l_ctx", "l_clu"} <= set(metrics)
+
+
+def test_extract_quantize_int8(video_dir, tmp_path, monkeypatch):
+    """extract --quantize int8 (the int8pre storage/wire format —
+    docs/PERF.md "r5 inference work"): features land as int8 + per-region
+    scales, SegmentDataset dequantizes by default (within one quantization
+    step of the unquantized pipeline) and passes int8+scales through under
+    keep_int8. The detector is faked (deterministic frame-dependent feats)
+    — quantization/IO is the surface under test, not the detector."""
+    import nafae_tpu.extract as extract_mod
+    from nafae_tpu.data import SegmentDataset
+    from nafae_tpu.extract import extract_segments, quantize_feats_np
+
+    r, d = 5, 32
+
+    def fake_extract_fn(cfg, params=None, key=None):
+        def fn(params, frames):
+            t = frames.shape[0]
+            base = np.asarray(frames).reshape(t, -1)
+            rng = np.random.RandomState(0)
+            proj = rng.randn(base.shape[1], d).astype(np.float32)
+            feats = np.repeat((base @ proj)[:, None, :], r, axis=1)
+            feats += rng.randn(1, r, d).astype(np.float32)
+            return {"boxes": np.tile(np.arange(4, dtype=np.float32),
+                                     (t, r, 1)),
+                    "feats": feats.astype(np.float32),
+                    "region_valid": np.ones((t, r), np.float32)}
+        return fn, {}
+
+    monkeypatch.setattr(extract_mod, "make_extract_fn", fake_extract_fn)
+    cfg = load_config(preset_name="config5", overrides=[
+        "detector.image_size=64", "detector.frame_rate=1.0",
+        "data.max_frames=4", "data.max_words=4",
+        f"data.feat_dim={d}", f"data.num_regions={r}"])
+    anns = [{"id": f"seg{n}", "video": v, "sentence": "add the onions",
+             "split": "val"}
+            for n, v in enumerate(video_dir)]
+
+    root, root8 = str(tmp_path / "f32"), str(tmp_path / "i8")
+    extract_segments(cfg, anns, os.path.join(root, "val"), frame_batch=4)
+    extract_segments(cfg, anns, os.path.join(root8, "val"), frame_batch=4,
+                     quantize="int8")
+
+    with np.load(os.path.join(root8, "val", "seg0.npz")) as z:
+        assert z["feats"].dtype == np.int8
+        assert z["feats_scale"].dtype == np.float32
+        assert z["feats_scale"].shape == z["feats"].shape[:2]
+    # quantizer agreement: the npz carries quantize_feats_np of the same
+    # detector output (the f32 pipeline stores f16 on disk, so codes can
+    # differ by the f16 rounding — at most one step)
+    with np.load(os.path.join(root, "val", "seg0.npz")) as z32, \
+            np.load(os.path.join(root8, "val", "seg0.npz")) as z8:
+        q, sf = quantize_feats_np(z32["feats"].astype(np.float32))
+        np.testing.assert_allclose(sf, z8["feats_scale"], rtol=1e-3)
+        assert np.abs(q.astype(np.int32)
+                      - z8["feats"].astype(np.int32)).max() <= 1
+
+    args = (4, r, d, 4)
+    ds32 = SegmentDataset(root, "val", *args)
+    ds8 = SegmentDataset(root8, "val", *args)                 # dequantizes
+    ds8k = SegmentDataset(root8, "val", *args, keep_int8=True)
+    s32, s8, s8k = ds32[0], ds8[0], ds8k[0]
+    # default load: dequantized f32, within one quantization step.
+    # (f32 files store f16 feats, so compare against the f16-rounded
+    # values the f32 pipeline actually serves)
+    assert s8["feats"].dtype == np.float32 and "feats_scale" not in s8
+    scale = np.maximum(s8k["feats_scale"][..., None], 1e-12)
+    err = np.abs(s8["feats"] - s32["feats"]) / scale
+    assert err.max() <= 0.6, err.max()   # ½ int8 step + the f16 rounding
+    # keep_int8: passthrough + padded scales
+    assert s8k["feats"].dtype == np.int8
+    assert s8k["feats_scale"].dtype == np.float32
+    deq = s8k["feats"].astype(np.float32) * s8k["feats_scale"][..., None]
+    np.testing.assert_allclose(deq, s8["feats"], rtol=0, atol=0)

@@ -512,3 +512,83 @@ def test_int8_compute_server_and_export(tmp_path):
     for k in live:
         np.testing.assert_allclose(np.asarray(art[k]), np.asarray(live[k]),
                                    atol=1e-6, err_msg=k)
+
+
+def test_int8pre_server_and_export(tmp_path):
+    """model.quantize=int8pre — the DEPLOYABLE int8 form (docs/PERF.md "r5
+    inference work": dynamic int8 measured slower than bf16; int8pre,
+    features quantized once offline, measured +30%). Pins (a) f32 requests
+    quantize once at ingest and serve close to the f32 server, (b) the
+    pre-quantized wire format (extract --quantize int8: feats int8 +
+    feats_scale) is accepted by BOTH server modes — passthrough on the
+    int8pre server (bitwise-equal responses to ingest-quantized floats),
+    dequantize-at-ingest on the f32 server (bitwise-equal to sending the
+    dequantized floats), (c) the int8pre AOT export bakes the int8-feats
+    calling convention in and round-trips to the live path."""
+    import os
+
+    from nafae_tpu.extract import quantize_feats_np
+
+    cfg32 = _tiny_cfg()
+    cfgp = _tiny_cfg(quantize="int8pre")
+    params = init_params(jax.random.PRNGKey(4), cfg32.model)
+    srv32 = GroundingServer(cfg32, dict(params))
+    srvp = GroundingServer(cfgp, dict(params))
+    assert srvp.int8pre and "w_v.q8" in srvp.params
+
+    segs = _segments(cfg32, 4, seed=7)
+    out32 = srv32.ground_segments([dict(s) for s in segs])
+    outp = srvp.ground_segments([dict(s) for s in segs])
+    n_frames = n_same = 0
+    for r32, rp in zip(out32, outp):
+        for w32, wp in zip(r32["words"], rp["words"]):
+            for f32_, fp in zip(w32["frames"], wp["frames"]):
+                n_frames += 1
+                n_same += f32_["region"] == fp["region"]
+                assert abs(f32_["score"] - fp["score"]) < 0.05
+    assert n_same >= 0.9 * n_frames, (n_same, n_frames)
+
+    # (b) the pre-quantized wire format
+    qsegs, dsegs = [], []
+    for s in segs:
+        q, sf = quantize_feats_np(s["feats"])
+        rest = {k: v for k, v in s.items() if k != "feats"}
+        qsegs.append({**rest, "feats": q, "feats_scale": sf})
+        dsegs.append({**rest,
+                      "feats": q.astype(np.float32) * sf[..., None]})
+    # int8pre server: passthrough == ingest-quantization of the same
+    # floats (the ingest quantizer IS quantize_feats_np)
+    outp_q = srvp.ground_segments([dict(s) for s in qsegs])
+    assert json.dumps(outp_q, sort_keys=True) \
+        == json.dumps(outp, sort_keys=True)
+    # f32 server: dequantized at ingest == sending the floats yourself
+    out32_q = srv32.ground_segments([dict(s) for s in qsegs])
+    out32_d = srv32.ground_segments([dict(s) for s in dsegs])
+    assert json.dumps(out32_q, sort_keys=True) \
+        == json.dumps(out32_d, sort_keys=True)
+
+    # (c) int8pre AOT export: int8 feats + scales are the artifact's
+    # calling convention
+    dp = export_grounding(cfgp, dict(params), str(tmp_path / "i8p"))
+    call, man = load_exported(dp)
+    assert man["model"]["compute_quantize"] == "int8pre"
+    with np.load(os.path.join(dp, "params.npz")) as z:
+        assert z["w_v.q8"].dtype == np.int8
+    rng = np.random.default_rng(3)
+    dc = cfgp.data
+    feats = rng.normal(size=(dc.batch_size, dc.max_frames, dc.num_regions,
+                             dc.feat_dim)).astype(np.float32)
+    qf, sfb = quantize_feats_np(feats)    # shape-agnostic: scales [B,T,R]
+    boxes = rng.uniform(0, 50, size=(dc.batch_size, dc.max_frames,
+                                     dc.num_regions, 4)).astype(np.float32)
+    wid = rng.integers(0, cfgp.model.vocab_size,
+                       (dc.batch_size, dc.max_words)).astype(np.int32)
+    fm = np.ones((dc.batch_size, dc.max_frames), np.float32)
+    wm = np.ones((dc.batch_size, dc.max_words), np.float32)
+    rm = np.ones((dc.batch_size, dc.max_frames, dc.num_regions), np.float32)
+    live = jax.jit(make_ground_fn(cfgp))(srvp.params, qf, boxes, wid,
+                                         fm, wm, rm, feats_scale=sfb)
+    art = call(qf, boxes, wid, fm, wm, rm, feats_scale=sfb)
+    for k in live:
+        np.testing.assert_allclose(np.asarray(art[k]), np.asarray(live[k]),
+                                   atol=1e-6, err_msg=k)
