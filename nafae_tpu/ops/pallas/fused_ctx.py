@@ -389,6 +389,30 @@ _ctx_core.defvjp(_ctx_core_fwd, _ctx_core_bwd)
 ALPHA_RESIDUAL = True
 _ALPHA_SLAB_MAX_BYTES = 2 << 20   # per-video residual block cap (VMEM)
 
+# Long-clip ceiling (r5, measured on v5e): the BACKWARD kernel's per-grid-
+# step blocks are full-T slabs — dvf f32 [n_ext,E] + dvc f32 [m_rows,E]
+# outputs plus the vf/du inputs — and Mosaic allocates them on the 16 MB
+# scoped-VMEM stack. At R=20/E=256/bf16 that is ~0.07 MB per frame: T=192
+# compiles (~14 MB), T=256 does not ("Scoped allocation with size 18.00M
+# and limit 16.00M", full error in docs/PERF.md "long-clip sweep"). The
+# wrapper estimates the bound with the formula below (slightly
+# OVERestimating vs the compiler's number, so the cutoff lands safely
+# inside the limit) and falls back to the tested-identical XLA path above
+# it — long clips train at jnp-ctx speed (~2× slower ctx term, measured)
+# instead of failing to compile. Single-chip T past this bound is exactly
+# where SP sharding (parallel/sp.py) starts paying.
+_BWD_SCOPED_VMEM_LIMIT = 16 << 20
+
+
+def _ctx_bwd_vmem_bytes(t: int, r_pad: int, e: int, window: int,
+                        itemsize: int, slab_bytes: int = 0) -> int:
+    """Estimated scoped-VMEM bytes of the backward kernel's blocks."""
+    n_ext = (t + 2 * window) * r_pad
+    m_rows = t * r_pad
+    # dvf/dvc f32 outputs + vf/du compute-dtype inputs (+ alpha band when
+    # the residual core is engaged); colv/fml rows are negligible
+    return (n_ext + m_rows) * e * (4 + itemsize) + slab_bytes
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _ctx_core_res(vf, colv, fml, window, temp, t, r, r_pad, tile):
@@ -496,6 +520,21 @@ def ctx_mix_pallas(v_ext: jax.Array, fm_ext: jax.Array, window: int,
     if tile is None:
         tile = _pick_tile(t, window)
     tile = max(1, min(tile, t))
+    itemsize = jnp.dtype(dtype).itemsize if dtype is not None \
+        else v_ext.dtype.itemsize
+    if _ctx_bwd_vmem_bytes(t, r_pad, e, window,
+                           itemsize) > _BWD_SCOPED_VMEM_LIMIT:
+        # long-clip scoped-VMEM ceiling (see _BWD_SCOPED_VMEM_LIMIT): the
+        # XLA offset form is tested-identical math and compiles at any T
+        import warnings
+        warnings.warn(
+            f"ctx Pallas kernel skipped at T={t} (backward scoped-VMEM "
+            f"estimate over {_BWD_SCOPED_VMEM_LIMIT >> 20} MB); using the "
+            "XLA ctx path — shard frames (mesh.frame_axis) to re-engage "
+            "the kernel on long clips")
+        from nafae_tpu.ops.grounding import context_mix
+        return context_mix(v_ext, fm_ext, window, temp, dtype=dtype,
+                           rm_ext=rm_ext, impl="offset")
     if dtype is not None:
         v_ext = v_ext.astype(dtype)
     vp = jnp.pad(v_ext, ((0, 0), (0, 0), (0, r_pad - r), (0, 0))) \

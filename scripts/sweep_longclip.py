@@ -2,6 +2,14 @@
 HBM ceiling (VERDICT r4 #4b: the long-clip story stopped at T=160 with no
 measured ceiling / SP-crossover point).
 
+r5 finding: the first "ceiling" this sweep hit was NOT data HBM — it was
+the fused-ctx BACKWARD kernel's per-grid-step blocks blowing Mosaic's
+16 MB scoped-VMEM stack at T>=~214 (ops/pallas/fused_ctx.py
+_BWD_SCOPED_VMEM_LIMIT has the full story). ctx_mix_pallas now falls back
+to the XLA ctx path above that bound (with a warning), so rows beyond it
+measure the jnp-ctx step — slower per frame but functional — and the
+sweep can reach the true data ceiling.
+
 One process (within-process comparability; fresh compile per shape). For
 each (B, T) the full config-4 step (bf16 + auto kernels, the bench
 protocol at reduced iters) is measured; an OOM is caught and recorded as
@@ -25,7 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SWEEP = [
     (32, 20),     # the bench headline shape, as the anchor
     (8, 160),     # the r3 long-clip record point
-    (8, 320),
+    (8, 192),     # last shape inside the ctx-kernel scoped-VMEM bound
+    (8, 320),     # first XLA-ctx-fallback shape
     (8, 640),
     (4, 640),
     (2, 1280),

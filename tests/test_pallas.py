@@ -449,3 +449,40 @@ def test_nms_pallas_oversized_pool_errors_clearly():
     z = jnp.zeros((16, n), jnp.float32)
     with _pytest.raises(ValueError, match="rpn_pre_nms_topk"):
         nms_pallas_planes(z, z, z, z, z, num_keep=4)
+
+
+def test_ctx_vmem_bound_matches_measured_ceiling():
+    """The scoped-VMEM gate (fused_ctx._BWD_SCOPED_VMEM_LIMIT) reproduces
+    the measured v5e boundary: T=192 at production shapes compiles the
+    Pallas backward (~14 MB estimate), T=256 does not (compiler: 18 MB vs
+    the 16 MB scoped limit — full error in docs/PERF.md). The estimate
+    intentionally overestimates, so the cutoff lands inside the limit."""
+    from nafae_tpu.ops.pallas import fused_ctx as FC
+    est = lambda t: FC._ctx_bwd_vmem_bytes(t, 24, 256, 3, 2)
+    assert est(192) <= FC._BWD_SCOPED_VMEM_LIMIT
+    assert est(256) > FC._BWD_SCOPED_VMEM_LIMIT
+    # production bench shape is nowhere near the bound (no behavior change)
+    assert est(20) < FC._BWD_SCOPED_VMEM_LIMIT // 8
+
+
+def test_ctx_mix_pallas_longclip_fallback(monkeypatch):
+    """Above the scoped-VMEM bound ctx_mix_pallas must return the XLA
+    path's values (bitwise — it IS that path) with a loud warning, not a
+    Mosaic compile error. Forced via a tiny limit so the test stays small."""
+    import warnings
+
+    from nafae_tpu.ops.pallas import fused_ctx as FC
+    rng = np.random.RandomState(5)
+    B, T, R, E, w = 2, 6, 5, 16, 2
+    v = G.l2_normalize(jnp.asarray(rng.randn(B, T, R, E).astype(np.float32)))
+    fm = jnp.asarray((rng.rand(B, T) > 0.3).astype(np.float32))
+    v_ext = jnp.pad(v, ((0, 0), (w, w), (0, 0), (0, 0)))
+    fm_ext = jnp.pad(fm, ((0, 0), (w, w)))
+    u_ref, nv_ref = G.context_mix(v_ext, fm_ext, w, 0.1, impl="offset")
+    monkeypatch.setattr(FC, "_BWD_SCOPED_VMEM_LIMIT", 1)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        u, nv = FC.ctx_mix_pallas(v_ext, fm_ext, w, 0.1)
+    assert any("scoped-VMEM" in str(r.message) for r in rec)
+    np.testing.assert_array_equal(np.asarray(u), np.asarray(u_ref))
+    np.testing.assert_array_equal(np.asarray(nv), np.asarray(nv_ref))
