@@ -20,6 +20,7 @@ The measured baseline is cached in .bench_baseline.json (keyed by shape).
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import signal
@@ -283,7 +284,7 @@ def make_batch(s, seed=0):
 
 
 def bench_jax(s, iters=256, warmup=1, kernels="auto", dtype="bfloat16",
-              steps_per_call=256, repeats=4):
+              steps_per_call=256, repeats=4, extra_overrides=()):
     import jax
 
     from nafae_tpu.config import load_config
@@ -299,7 +300,7 @@ def bench_jax(s, iters=256, warmup=1, kernels="auto", dtype="bfloat16",
         f"loss.ctx_window={s['W']}", "loss.kmeans_interval=100",
         f"train.kernels={kernels}",
         f"model.dtype={dtype}", "model.matmul_precision=default",
-    ])
+    ] + list(extra_overrides))
     batch = {k: jax.device_put(v) for k, v in make_batch(s).items()}
     step = make_train_step(cfg, make_optimizer(cfg))
     # --iters below steps_per_call means "run fewer steps", not "floor to
@@ -315,7 +316,9 @@ def bench_jax(s, iters=256, warmup=1, kernels="auto", dtype="bfloat16",
     # does NOT block on the axon backend, and fetching the full 2 MB w_v
     # costs ~70 ms over the tunnel). Within-process device-busy tracing
     # agrees with this protocol to ~8% (docs/PERF.md).
-    @jax.jit
+    from nafae_tpu.train import jit_compiler_options
+
+    @functools.partial(jax.jit, compiler_options=jit_compiler_options(cfg))
     def multi(state, batch):
         def body(st, _):
             st, metrics = step(st, batch)

@@ -144,6 +144,16 @@ class TrainConfig:
                                   # | "" (legacy: derive from use_pallas)
     donate: bool = True
     steps_per_call: int = 1       # lax.scan this many steps inside ONE XLA call
+    scoped_vmem_kib: int = 0      # raise the TPU compiler's scoped-VMEM
+                                  # limit (xla_tpu_scoped_vmem_limit_kib,
+                                  # default 16384 KiB = 16 MB) for this
+                                  # config's jitted programs. 65536 extends
+                                  # the fused-ctx Pallas kernel's long-clip
+                                  # envelope T≈214 -> 320 at R=20/E=256,
+                                  # measured 1.8x faster than the XLA
+                                  # fallback there (docs/PERF.md "long-clip
+                                  # sweep"). 0 = toolchain default; ignored
+                                  # off-TPU.
                                   # (amortizes dispatch; batches stack on a lead axis)
     device_cache: bool = False    # upload the WHOLE dataset to HBM once and
                                   # gather batches on device (no per-step host

@@ -542,7 +542,8 @@ def context_mixed_regions(v_ext: jax.Array, alpha: jax.Array,
 def context_mix(v_ext: jax.Array, fm_ext: jax.Array, window: int,
                 temp: float, dtype=None,
                 rm_ext: jax.Array | None = None,
-                impl: str = "offset") -> tuple[jax.Array, jax.Array]:
+                impl: str = "offset",
+                scoped_vmem_kib: int = 0) -> tuple[jax.Array, jax.Array]:
     """Fused affinity+mixing: (u [B,T,R,E], nbr_valid [B,T,O]) in one pass.
 
     Identical math to region_affinity_ext -> context_mixed_regions (tested to
@@ -567,7 +568,8 @@ def context_mix(v_ext: jax.Array, fm_ext: jax.Array, window: int,
     """
     if impl == "pallas":
         from nafae_tpu.ops.pallas.fused_ctx import ctx_mix_pallas
-        return ctx_mix_pallas(v_ext, fm_ext, window, temp, dtype, rm_ext)
+        return ctx_mix_pallas(v_ext, fm_ext, window, temp, dtype, rm_ext,
+                              scoped_vmem_kib=scoped_vmem_kib)
     if impl == "dense":
         return _context_mix_dense(v_ext, fm_ext, window, temp, dtype, rm_ext)
     w = window

@@ -402,6 +402,17 @@ _ALPHA_SLAB_MAX_BYTES = 2 << 20   # per-video residual block cap (VMEM)
 # instead of failing to compile. Single-chip T past this bound is exactly
 # where SP sharding (parallel/sp.py) starts paying.
 _BWD_SCOPED_VMEM_LIMIT = 16 << 20
+# With train.scoped_vmem_kib=65536 (the 64 MB compiler option,
+# train.jit_compiler_options) the envelope extends — but NOT linearly:
+# above T≈256 the compiler's stack use grows superlinearly in T
+# (measured: 18.0 MB actual at T=256 ≈ the block formula; 66.4 MB at
+# T=448 ≈ 2.1× it) and compile TIME degrades too (T=384 did not finish
+# compiling in 25 min). The measured-good envelope at 64 MB is T=320
+# (57 s compile, 1.56 µs/frame — 1.8× faster than the XLA fallback);
+# T=448+ exceeds even 64 MB. _BWD_EXTENDED_LIMIT is the block-formula
+# value at that measured edge (T=320 → ~22.7 MB), so the gate admits
+# exactly the validated region and nothing past it.
+_BWD_EXTENDED_LIMIT = 23 << 20
 
 
 def _ctx_bwd_vmem_bytes(t: int, r_pad: int, e: int, window: int,
@@ -497,13 +508,17 @@ def _pick_tile(t: int, w: int) -> int:
 def ctx_mix_pallas(v_ext: jax.Array, fm_ext: jax.Array, window: int,
                    temp: float, dtype=None,
                    rm_ext: jax.Array | None = None,
-                   tile: int | None = None
+                   tile: int | None = None,
+                   scoped_vmem_kib: int = 0
                    ) -> tuple[jax.Array, jax.Array]:
     """Drop-in fused replacement for ops/grounding.context_mix.
 
     v_ext [B, w+T+w, R, E] (halo form), fm_ext [B, w+T+w],
     rm_ext [B, w+T+w, R] optional -> (u [B,T,R,E], nbr_valid [B,T,O]).
     tile: center frames per kernel tile (None = auto; T = unbanded).
+    scoped_vmem_kib: the compiler scoped-VMEM limit the CALLER's jit was
+    built with (train.scoped_vmem_kib); >= 65536 extends the long-clip
+    gate to the measured envelope (_BWD_EXTENDED_LIMIT).
     """
     assert temp >= 0.02, "ctx kernel takes exp() without max-subtraction; " \
         "|logits|<=1/temp must stay in f32 range (temp>=0.02)"
@@ -522,16 +537,18 @@ def ctx_mix_pallas(v_ext: jax.Array, fm_ext: jax.Array, window: int,
     tile = max(1, min(tile, t))
     itemsize = jnp.dtype(dtype).itemsize if dtype is not None \
         else v_ext.dtype.itemsize
-    if _ctx_bwd_vmem_bytes(t, r_pad, e, window,
-                           itemsize) > _BWD_SCOPED_VMEM_LIMIT:
+    vmem_gate = _BWD_EXTENDED_LIMIT if scoped_vmem_kib >= 65536 \
+        else _BWD_SCOPED_VMEM_LIMIT
+    if _ctx_bwd_vmem_bytes(t, r_pad, e, window, itemsize) > vmem_gate:
         # long-clip scoped-VMEM ceiling (see _BWD_SCOPED_VMEM_LIMIT): the
         # XLA offset form is tested-identical math and compiles at any T
         import warnings
         warnings.warn(
             f"ctx Pallas kernel skipped at T={t} (backward scoped-VMEM "
-            f"estimate over {_BWD_SCOPED_VMEM_LIMIT >> 20} MB); using the "
-            "XLA ctx path — shard frames (mesh.frame_axis) to re-engage "
-            "the kernel on long clips")
+            f"estimate over {vmem_gate >> 20} MB); using the XLA ctx path "
+            "— shard frames (mesh.frame_axis), or set "
+            "train.scoped_vmem_kib=65536 for the extended single-chip "
+            "envelope (T<=320 at R=20/E=256), to re-engage the kernel")
         from nafae_tpu.ops.grounding import context_mix
         return context_mix(v_ext, fm_ext, window, temp, dtype=dtype,
                            rm_ext=rm_ext, impl="offset")

@@ -202,7 +202,9 @@ def _compute_losses_inner(params, centers, batch, cfg, row_offset,
         u, nbr_valid = G.context_mix(v_ext, fm_ext, w_, lc.ctx_temp,
                                      dtype=cdt, rm_ext=rm_ext,
                                      impl="pallas" if pallas_ctx
-                                     else "offset")
+                                     else "offset",
+                                     scoped_vmem_kib=cfg.train
+                                     .scoped_vmem_kib)
 
     # --- ranking over the global batch (row-shard decomposition) -------------
     g_learned = None
@@ -459,6 +461,20 @@ def stack_batches(batches: list) -> dict:
     return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
 
 
+def jit_compiler_options(cfg: Config) -> dict | None:
+    """compiler_options for the outer jit of this config's programs.
+
+    train.scoped_vmem_kib > 0 raises the TPU compiler's scoped-VMEM stack
+    limit so the fused-ctx kernel's full-T backward blocks fit at longer
+    clips (docs/PERF.md "long-clip sweep"; the kernel gate in
+    ops/pallas/fused_ctx.py extends to the measured envelope in lockstep).
+    TPU-only: other backends reject the unknown flag."""
+    if cfg.train.scoped_vmem_kib and jax.default_backend() == "tpu":
+        return {"xla_tpu_scoped_vmem_limit_kib":
+                str(cfg.train.scoped_vmem_kib)}
+    return None
+
+
 def build_train_fn(cfg: Config, mesh=None, extractor=None, with_frames=False):
     """jit(shard_map(step)) over the mesh (data [+ frame] axes), or plain jit.
 
@@ -467,11 +483,13 @@ def build_train_fn(cfg: Config, mesh=None, extractor=None, with_frames=False):
     """
     tx = make_optimizer(cfg)
     spc = cfg.train.steps_per_call
+    copts = jit_compiler_options(cfg)
     if mesh is None:
         step = make_train_step(cfg, tx, extractor=extractor)
         if spc > 1:
             step = make_multi_step(step, spc)
-        return jax.jit(step, donate_argnums=(0,) if cfg.train.donate else ())
+        return jax.jit(step, donate_argnums=(0,) if cfg.train.donate else (),
+                       compiler_options=copts)
     from jax.sharding import PartitionSpec as P
     axis = cfg.mesh.data_axis_name
     faxis = cfg.mesh.frame_axis_name
@@ -497,7 +515,8 @@ def build_train_fn(cfg: Config, mesh=None, extractor=None, with_frames=False):
         in_specs=(sspec, batch_spec),
         out_specs=(sspec, P()),
     )
-    fn = jax.jit(sharded, donate_argnums=(0,) if cfg.train.donate else ())
+    fn = jax.jit(sharded, donate_argnums=(0,) if cfg.train.donate else (),
+                 compiler_options=copts)
     if jax.process_count() > 1:
         # multi-host: every host's loader yields the identically-seeded
         # GLOBAL batch; each host slices its process_shard rows and the

@@ -22,7 +22,8 @@ if [ "${1:-}" != "--fast" ]; then
   echo "== [3/4] tests, half 2" >&2
   python -m pytest tests/test_invariance.py tests/test_kmeans_bank.py \
       tests/test_native_io.py tests/test_ops.py tests/test_oracle_parity.py \
-      tests/test_pallas.py tests/test_repro_pipeline.py tests/test_sp.py \
+      tests/test_pallas.py tests/test_pod.py tests/test_repro_pipeline.py \
+      tests/test_sp.py \
       tests/test_torch_convert_frcnn.py tests/test_torch_convert_vgg.py \
       tests/test_train.py tests/test_utils.py tests/test_visualize.py \
       tests/test_serve.py tests/test_multihost.py -q

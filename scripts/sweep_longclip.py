@@ -59,14 +59,22 @@ def main():
 
     print("| B | T | frames/step | µs/step | µs/frame | note |")
     print("|---|---|---|---|---|---|")
-    for b, t in SWEEP:
+    # (B, T, extra overrides): the scoped_vmem rows exercise the extended
+    # Pallas-ctx envelope (train.scoped_vmem_kib, docs/PERF.md)
+    sweep = [(b, t, ()) for b, t in SWEEP] + [
+        (8, 320, ("train.scoped_vmem_kib=65536",)),
+    ]
+    for b, t, extra in sweep:
         s = dict(bench.SHAPES)
         s.update(B=b, T=t)
         try:
             fps, dt, loss = bench.bench_jax(
-                s, iters=args.iters, steps_per_call=args.spc, repeats=2)
+                s, iters=args.iters, steps_per_call=args.spc, repeats=2,
+                extra_overrides=extra)
+            note = f"loss={loss:.3f}" + (f" {','.join(extra)}" if extra
+                                         else "")
             print(f"| {b} | {t} | {b * t} | {dt * 1e6:,.1f} | "
-                  f"{dt * 1e6 / (b * t):.2f} | loss={loss:.3f} |",
+                  f"{dt * 1e6 / (b * t):.2f} | {note} |",
                   flush=True)
         except Exception as e:
             msg = str(e)

@@ -486,3 +486,16 @@ def test_ctx_mix_pallas_longclip_fallback(monkeypatch):
     assert any("scoped-VMEM" in str(r.message) for r in rec)
     np.testing.assert_array_equal(np.asarray(u), np.asarray(u_ref))
     np.testing.assert_array_equal(np.asarray(nv), np.asarray(nv_ref))
+
+
+def test_ctx_vmem_gate_extended_envelope():
+    """scoped_vmem_kib>=65536 extends the gate to the MEASURED envelope
+    only: T=320 at R=20/E=256/bf16 in (the 64 MB option compiles it in
+    57 s and runs 1.8x faster than the fallback), T=384 out (did not
+    finish compiling in 25 min; T=448 needs 66.4 MB > 64)."""
+    from nafae_tpu.ops.pallas import fused_ctx as FC
+    est = lambda t: FC._ctx_bwd_vmem_bytes(t, 24, 256, 3, 2)
+    assert est(320) <= FC._BWD_EXTENDED_LIMIT
+    assert est(384) > FC._BWD_EXTENDED_LIMIT
+    # the default gate is unchanged by the constant's existence
+    assert est(192) <= FC._BWD_SCOPED_VMEM_LIMIT < FC._BWD_EXTENDED_LIMIT

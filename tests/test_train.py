@@ -334,3 +334,42 @@ def test_opt_flat_matches_tree_optimizer(synth_root):
                                    err_msg=k)
     np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]),
                                rtol=1e-5)
+
+
+def test_scoped_vmem_knob_is_math_neutral(synth_root):
+    """train.scoped_vmem_kib only changes compiler options (TPU) and the
+    ctx-kernel gate envelope — never the math. On CPU the option is
+    dropped (the backend rejects unknown flags) and the train step must be
+    bitwise identical to the default config's."""
+    from nafae_tpu.train import build_train_fn, jit_compiler_options
+    base = load_config(preset_name="config3", overrides=[
+        "data.feat_dim=64", "model.feat_dim=64", "model.embed_dim=16",
+        "data.batch_size=4", "data.max_frames=8", "train.steps=1",
+        f"data.root={synth_root}"])
+    knob = load_config(preset_name="config3", overrides=[
+        "data.feat_dim=64", "model.feat_dim=64", "model.embed_dim=16",
+        "data.batch_size=4", "data.max_frames=8", "train.steps=1",
+        "train.scoped_vmem_kib=65536", f"data.root={synth_root}"])
+    assert jit_compiler_options(base) is None
+    assert jit_compiler_options(knob) is None        # CPU: dropped
+    import numpy as np
+
+    from nafae_tpu.data import BatchLoader, SegmentDataset
+    ds = SegmentDataset(synth_root, "train", 8, 6, 64, 3)
+    batch = next(iter(BatchLoader(ds, 4, shuffle=False).epoch(0)))
+    outs = []
+    for cfg in (base, knob):
+        state = TrainState.create(jax.random.PRNGKey(0), cfg)
+        st, metrics = build_train_fn(cfg)(state, batch)
+        outs.append(float(metrics["loss"]))
+    assert outs[0] == outs[1], outs
+
+
+def test_jit_compiler_options_tpu_content(monkeypatch):
+    """On a TPU backend the knob becomes the XLA scoped-VMEM flag."""
+    import nafae_tpu.train as T
+    cfg = load_config(preset_name="config2",
+                      overrides=["train.scoped_vmem_kib=65536"])
+    monkeypatch.setattr(T.jax, "default_backend", lambda: "tpu")
+    assert T.jit_compiler_options(cfg) == {
+        "xla_tpu_scoped_vmem_limit_kib": "65536"}
