@@ -472,8 +472,9 @@ def make_inline_setup(overrides=(), b=2, t=8, image_size=320,
     det_model, det_params = init_detector(jax.random.PRNGKey(0), cfg.detector)
     step = make_train_step(cfg, make_optimizer(cfg),
                            extractor=(det_model.apply, det_params))
+    from nafae_tpu.train import jit_compiler_options
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=jit_compiler_options(cfg))
     def multi(state, batch):
         def body(st, _):
             # never-taken (params stay finite), but data-dependent on the

@@ -276,3 +276,22 @@ def test_inline_scan_not_hoisted():
         times[spc] = best
     # hoisted: ratio ~1.9 at these shapes; honest: ~8. Threshold well apart.
     assert times[8] / times[1] > 3.5, times
+
+
+def test_inline_jit_carries_compiler_options(monkeypatch):
+    """make_inline_setup's outer jit must route through
+    train.jit_compiler_options (the r5 scoped-VMEM knob) exactly like
+    bench_jax does — otherwise `train.scoped_vmem_kib` silently does
+    nothing for the inline/e2e program (scripts/ab_scoped.py)."""
+    import nafae_tpu.train as T
+
+    seen = []
+    real = T.jit_compiler_options
+    monkeypatch.setattr(T, "jit_compiler_options",
+                        lambda cfg: seen.append(cfg) or real(cfg))
+    bench.make_inline_setup(
+        b=1, t=2, image_size=64,
+        overrides=["detector.image_size=64", "detector.num_proposals=4",
+                   "detector.rpn_pre_nms_topk=16",
+                   "train.scoped_vmem_kib=65536"])
+    assert len(seen) == 1 and seen[0].train.scoped_vmem_kib == 65536
