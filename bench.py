@@ -58,6 +58,9 @@ _MODE_METRICS = {
     "eval": "grounding_eval_frames_per_sec_per_chip",
     "e2e": "inline_extract_train_frames_per_sec_per_chip",
     "serve": "grounding_serve_frames_per_sec_per_chip",
+    # battery-only: the deployable offline-quantized serving form (docs/
+    # PERF.md "r5 inference work" — int8 features + int8 weights, +30%)
+    "serve_int8pre": "grounding_serve_int8pre_frames_per_sec_per_chip",
 }
 
 
@@ -828,10 +831,11 @@ def main():
     p.add_argument("--battery", dest="battery", action="store_true",
                    default=None,
                    help="after the train headline, also measure + emit one "
-                        "JSON line per other mode (eval/serve/e2e), then "
-                        "repeat the headline as the final line — the "
-                        "driver's BENCH artifact notarizes all four modes "
-                        "(default: on for full train runs, off for --quick)")
+                        "JSON line per other mode (eval/serve/serve_int8pre/"
+                        "e2e), then repeat the headline as the final line — "
+                        "the driver's BENCH artifact notarizes all five "
+                        "modes (default: on for full train runs, off for "
+                        "--quick)")
     p.add_argument("--no-battery", dest="battery", action="store_false")
     args = p.parse_args()
     s = QUICK if args.quick else SHAPES
@@ -947,20 +951,29 @@ def main():
     global _BATTERY_FINAL_REPRINT
     battery = args.battery if args.battery is not None else not args.quick
     if battery:
-        _BATTERY_PENDING.extend(["eval", "serve", "e2e"])
+        _BATTERY_PENDING.extend(["eval", "serve", "serve_int8pre", "e2e"])
         _BATTERY_FINAL_REPRINT = True
-        for mode in ("eval", "serve"):
+        for mode in ("eval", "serve", "serve_int8pre"):
             _PROGRESS["stage"] = f"battery_{mode}"
             try:
-                bfn = bench_jax_eval if mode == "eval" else bench_jax_serve
-                bfps, bdt = bfn(s, iters=args.iters)
-                bflops = (eval_step_flops if mode == "eval"
-                          else serve_step_flops)(s)
+                if mode == "eval":
+                    bfps, bdt = bench_jax_eval(s, iters=args.iters)
+                    bflops = eval_step_flops(s)
+                    extra = {}
+                else:
+                    q = "int8pre" if mode == "serve_int8pre" else None
+                    bfps, bdt = bench_jax_serve(s, iters=args.iters,
+                                                quantize=q)
+                    # int8pre MFU stays rated against the bf16 peak over
+                    # the same analytic FLOPs (comparable to the bf16
+                    # serve line; see --quantize help)
+                    bflops = serve_step_flops(s)
+                    extra = {"quantize": q} if q else {}
                 _emit_battery_line(mode, {
                     "value": round(bfps, 1),
                     "step_us": round(bdt * 1e6, 1),
                     "flops_per_step": bflops,
-                    "mfu": _mfu(bflops, bdt)})
+                    "mfu": _mfu(bflops, bdt), **extra})
             except Exception as e:
                 _emit_battery_line(mode, {"error": f"{type(e).__name__}: {e}"})
         _PROGRESS["stage"] = "battery_e2e"

@@ -196,9 +196,10 @@ def test_bench_main_json_contract():
 
 def test_bench_battery_notarizes_all_modes():
     """A train run with --battery emits: headline, one line per other mode
-    (eval/serve/e2e with value or error), then the headline REPEATED — so
-    the driver's parsed record is the train metric whether it takes the
-    first or the last JSON line of the tail (VERDICT r3 #4)."""
+    (eval/serve/serve_int8pre/e2e with value or error), then the headline
+    REPEATED — so the driver's parsed record is the train metric whether it
+    takes the first or the last JSON line of the tail (VERDICT r3 #4; the
+    int8pre line notarizes the r5 deployable-quantized serving form)."""
     env = dict(os.environ)
     env["NAFAE_BENCH_ALLOW_CPU"] = "1"
     r = subprocess.run(
@@ -215,11 +216,13 @@ def test_bench_battery_notarizes_all_modes():
     assert r.returncode == 0, r.stderr[-2000:]
     lines = [json.loads(l) for l in r.stdout.strip().splitlines()
              if l.startswith("{")]
-    assert len(lines) == 5, lines
+    assert len(lines) == 6, lines
     assert lines[0] == lines[-1]                       # headline repeated
     assert lines[0]["metric"] == "grounding_train_frames_per_sec_per_chip"
-    by_mode = {l["mode"]: l for l in lines[1:4]}
-    assert set(by_mode) == {"eval", "serve", "e2e"}
+    by_mode = {l["mode"]: l for l in lines[1:5]}
+    assert set(by_mode) == {"eval", "serve", "serve_int8pre", "e2e"}
+    assert by_mode["serve_int8pre"].get("quantize") == "int8pre" \
+        or "error" in by_mode["serve_int8pre"]
     for mode, l in by_mode.items():
         assert {"metric", "value", "unit", "vs_baseline"} <= set(l), mode
         assert (l["value"] and l["value"] > 0) or "error" in l, l
