@@ -701,7 +701,9 @@ def make_artifact_serve_program(artifact_dir, steps_per_call):
     Same LICM guard (carry-dependent w_v perturbation) and DCE guard
     (all outputs reduced into the carry) as make_serve_program. Returns
     (serves, params, feats, s) with s derived from the artifact manifest
-    so flops/MFU use the artifact's own shapes."""
+    so flops/MFU use the artifact's own shapes. An int8pre artifact
+    (manifest model.compute_quantize == "int8pre") is fed its own calling
+    convention: pre-quantized int8 features + per-region scales."""
     import jax
     import jax.numpy as jnp
 
@@ -714,7 +716,16 @@ def make_artifact_serve_program(artifact_dir, steps_per_call):
              E=man["model"]["embed_dim"], V=man["model"]["vocab_size"],
              KC=67, W=3)
     b = make_batch(s)
-    feats = jax.device_put(b["feats"])
+    if man["model"].get("compute_quantize") == "int8pre":
+        from nafae_tpu.ops.grounding import quantize_feats_int8
+        qf, sf = quantize_feats_int8(jnp.asarray(b["feats"]))
+        feats = jax.device_put(qf)
+        # the exported calling convention takes [B,T,R] scales (the wire
+        # format); quantize_feats_int8 returns [B,T,R,1]
+        extra = (jax.device_put(sf[..., 0]),)
+    else:
+        feats = jax.device_put(b["feats"])
+        extra = ()
     wkey = "w_v.q8" if "w_v.q8" in params else "w_v"
 
     @jax.jit
@@ -728,7 +739,7 @@ def make_artifact_serve_program(artifact_dir, steps_per_call):
             out = exported.call(p, feats, jnp.asarray(b["boxes"]), wid,
                                 jnp.asarray(b["frame_mask"]),
                                 jnp.asarray(b["word_mask"]),
-                                jnp.asarray(b["region_mask"]))
+                                jnp.asarray(b["region_mask"]), *extra)
             r = jnp.sum(out["region"])
             live = (jnp.sum(out["box"]) + jnp.sum(out["beta"])
                     + jnp.sum(out["score"]) + jnp.sum(out["video_score"]))

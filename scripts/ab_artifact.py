@@ -31,6 +31,10 @@ def main():
     p.add_argument("--repeats", type=int, default=4)
     p.add_argument("--int8", action="store_true",
                    help="also A/B the int8-compute live vs artifact pair")
+    p.add_argument("--int8pre", action="store_true",
+                   help="also A/B the int8pre (pre-quantized features — "
+                        "the deployable +30% serving form) live vs "
+                        "artifact pair")
     args = p.parse_args()
 
     from nafae_tpu.utils import (apply_platform_override,
@@ -64,21 +68,24 @@ def main():
         print(f"{tag}: {dt * 1e6:.1f} us/step  "
               f"{s['B'] * s['T'] / dt:,.0f} f/s", flush=True)
 
-    variants = [(None, "f32art")] + ([("int8", "int8art")] if args.int8
-                                     else [])
+    variants = [(None, "f32art")] \
+        + ([("int8", "int8art")] if args.int8 else []) \
+        + ([("int8pre", "int8pre_art")] if args.int8pre else [])
     for quantize, label in variants:
         serves, params, feats = bench.make_serve_program(
             s, spc, quantize=quantize)
         timeit(f"live_{label}", serves, params, feats)
 
         # export the SAME config+params, then measure the artifact program
+        # (an int8pre manifest makes make_artifact_serve_program feed the
+        # int8-feats + scales calling convention)
         cfg = load_config(preset_name="config1", overrides=[
             f"model.feat_dim={s['D']}", f"model.embed_dim={s['E']}",
             "model.dtype=bfloat16", "model.matmul_precision=default",
             f"data.batch_size={s['B']}", f"data.max_frames={s['T']}",
             f"data.num_regions={s['R']}", f"data.feat_dim={s['D']}",
             f"data.max_words={s['K']}"]
-            + (["model.quantize=int8"] if quantize == "int8" else []))
+            + ([f"model.quantize={quantize}"] if quantize else []))
         raw = init_params(jax.random.PRNGKey(0), cfg.model)
         d = tempfile.mkdtemp(prefix=f"nafae_art_{label}_")
         export_grounding(cfg, raw, d)

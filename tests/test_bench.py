@@ -87,6 +87,37 @@ def test_artifact_serve_bench_guarded(tmp_path):
     assert fps > 0 and dt > 0
 
 
+def test_artifact_serve_bench_int8pre(tmp_path):
+    """bench --mode serve --artifact on an int8pre-exported artifact: the
+    manifest's compute_quantize drives the int8-feats + per-region-scales
+    calling convention (the deployable +30% serving form must be
+    benchable as the artifact a host actually runs, not just live-jit)."""
+    import jax
+
+    from nafae_tpu.config import load_config
+    from nafae_tpu.models.grounding import init_params
+    from nafae_tpu.serve import export_grounding
+
+    s = bench.QUICK
+    cfg = load_config(preset_name="config1", overrides=[
+        f"model.feat_dim={s['D']}", f"model.embed_dim={s['E']}",
+        "model.quantize=int8pre",
+        f"data.batch_size={s['B']}", f"data.max_frames={s['T']}",
+        f"data.num_regions={s['R']}", f"data.feat_dim={s['D']}",
+        f"data.max_words={s['K']}"])
+    params = init_params(jax.random.PRNGKey(0), cfg.model)
+    d = export_grounding(cfg, params, str(tmp_path / "i8p_art"))
+    serves, aparams, feats, s_art = bench.make_artifact_serve_program(d, 2)
+    assert feats.dtype == jax.numpy.int8          # artifact wire format
+    assert "w_v.q8" in aparams
+    hlo = serves.lower(aparams, feats).compile().as_text()
+    body = [l for l in hlo.splitlines() if " = " in l]
+    n_exp = sum("exp" in l.split(" = ", 1)[1][:40] for l in body)
+    assert n_exp >= 1, n_exp                       # beta softmax alive
+    fps, dt, _ = bench.bench_artifact_serve(d, iters=4, steps_per_call=2)
+    assert fps > 0 and dt > 0
+
+
 def test_analytic_flops_match_cost_analysis():
     """The analytic flops_per_step counts bench reports (the train/eval/
     serve MFU denominators) must track XLA's own cost_analysis of the
