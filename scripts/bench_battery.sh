@@ -12,10 +12,13 @@ OUT=${OUT:-/tmp/bench_battery}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.." || exit 2
 modes=("$@")
-[ ${#modes[@]} -eq 0 ] && modes=(train e2e eval serve)
+[ ${#modes[@]} -eq 0 ] && modes=(train e2e eval serve serve_int8pre)
 for mode in "${modes[@]}"; do
+  args=(--mode "$mode")
+  # serve_int8pre = the offline-quantized serving form (a flag, not a mode)
+  [ "$mode" = serve_int8pre ] && args=(--mode serve --quantize int8pre)
   JAX_PLATFORMS='' NAFAE_BENCH_DEADLINE="${NAFAE_BENCH_DEADLINE:-1380}" \
     timeout "${BENCH_TIMEOUT:-1500}" \
-    python bench.py --mode "$mode" >"$OUT/$mode.json" 2>"$OUT/$mode.err"
+    python bench.py "${args[@]}" >"$OUT/$mode.json" 2>"$OUT/$mode.err"
   echo "$mode rc=$? $(cat "$OUT/$mode.json" 2>/dev/null | tail -1)"
 done
