@@ -616,6 +616,63 @@ def get_baseline(s, remeasure=False, cached_only=False):
     return cache[key]
 
 
+def _guarded_serve_scan(call, b, wkey, steps_per_call, all_outputs=True):
+    """ONE definition of the serving-bench measurement guards, shared by
+    the live-jit (make_serve_program) and AOT-artifact
+    (make_artifact_serve_program) builders — each guard has caught a real
+    measurement hole before (r3 region-only DCE, r4 LICM hoisting; docs/
+    PERF.md), so a future guard fix must reach every program builder at
+    once. `call(p, feats, wid) -> out dict` closes over the rest of the
+    batch. Guards: (a) LICM — never-taken selects on the int carry
+    perturb the word ids AND the projection weight, so nothing in the
+    body is loop-invariant; (b) DCE — EVERY serving output reduces into
+    the carry (all_outputs=False reproduces the r3 hole for A/B only)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def serves(params, feats):
+        def body(acc, _):
+            wid = jnp.asarray(b["word_ids"])
+            wid = jnp.where(acc < -1, wid + 1, wid)
+            eps = jnp.where(acc < -1, 1.0, 0.0)
+            p = dict(params)
+            p[wkey] = params[wkey] + eps.astype(params[wkey].dtype)
+            out = call(p, feats, wid)
+            r = jnp.sum(out["region"])
+            if all_outputs:
+                live = (jnp.sum(out["box"]) + jnp.sum(out["beta"])
+                        + jnp.sum(out["score"]) + jnp.sum(out["video_score"]))
+                r = r + live.astype(jnp.int32)
+            return acc + r, None
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None,
+                              length=steps_per_call)
+        return acc
+
+    return serves
+
+
+def _time_serves(serves, params, feats, frames_per_step, iters,
+                 steps_per_call):
+    """Shared compile + best-of-4 scan timing for the serve programs,
+    bounded by a real device->host fetch (see bench_jax's notes).
+    Returns sec/step."""
+    _PROGRESS["stage"] = "compile"
+    int(serves(params, feats))
+    ncalls = max(1, iters // steps_per_call)
+    _PROGRESS["stage"] = "measure"
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(ncalls):
+            acc = serves(params, feats)
+        int(acc)                      # real device->host fetch bounds it
+        best = min(best, time.perf_counter() - t0)
+        _PROGRESS["value"] = round(
+            frames_per_step * ncalls * steps_per_call / best, 1)
+    return best / (ncalls * steps_per_call)
+
+
 def make_serve_program(s, steps_per_call, all_outputs=True, quantize=None):
     """The guarded serving-bench program: (jitted serves, params, feats).
     Factored out so tests can inspect the optimized HLO for the two
@@ -650,47 +707,22 @@ def make_serve_program(s, steps_per_call, all_outputs=True, quantize=None):
         # (extract-once), so the serving program reads 1/4 the HBM bytes
         # AND runs the int8 MXU dot — quantization cost paid off-path
         from nafae_tpu.ops.grounding import quantize_feats_int8
-        import jax.numpy as _jnp
-        qf, sf = quantize_feats_int8(_jnp.asarray(b["feats"]))
+        qf, sf = quantize_feats_int8(jnp.asarray(b["feats"]))
         feats = jax.device_put(qf)
         feats_scale = jax.device_put(sf)
     else:
         feats = jax.device_put(b["feats"])
     wkey = "w_v.q8" if quantize in ("int8", "int8pre") else "w_v"
 
-    @jax.jit
-    def serves(params, feats):
-        def body(acc, _):
-            # carry-dependent inputs so LICM can't hoist ANY of the body
-            # (see bench_jax_eval's guard note — wid alone left the
-            # projection matmul hoistable, which showed as MFU=1.01 here):
-            # never-taken selects on the int accumulator perturb both the
-            # word ids and the projection weight
-            wid = jnp.asarray(b["word_ids"])
-            wid = jnp.where(acc < -1, wid + 1, wid)
-            eps = jnp.where(acc < -1, 1.0, 0.0)
-            p = dict(params)
-            p[wkey] = params[wkey] + eps.astype(params[wkey].dtype)
-            out = fn(p, feats, jnp.asarray(b["boxes"]), wid,
-                     jnp.asarray(b["frame_mask"]),
-                     jnp.asarray(b["word_mask"]),
-                     jnp.asarray(b["region_mask"]),
-                     feats_scale=feats_scale)
-            # EVERY output must feed the carry, or XLA dead-code-eliminates
-            # it out of the measured program (r4 correction: summing only
-            # out["region"] let DCE drop the box gather, beta softmax and
-            # scores — the "serve" number was really sim+argmax only;
-            # verified by optimized-HLO op counts, see docs/PERF.md)
-            r = jnp.sum(out["region"])
-            if all_outputs:
-                live = (jnp.sum(out["box"]) + jnp.sum(out["beta"])
-                        + jnp.sum(out["score"]) + jnp.sum(out["video_score"]))
-                r = r + live.astype(jnp.int32)
-            return acc + r, None
-        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None,
-                              length=steps_per_call)
-        return acc
+    def call(p, fts, wid):
+        return fn(p, fts, jnp.asarray(b["boxes"]), wid,
+                  jnp.asarray(b["frame_mask"]),
+                  jnp.asarray(b["word_mask"]),
+                  jnp.asarray(b["region_mask"]),
+                  feats_scale=feats_scale)
 
+    serves = _guarded_serve_scan(call, b, wkey, steps_per_call,
+                                 all_outputs=all_outputs)
     return serves, params, feats
 
 
@@ -716,7 +748,10 @@ def make_artifact_serve_program(artifact_dir, steps_per_call):
              E=man["model"]["embed_dim"], V=man["model"]["vocab_size"],
              KC=67, W=3)
     b = make_batch(s)
-    if man["model"].get("compute_quantize") == "int8pre":
+    # surfaced in the emitted record so an int8pre-artifact measurement is
+    # distinguishable from an f32 one by more than its directory path
+    s["COMPUTE_QUANTIZE"] = man["model"].get("compute_quantize") or None
+    if s["COMPUTE_QUANTIZE"] == "int8pre":
         from nafae_tpu.ops.grounding import quantize_feats_int8
         qf, sf = quantize_feats_int8(jnp.asarray(b["feats"]))
         feats = jax.device_put(qf)
@@ -728,51 +763,24 @@ def make_artifact_serve_program(artifact_dir, steps_per_call):
         extra = ()
     wkey = "w_v.q8" if "w_v.q8" in params else "w_v"
 
-    @jax.jit
-    def serves(params, feats):
-        def body(acc, _):
-            wid = jnp.asarray(b["word_ids"])
-            wid = jnp.where(acc < -1, wid + 1, wid)
-            eps = jnp.where(acc < -1, 1.0, 0.0)
-            p = dict(params)
-            p[wkey] = params[wkey] + eps.astype(params[wkey].dtype)
-            out = exported.call(p, feats, jnp.asarray(b["boxes"]), wid,
-                                jnp.asarray(b["frame_mask"]),
-                                jnp.asarray(b["word_mask"]),
-                                jnp.asarray(b["region_mask"]), *extra)
-            r = jnp.sum(out["region"])
-            live = (jnp.sum(out["box"]) + jnp.sum(out["beta"])
-                    + jnp.sum(out["score"]) + jnp.sum(out["video_score"]))
-            return acc + r + live.astype(jnp.int32), None
-        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None,
-                              length=steps_per_call)
-        return acc
+    def call(p, fts, wid):
+        return exported.call(p, fts, jnp.asarray(b["boxes"]), wid,
+                             jnp.asarray(b["frame_mask"]),
+                             jnp.asarray(b["word_mask"]),
+                             jnp.asarray(b["region_mask"]), *extra)
 
+    serves = _guarded_serve_scan(call, b, wkey, steps_per_call)
     return serves, params, feats, s
 
 
 def bench_artifact_serve(artifact_dir, iters=256, steps_per_call=256):
     """Serving throughput of the AOT artifact (bench --mode serve
     --artifact DIR). Returns (fps, dt, s)."""
-    import time as _t
-
     steps_per_call = max(1, min(steps_per_call, iters))
     serves, params, feats, s = make_artifact_serve_program(
         artifact_dir, steps_per_call)
-    _PROGRESS["stage"] = "compile"
-    int(serves(params, feats))
-    ncalls = max(1, iters // steps_per_call)
-    _PROGRESS["stage"] = "measure"
-    best = float("inf")
-    for _ in range(4):
-        t0 = _t.perf_counter()
-        for _ in range(ncalls):
-            acc = serves(params, feats)
-        int(acc)
-        best = min(best, _t.perf_counter() - t0)
-        _PROGRESS["value"] = round(
-            s["B"] * s["T"] * ncalls * steps_per_call / best, 1)
-    dt = best / (ncalls * steps_per_call)
+    dt = _time_serves(serves, params, feats, s["B"] * s["T"], iters,
+                      steps_per_call)
     return s["B"] * s["T"] / dt, dt, s
 
 
@@ -784,26 +792,11 @@ def bench_jax_serve(s, iters=256, steps_per_call=256, quantize=None):
     protocol as bench_jax_eval, plus the all-outputs DCE guard (see
     make_serve_program). quantize: None | "int8" (dynamic) | "int8pre"
     (offline-quantized features)."""
-    import jax
-
     steps_per_call = max(1, min(steps_per_call, iters))
     serves, params, feats = make_serve_program(s, steps_per_call,
                                                quantize=quantize)
-
-    _PROGRESS["stage"] = "compile"
-    int(serves(params, feats))
-    ncalls = max(1, iters // steps_per_call)
-    _PROGRESS["stage"] = "measure"
-    best = float("inf")
-    for _ in range(4):
-        t0 = time.perf_counter()
-        for _ in range(ncalls):
-            acc = serves(params, feats)
-        int(acc)                      # real device->host fetch bounds it
-        best = min(best, time.perf_counter() - t0)
-        _PROGRESS["value"] = round(
-            s["B"] * s["T"] * ncalls * steps_per_call / best, 1)
-    dt = best / (ncalls * steps_per_call)
+    dt = _time_serves(serves, params, feats, s["B"] * s["T"], iters,
+                      steps_per_call)
     return s["B"] * s["T"] / dt, dt
 
 
@@ -851,6 +844,11 @@ def main():
     args = p.parse_args()
     s = QUICK if args.quick else SHAPES
     _PROGRESS["metric"] = _MODE_METRICS[args.mode]
+    if args.mode == "serve" and args.serve_quantize == "int8pre":
+        # standalone confirmation runs (bench_battery.sh serve_int8pre)
+        # must share the in-process battery line's metric name, not the
+        # bf16 serve one it would otherwise be conflated with
+        _PROGRESS["metric"] = _MODE_METRICS["serve_int8pre"]
     # honor NAFAE_PLATFORM=cpu for off-chip smoke runs (pair with
     # NAFAE_BENCH_ALLOW_CPU=1): without the config-level override, the
     # first jax import below initializes the TPU backend — which HANGS for
@@ -871,8 +869,15 @@ def main():
 
     if args.mode == "serve":
         if args.artifact:
+            if args.serve_quantize:
+                p.error("--quantize has no effect with --artifact: the "
+                        "artifact's manifest fixes its compute form "
+                        "(export with model.quantize=... instead)")
             fps, dt, s_art = bench_artifact_serve(args.artifact,
                                                   iters=args.iters)
+            aq = s_art.get("COMPUTE_QUANTIZE")
+            if aq == "int8pre":
+                _PROGRESS["metric"] = _MODE_METRICS["serve_int8pre"]
             _emit({
                 "value": round(fps, 1),
                 "vs_baseline": None,
@@ -880,6 +885,7 @@ def main():
                 "flops_per_step": serve_step_flops(s_art),
                 "mfu": _mfu(serve_step_flops(s_art), dt),
                 "artifact": args.artifact,
+                **({"quantize": aq} if aq else {}),
             })
             return
         fps, dt = bench_jax_serve(s, iters=args.iters,

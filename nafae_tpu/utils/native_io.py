@@ -174,9 +174,9 @@ class NativePacker:
                         raise KeyError(
                             f"{src}: with_gt=True but no gt_boxes — run "
                             "merge_gt_into_features (or drop with_gt)")
-                    f = z["feats"].astype(np.float32)
-                    if z["feats"].dtype == np.int8 and "feats_scale" \
-                            in z.files:
+                    raw = z["feats"]      # npz decompresses per access
+                    f = raw.astype(np.float32)
+                    if raw.dtype == np.int8 and "feats_scale" in z.files:
                         # int8 feature files (extract --quantize int8):
                         # the cache stores the DEQUANTIZED values — the
                         # same expression the Python loader uses, so the

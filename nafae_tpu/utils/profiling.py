@@ -55,3 +55,40 @@ class ThroughputTracker:
         return {"frames_per_sec": sum(self.history) / len(self.history),
                 "peak_frames_per_sec": max(self.history),
                 "windows": len(self.history)}
+
+
+# --------------------------------------------------------------- HLO audits
+
+# dtype -> bytes, for payload accounting of optimized-HLO collectives
+HLO_DTYPE_SIZES = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "f16": 2,
+                   "pred": 1, "f64": 8, "s64": 8, "u8": 1, "s8": 1}
+
+_COLLECTIVE_RE = (r"= (.*?)\s*(all-gather|all-reduce|reduce-scatter|"
+                  r"collective-permute|all-to-all)\(")
+
+
+def collective_payloads(hlo_text: str):
+    """Parse an optimized-HLO dump into [(op, operand-shapes str, payload
+    bytes)] — one entry per collective instruction. The payload is the
+    per-device bytes that cross ICI for that op. ONE implementation shared
+    by scripts/collective_audit.py (the PERF.md byte tables) and the
+    test-side size audits (test_train DP smallness, test_kmeans_bank
+    seeding cap), so the shape regex and dtype table cannot drift apart.
+    """
+    import re
+
+    out = []
+    for ln in hlo_text.splitlines():
+        m = re.search(_COLLECTIVE_RE, ln)
+        if m is None:
+            continue
+        payload, shapes = 0, []
+        for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", m.group(1)):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            payload += n * HLO_DTYPE_SIZES.get(dt, 4)
+            shapes.append(f"{dt}[{dims}]")
+        out.append((m.group(2), "+".join(shapes), payload))
+    return out

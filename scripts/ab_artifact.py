@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -88,10 +89,13 @@ def main():
             + ([f"model.quantize={quantize}"] if quantize else []))
         raw = init_params(jax.random.PRNGKey(0), cfg.model)
         d = tempfile.mkdtemp(prefix=f"nafae_art_{label}_")
-        export_grounding(cfg, raw, d)
-        a_serves, a_params, a_feats, _ = bench.make_artifact_serve_program(
-            d, spc)
-        timeit(f"artifact_{label}", a_serves, a_params, a_feats)
+        try:
+            export_grounding(cfg, raw, d)
+            a_serves, a_params, a_feats, _ = \
+                bench.make_artifact_serve_program(d, spc)
+            timeit(f"artifact_{label}", a_serves, a_params, a_feats)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
 
         delta = (results[f"artifact_{label}"]
                  - results[f"live_{label}"]) * 1e6

@@ -21,36 +21,18 @@ from __future__ import annotations
 
 import argparse
 import os
-import re
 import subprocess
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
-SIZES = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "f16": 2, "pred": 1,
-         "f64": 8, "s64": 8, "u8": 1, "s8": 1}
-
-
 def collect(txt: str):
-    """[(op, operand shapes str, payload bytes)] from optimized HLO."""
-    out = []
-    for ln in txt.splitlines():
-        m = re.search(
-            r"= (.*?)\s*(all-gather|all-reduce|reduce-scatter|"
-            r"collective-permute|all-to-all)\(", ln)
-        if m is None:
-            continue
-        payload, shapes = 0, []
-        for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", m.group(1)):
-            n = 1
-            for d in dims.split(","):
-                if d:
-                    n *= int(d)
-            payload += n * SIZES.get(dt, 4)
-            shapes.append(f"{dt}[{dims}]")
-        out.append((m.group(2), "+".join(shapes), payload))
-    return out
+    """[(op, operand shapes str, payload bytes)] from optimized HLO.
+    ONE parser shared with the test-side audits — see
+    nafae_tpu.utils.profiling.collective_payloads."""
+    from nafae_tpu.utils.profiling import collective_payloads
+    return collective_payloads(txt)
 
 
 def audit(data: int, frame: int):

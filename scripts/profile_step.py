@@ -150,7 +150,15 @@ def main():
         step = make_train_step(cfg, make_optimizer(cfg))
 
     if step is not None:                          # config-4 path
-        @jax.jit
+        # route compiler options exactly like bench_jax / make_inline_setup
+        # (train.scoped_vmem_kib would otherwise be silently dropped here,
+        # and the near-deterministic trace would read as "knob is a no-op")
+        import functools
+
+        from nafae_tpu.train import jit_compiler_options
+
+        @functools.partial(jax.jit,
+                           compiler_options=jit_compiler_options(cfg))
         def multi(state, batch):
             def body(st, _):
                 st, metrics = step(st, batch)

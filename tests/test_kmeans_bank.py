@@ -216,7 +216,6 @@ def test_plusplus_seed_gather_is_bounded():
     single-device seeding (the subsample is static and mesh-independent),
     and (b) the compiled HLO's largest all-gather carries the capped
     payload, not W·B·T·K·E."""
-    import re
     from jax.sharding import PartitionSpec as P
 
     W, B, T, K, E = 8, 8, 4, 3, 32
@@ -244,21 +243,10 @@ def test_plusplus_seed_gather_is_bounded():
                                atol=1e-6)
 
     txt = fn.lower(jnp.asarray(f), jnp.asarray(valid)).compile().as_text()
-    sizes = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "f16": 2, "pred": 1}
-    biggest, seen = 0, 0
-    for ln in txt.splitlines():
-        m = re.search(r"= (.*?)\s*all-gather\(", ln)
-        if m is None:
-            continue
-        payload = 0
-        for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", m.group(1)):
-            n = 1
-            for d in dims.split(","):
-                if d:
-                    n *= int(d)
-            payload += n * sizes.get(dt, 4)
-        seen += 1
-        biggest = max(biggest, payload)
+    from nafae_tpu.utils.profiling import collective_payloads
+    gathers = [p for op, _, p in collective_payloads(txt)
+               if op == "all-gather"]
+    seen, biggest = len(gathers), max(gathers, default=0)
     assert seen >= 1, "no all-gather found — seeding not gathering?"
     # capped features: 2 slots × B·T·K rows × E f32 = 24.6 KB; uncapped
     # would be 98 KB — the bound fails loudly if the cap stops applying

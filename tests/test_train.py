@@ -72,29 +72,14 @@ def test_dp_collectives_stay_small(synth_root):
     state = TrainState.create(jax.random.PRNGKey(0), cfg)
     fn = build_train_fn(cfg, make_mesh())
     txt = fn.lower(state, batch).compile().as_text()
-    import re
-    sizes = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "f16": 2, "pred": 1,
-             "f64": 8, "s64": 8}
-    offenders, seen = [], 0
-    for ln in txt.splitlines():
-        m = re.search(
-            r"= (.*?)\s*(all-gather|all-reduce|reduce-scatter|"
-            r"collective-permute|all-to-all)\(", ln)
-        if m is None:
-            continue
-        payload = 0
-        for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", m.group(1)):
-            n = 1
-            for d in dims.split(","):
-                if d:
-                    n *= int(d)
-            payload += n * sizes.get(dt, 4)
-        seen += 1
-        # cap: above the legit DP param-grad psums (w_v [2048,32] f32
-        # = 262 KB is inherent to data parallelism) and far below a
-        # region-feature gather (13 MB here)
-        if payload > 1024 * 1024:
-            offenders.append((m.group(2), m.group(1)[:80], payload))
+    from nafae_tpu.utils.profiling import collective_payloads
+    entries = collective_payloads(txt)
+    # cap: above the legit DP param-grad psums (w_v [2048,32] f32
+    # = 262 KB is inherent to data parallelism) and far below a
+    # region-feature gather (13 MB here)
+    offenders = [(op, shapes[:80], payload) for op, shapes, payload
+                 in entries if payload > 1024 * 1024]
+    seen = len(entries)
     assert seen >= 5, f"only {seen} collectives found — really sharded?"
     assert not offenders, (
         f"oversized collectives in the DP step: {offenders}")
